@@ -1,0 +1,122 @@
+"""Unit + property tests for the RFC 3986 canonicalizer (SURVEY.md §2.2 M9)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from whakoom_webscrapper_ray.functions.canonicalize import (
+    canonicalize_batch,
+    canonicalize_table,
+    canonicalize_url,
+    host_hash64,
+    id_from_url,
+    url_sha1,
+    user_profile_of,
+)
+
+# FIXTURES.md §5 unit vectors
+VECTORS = [
+    # case-folding of scheme/host
+    ("HTTP://WWW.Example.COM/Path", "http://www.example.com/Path"),
+    # default-port removal
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("http://example.com:8080/a", "http://example.com:8080/a"),
+    # dot-segment resolution
+    ("http://e.com/a/b/../c/./d", "http://e.com/a/c/d"),
+    ("http://e.com/../a", "http://e.com/a"),
+    ("http://e.com/a/..", "http://e.com/"),
+    # percent-encoding normalization
+    ("http://e.com/%7euser", "http://e.com/~user"),
+    ("http://e.com/a%2fb", "http://e.com/a%2Fb"),
+    # fragment stripping
+    ("http://e.com/a#frag", "http://e.com/a"),
+    # query param sorting
+    ("http://e.com/a?b=2&a=1", "http://e.com/a?a=1&b=2"),
+    ("http://e.com/a?z&y=1", "http://e.com/a?y=1&z"),
+    # empty path
+    ("http://e.com", "http://e.com/"),
+    # trailing dot host
+    ("http://e.com./x", "http://e.com/x"),
+]
+
+RELATIVE_VECTORS = [
+    # (href, base, expected) — RFC 3986 §5.4 reference resolution
+    ("/user/lists", "https://h.example/a/b", "https://h.example/user/lists"),
+    ("g", "http://a/b/c/d;p?q", "http://a/b/c/g"),
+    ("../g", "http://a/b/c/d", "http://a/b/g"),
+    ("//other.example/x", "https://h.example/a", "https://other.example/x"),
+    ("?y=2", "http://a/b/c", "http://a/b/c?y=2"),
+]
+
+
+def test_vectors():
+    for raw, want in VECTORS:
+        assert canonicalize_url(raw) == want, raw
+
+
+def test_relative_resolution():
+    for href, base, want in RELATIVE_VECTORS:
+        assert canonicalize_url(href, base=base) == want, (href, base)
+
+
+def test_idempotent_on_vectors():
+    for raw, want in VECTORS:
+        assert canonicalize_url(want) == want
+
+
+@given(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Ll", "Lu", "Nd"),
+            whitelist_characters="/._-~%?&=#:",
+        ),
+        max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_idempotence_property(path):
+    """canonicalize(canonicalize(u)) == canonicalize(u)."""
+    u = "http://ex.example/" + path
+    try:
+        c = canonicalize_url(u)
+    except ValueError:
+        return  # unparseable input is out of contract
+    assert canonicalize_url(c) == c
+
+
+def test_sha1_and_host_hash():
+    c = canonicalize_url("HTTPS://Host3.Example:443/lists/a_1")
+    assert c == "https://host3.example/lists/a_1"
+    assert len(url_sha1(c)) == 20
+    assert host_hash64("host3.example") == host_hash64("host3.example")
+    assert host_hash64("a") != host_hash64("b")
+
+
+def test_id_from_url():
+    assert id_from_url("/u/lists/foo_116039") == 116039
+    assert id_from_url("https://x/comics/bar_77") == 77
+    assert id_from_url("/u/lists/foo") is None
+    assert id_from_url("/u/profile") is None
+
+
+def test_user_profile_of():
+    assert user_profile_of("https://h/deirdre/lists") == "deirdre"
+    assert user_profile_of("https://h/") == ""
+
+
+def test_batch_matches_scalar():
+    urls = [v[0] for v in VECTORS]
+    cols = canonicalize_batch(urls)
+    assert cols["canon_url"] == [canonicalize_url(u) for u in urls]
+    assert cols["url_sha1"] == [url_sha1(canonicalize_url(u)) for u in urls]
+
+
+def test_canonicalize_table():
+    tbl = pa.table({"url": ["HTTP://A.B/x", "http://a.b/x"]})
+    out = canonicalize_table(tbl)
+    assert out.column("canon_url").to_pylist() == ["http://a.b/x"] * 2
+    assert out.column("url_sha1")[0].as_py() == out.column("url_sha1")[1].as_py()
+    assert out.column("host").to_pylist() == ["a.b", "a.b"]

@@ -1,0 +1,158 @@
+"""Engine-vs-oracle conformance (SURVEY.md §5.2.3; BASELINE.json invariant).
+
+The distributed Ray Data engine must reproduce the sequential oracle's
+outputs exactly: crawl order, URL-seen set, per-row span sequences,
+lists / junction / titles tables, and the dedup-once property.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+
+@pytest.fixture(scope="module")
+def engine_run(ray_session, small_web, tmp_path_factory):
+    from whakoom_webscrapper_ray.pipelines.crawl import CrawlEngine
+
+    ckpt = str(tmp_path_factory.mktemp("crawl_ckpt"))
+    eng = CrawlEngine(
+        small_web["pages"],
+        small_web["seeds"],
+        small_web["robots"],
+        checkpoint_dir=ckpt,
+        num_shards=3,
+        fetcher_concurrency=2,
+        batch_size=64,
+    )
+    summary = eng.run()
+    return eng, summary
+
+
+def test_crawl_order_equality(engine_run, small_golden):
+    eng, _ = engine_run
+    got = eng.crawl_order()
+    want = small_golden.crawl_order
+    assert got.num_rows == len(want)
+    rows = list(
+        zip(
+            got.column("seq").to_pylist(),
+            got.column("url").to_pylist(),
+            got.column("host").to_pylist(),
+            got.column("round").to_pylist(),
+        )
+    )
+    assert rows == want
+
+
+def test_seen_set_equality(engine_run, small_golden):
+    eng, _ = engine_run
+    got = eng.seen_table()
+    pairs = dict(
+        zip(
+            got.column("url_sha1").to_pylist(),
+            got.column("canon_url").to_pylist(),
+        )
+    )
+    assert pairs == small_golden.seen
+
+
+def test_span_sequence_equality(engine_run, small_golden):
+    """Per-row (kind, text, media_ref, order) equality — the
+    BASELINE.json input_hint invariant."""
+    eng, _ = engine_run
+    docs = eng.docs_dataset().to_pandas()
+    got = {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in r["spans"]
+        ]
+        for _, r in docs.iterrows()
+    }
+    want = {
+        d: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in sp]
+        for d, sp in small_golden.docs_out.items()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == want[d], d
+
+
+def test_dedup_once_property(engine_run):
+    """A URL reachable from k places is fetched exactly once
+    (README.md:520-531 hard requirement)."""
+    eng, _ = engine_run
+    order = eng.crawl_order().column("url").to_pylist()
+    assert len(order) == len(set(order))
+
+
+def test_lists_table_equality(engine_run, small_golden):
+    eng, _ = engine_run
+    tables = eng.finalize_tables()
+    got = tables["lists"].to_pylist()
+    want = sorted(small_golden.lists_out.values(), key=lambda r: r["list_id"])
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g["list_id"] == w["list_id"]
+        assert g["title"] == w["title"]
+        assert g["url"] == w["url"]
+        assert g["user_profile"] == w["user_profile"]
+        assert g["scrape_status"] == w["scrape_status"] == "completed"
+    eng._finalized = tables  # reuse in junction/titles tests
+
+
+def test_junction_position_equality(engine_run, small_golden):
+    eng, _ = engine_run
+    tables = getattr(eng, "_finalized", None) or eng.finalize_tables()
+    got = {
+        (r["list_id"], r["title_id"]): r["position"]
+        for r in tables["junction"].to_pylist()
+    }
+    assert got == small_golden.junction_out
+
+
+def test_titles_equality(engine_run, small_golden):
+    eng, _ = engine_run
+    tables = getattr(eng, "_finalized", None) or eng.finalize_tables()
+    got = {r["title_id"]: r for r in tables["titles"].to_pylist()}
+    assert set(got) == set(small_golden.titles_out)
+    for tid, w in small_golden.titles_out.items():
+        g = got[tid]
+        assert g["title"] == w["title"]
+        assert g["url"] == w["url"]
+
+
+def test_robots_disallow_nowhere(engine_run, small_web):
+    """Disallowed URLs are in neither seen nor output (FIXTURES.md §3)."""
+    eng, _ = engine_run
+    robots = small_web["robots"].to_pylist()
+    rules = [(r["host"], p) for r in robots for p in r["disallow"]]
+    assert rules  # fixture guarantees at least one disallow
+    seen_urls = eng.seen_table().column("canon_url").to_pylist()
+    for host, prefix in rules:
+        for u in seen_urls:
+            if host in u:
+                assert f"https://{host}{prefix}" not in u
+
+
+def test_politeness_spacing(engine_run, small_web, small_golden):
+    """Delayed hosts' fetch times are spaced >= crawl_delay apart."""
+    import pyarrow.parquet as pq
+    import os
+
+    eng, _ = engine_run
+    robots = {r["host"]: r["crawl_delay"] for r in small_web["robots"].to_pylist()}
+    delayed = [h for h, d in robots.items() if d > 0]
+    assert delayed
+    parts = []
+    for r in range(eng.next_round):
+        p = os.path.join(eng._round_dir(r), "crawl_order.parquet")
+        if os.path.exists(p):
+            parts.append(pq.read_table(p))
+    full = pa.concat_tables(parts)
+    for h in delayed:
+        sub = full.filter(pc.equal(full["host"], h)).sort_by("fetch_time")
+        times = sub.column("fetch_time").to_pylist()
+        for a, b in zip(times, times[1:]):
+            assert b - a >= robots[h] - 1e-9

@@ -1,0 +1,233 @@
+"""From-scratch RFC 3986 URL canonicalizer + SHA-1 fingerprints.
+
+Reproduces the observable behavior of Scrapy's 2.7 request fingerprinter
+(enabled at /root/reference/whakoom_webscrapper/settings.py:139), which
+hashes a canonicalized URL: lowercase scheme/host, strip fragment, sort
+query parameters, normalize percent-encoding, resolve dot-segments,
+drop default ports.  No w3lib/scrapy dependency — pure stdlib + numpy.
+
+Also resolves *relative* hrefs against the page URL: the reference
+stores the relative ``href`` verbatim (spiders/lists.py:52) and relies
+on Scrapy to absolutize at request time — our frontier needs absolute
+canonical URLs, so resolution happens here (RFC 3986 §5).
+
+Batch entry points are vectorized per-batch with a memo dict (URL sets
+repeat heavily within a crawl round); the hot loop is C-level dict/str
+work, and output columns are built once per batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from urllib.parse import urljoin, urlsplit, urlunsplit
+
+import numpy as np
+import pyarrow as pa
+
+_DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_PCT_RE = re.compile(r"%([0-9a-fA-F]{2})")
+
+
+def _norm_pct(component: str) -> str:
+    """Normalize percent-encoding: decode unreserved chars, uppercase hex."""
+
+    def repl(m: re.Match[str]) -> str:
+        ch = chr(int(m.group(1), 16))
+        if ch in _UNRESERVED:
+            return ch
+        return "%" + m.group(1).upper()
+
+    return _PCT_RE.sub(repl, component)
+
+
+def remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments."""
+    output: list[str] = []
+    # Work segment-wise; keep leading-slash semantics.
+    leading = path.startswith("/")
+    segs = path.split("/")
+    for seg in segs:
+        if seg == ".":
+            continue
+        if seg == "..":
+            if output and output[-1] != "":
+                output.pop()
+        else:
+            output.append(seg)
+    # Re-add trailing slash when path ended in "." / ".."
+    if segs and segs[-1] in (".", "..") and (not output or output[-1] != ""):
+        output.append("")
+    out = "/".join(output)
+    if leading and not out.startswith("/"):
+        out = "/" + out
+    return out
+
+
+def canonicalize_url(url: str, base: str | None = None) -> str:
+    """Return the canonical absolute form of ``url``.
+
+    Steps (RFC 3986 §6.2.2 syntax-based normalization + Scrapy-style
+    fingerprint canonicalization):
+
+    1. resolve against ``base`` if relative,
+    2. lowercase scheme and host,
+    3. drop default port,
+    4. remove dot-segments; empty path → "/",
+    5. normalize percent-encoding (decode unreserved, uppercase hex),
+    6. sort query parameters bytewise by (key, value),
+    7. strip the fragment.
+    """
+    if base:
+        url = urljoin(base, url)
+    parts = urlsplit(url.strip())
+    scheme = parts.scheme.lower()
+    host = parts.hostname or ""
+    host = host.lower().rstrip(".")
+    port = parts.port
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
+        netloc = f"{host}:{port}"
+    userinfo = ""
+    if parts.username:
+        userinfo = parts.username
+        if parts.password:
+            userinfo += f":{parts.password}"
+        netloc = f"{userinfo}@{netloc}"
+    path = _norm_pct(remove_dot_segments(parts.path)) or "/"
+    query = parts.query
+    if query:
+        pairs = []
+        for piece in query.split("&"):
+            if not piece:
+                continue
+            if "=" in piece:
+                k, v = piece.split("=", 1)
+            else:
+                k, v = piece, None
+            k = _norm_pct(k)
+            v = _norm_pct(v) if v is not None else None
+            pairs.append((k, v))
+        pairs.sort(key=lambda kv: (kv[0], kv[1] if kv[1] is not None else ""))
+        query = "&".join(k if v is None else f"{k}={v}" for k, v in pairs)
+    return urlunsplit((scheme, netloc, path, query, ""))  # fragment stripped
+
+
+def url_sha1(canon: str) -> bytes:
+    """20-byte SHA-1 of the canonical URL (the stable fingerprint)."""
+    return hashlib.sha1(canon.encode("utf-8")).digest()
+
+
+def host_of(canon: str) -> str:
+    """Host component of an already-canonical URL."""
+    return urlsplit(canon).hostname or ""
+
+
+def host_hash64(host: str) -> int:
+    """uint64 from the first 8 bytes of SHA-1(host) — the partition key.
+
+    Frontier/seen shard = ``host_hash % num_shards`` so a host's URLs
+    co-locate with its robots + politeness state (SURVEY.md §4.3).
+    """
+    return int.from_bytes(hashlib.sha1(host.encode("utf-8")).digest()[:8], "big")
+
+
+def user_profile_of(canon: str) -> str:
+    """First path segment — mirrors spiders/lists.py:35-36."""
+    path = urlsplit(canon).path
+    segs = path.split("/")
+    return segs[1] if len(segs) > 1 else ""
+
+
+def id_from_url(url: str) -> int | None:
+    """Stable numeric id from the URL tail: ``int(url.rsplit('_',1)[-1])``.
+
+    Mirrors spiders/lists.py:47.  Returns None when the tail is not an
+    integer (the reference would raise; we filter such links out before
+    building list items).
+    """
+    tail = url.rsplit("_", 1)[-1]
+    try:
+        return int(tail)
+    except ValueError:
+        return None
+
+
+# ------------------------------------------------------------------ batch API
+
+
+def canonicalize_batch(
+    urls: list[str] | pa.Array,
+    bases: list[str] | pa.Array | None = None,
+) -> dict[str, np.ndarray | list]:
+    """Canonicalize a batch of URLs (optionally relative to per-row bases).
+
+    Returns dict of equal-length columns: ``canon_url`` (list[str]),
+    ``url_sha1`` (list[bytes]), ``host`` (list[str]), ``host_hash``
+    (np.uint64 array).  A per-batch memo collapses repeated URLs so the
+    per-string Python cost is paid once per distinct URL.
+    """
+    if isinstance(urls, (pa.Array, pa.ChunkedArray)):
+        urls = urls.to_pylist()
+    if bases is not None and isinstance(bases, (pa.Array, pa.ChunkedArray)):
+        bases = bases.to_pylist()
+
+    memo: dict[tuple[str, str | None], tuple[str, bytes, str, int]] = {}
+    canon_col: list[str] = []
+    sha_col: list[bytes] = []
+    host_col: list[str] = []
+    hh_col = np.empty(len(urls), dtype=np.uint64)
+    host_memo: dict[str, int] = {}
+
+    for i, u in enumerate(urls):
+        b = bases[i] if bases is not None else None
+        key = (u, b)
+        hit = memo.get(key)
+        if hit is None:
+            c = canonicalize_url(u, b)
+            h = host_of(c)
+            hh = host_memo.get(h)
+            if hh is None:
+                hh = host_hash64(h)
+                host_memo[h] = hh
+            hit = (c, url_sha1(c), h, hh)
+            memo[key] = hit
+        canon_col.append(hit[0])
+        sha_col.append(hit[1])
+        host_col.append(hit[2])
+        hh_col[i] = hit[3]
+
+    return {
+        "canon_url": canon_col,
+        "url_sha1": sha_col,
+        "host": host_col,
+        "host_hash": hh_col,
+    }
+
+
+def canonicalize_table(
+    batch: pa.Table,
+    url_col: str = "url",
+    base_col: str | None = None,
+) -> pa.Table:
+    """``map_batches``-ready transform: append canonical columns to a table."""
+    cols = canonicalize_batch(
+        batch[url_col],
+        batch[base_col] if base_col else None,
+    )
+    out = batch
+    for name, typ in (
+        ("canon_url", pa.string()),
+        ("url_sha1", pa.binary(20)),
+        ("host", pa.string()),
+        ("host_hash", pa.uint64()),
+    ):
+        arr = pa.array(cols[name], type=typ)
+        if name in out.column_names:
+            out = out.set_column(out.column_names.index(name), name, arr)
+        else:
+            out = out.append_column(name, arr)
+    return out

@@ -1,0 +1,243 @@
+"""Sequential reference oracle: golden producer for crawl conformance.
+
+A pure-Python, record-at-a-time reimplementation of the *observable*
+Scrapy semantics of the reference crawl (SURVEY.md §5.2):
+
+- seed order = ``start_urls`` order (spiders/lists.py:17),
+- robots gate before anything else (settings.py:68) — disallowed URLs
+  enter neither the seen set nor any output,
+- offsite filter on allowed domains (lists.py:16),
+- SHA-1 fingerprint dedup marked at schedule time (settings.py:139),
+- per-host politeness pacing in logical time (AutoThrottle,
+  settings.py:119-128),
+- document-order link extraction (lists.py:39-55, publications.py:96-102),
+- upsert + status lifecycle pending→completed at close
+  (pipelines.py:140-159, :66-71; queries/lists.sql:1-9, :37-40).
+
+The canonical deterministic crawl model (rounds + per-host pacing +
+``(fetch_time, priority, discovery_ok)`` ordering) is documented in
+``state/frontier.py``; the distributed engine must reproduce this
+oracle's outputs exactly — crawl order, seen set, per-row span
+sequences, lists/junction/titles tables.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+from .functions.canonicalize import (
+    canonicalize_url,
+    host_of,
+    id_from_url,
+    url_sha1,
+    user_profile_of,
+)
+from .functions.robots import RobotsRules
+from .stages.extract import LIST_RE, PROFILE_RE
+import re
+
+OK_SHIFT = 20  # must match state/frontier.py
+
+
+@dataclass
+class OracleResult:
+    crawl_order: list[tuple[int, str, str, int]]          # seq,url,host,round
+    seen: dict[bytes, str]                                 # sha1 -> canon url
+    docs_out: dict[str, list[dict]]                        # doc_id -> spans
+    lists_out: dict[int, dict]                             # list_id -> row
+    junction_out: dict[tuple[int, int], int]               # (lid,tid)->pos
+    titles_out: dict[int, dict]                            # title_id -> row
+    close_time: float = 0.0
+    fetch_log: list[tuple[str, str]] = field(default_factory=list)
+
+
+def run_oracle(
+    pages: pa.Table,
+    seeds: pa.Table,
+    robots: pa.Table,
+    max_rounds: int | None = None,
+) -> OracleResult:
+    """Run the sequential crawl; return all golden outputs."""
+    page_spans = {
+        d: s
+        for d, s in zip(
+            pages.column("doc_id").to_pylist(), pages.column("spans").to_pylist()
+        )
+    }
+    rules = RobotsRules.from_table(robots)
+    profile_re = re.compile(PROFILE_RE)
+    list_re = re.compile(LIST_RE)
+
+    seed_rows = sorted(
+        zip(
+            seeds.column("seed_index").to_pylist(),
+            seeds.column("url").to_pylist(),
+            seeds.column("priority").to_pylist(),
+        )
+    )
+    # Allowed domains = canonical hosts of the seed list (the engine's
+    # generalization of the hardcoded allowed_domains, lists.py:16).
+    allowed = frozenset(host_of(canonicalize_url(u)) for _, u, _ in seed_rows)
+
+    def domain_ok(host: str) -> bool:
+        return host in allowed or any(host.endswith("." + d) for d in allowed)
+
+    seen: dict[bytes, str] = {}
+    next_time: dict[str, float] = {}
+    crawl_order: list[tuple[int, str, str, int]] = []
+    docs_out: dict[str, list[dict]] = {}
+    lists_out: dict[int, dict] = {}
+    junction: dict[tuple[int, int], int] = {}
+    titles_out: dict[int, dict] = {}
+    fetch_log: list[tuple[str, str]] = []
+
+    # candidates for the current round: (priority, ok, canon, sha, host)
+    cands: list[tuple[int, int, str, bytes, str]] = []
+    for idx, url, prio in seed_rows:
+        canon = canonicalize_url(url)
+        host = host_of(canon)
+        if not domain_ok(host):
+            continue
+        from urllib.parse import urlsplit
+
+        if not rules.allowed(host, urlsplit(canon).path):
+            continue
+        sha = url_sha1(canon)
+        cands.append((int(prio), int(idx), canon, sha, host))
+
+    seq = 0
+    rnd = 0
+    max_time = 0.0
+    while cands and (max_rounds is None or rnd < max_rounds):
+        # dedup per sha keeping min ok, then mark seen
+        best: dict[bytes, tuple[int, int, str, bytes, str]] = {}
+        for c in sorted(cands, key=lambda c: c[1]):
+            if c[3] not in best:
+                best[c[3]] = c
+        sched = [c for c in best.values() if c[3] not in seen]
+        for c in sched:
+            seen[c[3]] = c[2]
+        # per-host pacing
+        by_host: dict[str, list] = {}
+        for c in sched:
+            by_host.setdefault(c[4], []).append(c)
+        timed = []  # (fetch_time, priority, ok, canon, host)
+        for h, items in by_host.items():
+            items.sort(key=lambda c: (c[0], c[1]))
+            delay = rules.delay.get(h, 0.0)
+            t0 = next_time.get(h, 0.0)
+            for i, c in enumerate(items):
+                timed.append((t0 + i * delay, c[0], c[1], c[2], h))
+            if delay > 0:
+                next_time[h] = t0 + len(items) * delay
+            else:
+                next_time[h] = t0
+        timed.sort(key=lambda t: (t[0], t[1], t[2]))
+
+        next_cands: list[tuple[int, int, str, bytes, str]] = []
+        for ft, prio, ok, canon, host in timed:
+            my_seq = seq
+            seq += 1
+            crawl_order.append((my_seq, canon, host, rnd))
+            max_time = max(max_time, ft)
+            spans = page_spans.get(canon)
+            if spans is None:
+                fetch_log.append((canon, "missing"))
+                continue
+            fetch_log.append((canon, "fetched"))
+            docs_out[canon] = spans
+
+            # ---- frontier expansion: every link span in offset order
+            for sp in spans:
+                if sp["kind"] != "link":
+                    continue
+                child = canonicalize_url(sp["media_ref"], base=canon)
+                ch_host = host_of(child)
+                if not domain_ok(ch_host):
+                    continue
+                from urllib.parse import urlsplit
+
+                if not rules.allowed(ch_host, urlsplit(child).path):
+                    continue
+                ch_sha = url_sha1(child)
+                if ch_sha in seen:
+                    continue
+                ok_key = (my_seq << OK_SHIFT) | min(
+                    sp["offset"], (1 << OK_SHIFT) - 1
+                )
+                next_cands.append((0, ok_key, child, ch_sha, ch_host))
+
+            # ---- ListSpider section extraction on profile pages
+            if profile_re.match(canon):
+                profile = user_profile_of(canon)
+                section_links: list[dict] = []
+                in_section = False
+                sections: list[list[dict]] = []
+                for sp in spans:
+                    if sp["kind"] == "heading":
+                        in_section = True
+                        sections.append([])
+                    elif sp["kind"] == "link" and in_section:
+                        sections[-1].append(sp)
+                for sec in sections:
+                    if len(sec) > 1:
+                        a1 = sec[1]
+                        lid = id_from_url(a1["media_ref"])
+                        if lid is None:
+                            continue
+                        lists_out[lid] = {
+                            "list_id": lid,
+                            "title": a1["text"].strip(),
+                            "url": a1["media_ref"],
+                            "user_profile": profile,
+                            "scrape_status": "pending",
+                            "scraped_at": ft,
+                        }
+
+            # ---- title links on list pages (publications semantics)
+            if list_re.match(canon):
+                lid = id_from_url(canon)
+                if lid is not None:
+                    pos = 0
+                    for sp in spans:
+                        if sp["kind"] != "link":
+                            continue
+                        child = canonicalize_url(sp["media_ref"], base=canon)
+                        if not domain_ok(host_of(child)):
+                            continue
+                        tid = id_from_url(sp["media_ref"])
+                        if tid is None:
+                            continue
+                        key = (lid, tid)
+                        if key not in junction:
+                            junction[key] = pos
+                        if tid not in titles_out:
+                            titles_out[tid] = {
+                                "title_id": tid,
+                                "title": sp["text"],
+                                "url": child,
+                                "scrape_status": "pending",
+                            }
+                        pos += 1
+
+        cands = next_cands
+        rnd += 1
+
+    # close sweep: pending → completed at the logical close time
+    close_time = float(int(max_time) + 1)
+    for row in lists_out.values():
+        row["scrape_status"] = "completed"
+        row["scraped_at"] = close_time
+
+    return OracleResult(
+        crawl_order=crawl_order,
+        seen=seen,
+        docs_out=docs_out,
+        lists_out=lists_out,
+        junction_out=junction,
+        titles_out=titles_out,
+        close_time=close_time,
+        fetch_log=fetch_log,
+    )

@@ -1,0 +1,611 @@
+"""The crawl engine: Ray-Data round loop over the frontier.
+
+Cyclic dataflow (fetch → extract → new URLs → fetch) cannot live inside
+one acyclic Dataset, so the loop lives in the DRIVER (SURVEY.md §4.3):
+long-lived frontier + seen actors hold state across rounds, and each
+round runs one streaming Dataset pipeline over the heavy payload:
+
+    frontier.poll (politeness-paced, dedup-probed, globally ordered)
+      → ray.data Dataset of candidates
+      → map_batches(SyntheticWebFetcher)      # stateful actor pool
+      → write_parquet(docs/round=r)           # resumable partitioned sink
+      → read_parquet → map_batches(LinkRouter)  # extract+canonicalize+
+                                                # filter+partial-dedup+route
+      → tiny per-batch count rows (consumed as the round summary)
+
+Control-plane rows (URL, sha1, priority, ok ≈ 100 B) flow through the
+actor shards; data-plane rows (spans payload) flow only through Dataset
+blocks and parquet partitions — at the 10^10-URL design point the
+former is ~1 TB spread over shards (spillable), the latter is the
+~100 TB streamed through the object store.
+
+Checkpoint layout per round (the per-partition lineage of the north
+rule): ``rounds/round=R/crawl_order.parquet`` (scheduled URLs = the
+seen-set delta), ``docs/round=R/*.parquet`` (fetched payload),
+``frontier/round=R.pkl`` (pending queues + politeness clocks),
+``manifest.json`` (run_id, next round, global seq, max fetch time,
+per-round counts).  Resume = restore manifest + frontier dump + replay
+crawl_order deltas into the seen shards; doc writes are per-round
+directories so finished rounds are skipped (idempotent, mirroring the
+reference's HTTP-cache + upsert re-run story, settings.py:132,
+queries/lists.sql:1-9).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..functions.canonicalize import canonicalize_batch, canonicalize_table
+from ..functions.robots import RobotsRules, offsite_mask
+from ..stages.extract import (
+    LIST_RE,
+    PROFILE_RE,
+    extract_profile_sections,
+    extract_title_links,
+    ids_from_url_tail,
+    rank_positions,
+)
+from ..stages.fetch import SyntheticWebFetcher
+from ..state.frontier import OK_SHIFT, Frontier
+from ..state.seen import SeenSet
+
+
+class LinkRouter:
+    """Stateless-per-batch, stateful-per-actor link router.
+
+    ``__init__`` (once per actor) holds the broadcast robots rules,
+    allowed domains and the frontier shard handles; ``__call__`` (per
+    batch) extracts link spans in document order, canonicalizes them
+    against the page URL (relative hrefs, lists.py:52), applies
+    offsite + robots filters, partially dedups within the batch (keep
+    min ``ok`` per sha — the shuffle combiner), routes survivors to
+    frontier shards by ``host_hash % P`` and returns one summary row.
+    """
+
+    def __init__(self, rules_ref, allowed_domains, frontier_shards):
+        self.rules: RobotsRules = (
+            ray.get(rules_ref) if isinstance(rules_ref, ray.ObjectRef)
+            else rules_ref
+        )
+        self.allowed = frozenset(allowed_domains)
+        self.shards = frontier_shards
+        self.num_shards = len(frontier_shards)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_fetched = int(
+            pc.sum(
+                pc.equal(batch["fetch_status"], "fetched").cast(pa.int32())
+            ).as_py()
+            or 0
+        )
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(spans)
+        is_link = pc.equal(flat.field("kind"), "link").to_numpy(
+            zero_copy_only=False
+        )
+        idx = np.flatnonzero(is_link)
+        summary = {
+            "links": [int(idx.size)],
+            "candidates": [0],
+            "fetched": [n_fetched],
+            "missing": [int(batch.num_rows - n_fetched)],
+        }
+        if idx.size == 0:
+            return pa.table(summary)
+
+        hrefs = flat.field("media_ref").take(pa.array(idx)).to_pylist()
+        offsets = flat.field("offset").take(pa.array(idx)).to_numpy(
+            zero_copy_only=False
+        )
+        base_urls = batch.column("canon_url").to_pylist()
+        seqs = batch.column("seq").to_numpy(zero_copy_only=False)
+        bases = [base_urls[p] for p in parent[idx]]
+        parent_seq = seqs[parent[idx]]
+
+        cols = canonicalize_batch(hrefs, bases)
+        ok = (parent_seq.astype(np.int64) << OK_SHIFT) | np.minimum(
+            offsets.astype(np.int64), (1 << OK_SHIFT) - 1
+        )
+
+        keep = offsite_mask(cols["host"], self.allowed)
+        keep &= self.rules.allowed_mask(cols["host"], cols["canon_url"])
+
+        # partial dedup: min-ok per sha within the batch (combiner)
+        best: dict[bytes, int] = {}
+        order = np.argsort(ok, kind="stable")
+        chosen = []
+        for j in order:
+            if not keep[j]:
+                continue
+            sha = cols["url_sha1"][j]
+            if sha not in best:
+                best[sha] = j
+                chosen.append(j)
+        if not chosen:
+            return pa.table(summary)
+        chosen = np.array(sorted(chosen))
+
+        shard_of = (
+            cols["host_hash"][chosen] % np.uint64(self.num_shards)
+        ).astype(np.int64)
+        futs = []
+        for s in range(self.num_shards):
+            sel = chosen[np.flatnonzero(shard_of == s)]
+            if sel.size == 0:
+                continue
+            futs.append(
+                self.shards[s].enqueue.remote(
+                    [cols["canon_url"][i] for i in sel],
+                    [cols["url_sha1"][i] for i in sel],
+                    [cols["host"][i] for i in sel],
+                    [int(cols["host_hash"][i]) for i in sel],
+                    [0] * sel.size,
+                    [int(ok[i]) for i in sel],
+                )
+            )
+        ray.get(futs)  # enqueues must land before the next poll
+        summary["candidates"] = [int(chosen.size)]
+        return pa.table(summary)
+
+
+class CrawlEngine:
+    """Driver-side orchestrator; owns the actor pools and the round loop."""
+
+    def __init__(
+        self,
+        pages: pa.Table,
+        seeds: pa.Table,
+        robots: pa.Table,
+        checkpoint_dir: str,
+        num_shards: int = 4,
+        fetcher_concurrency=(1, 4),
+        batch_size: int = 1024,
+        run_id: str = "run0",
+    ) -> None:
+        self.checkpoint_dir = checkpoint_dir
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        self.batch_size = batch_size
+        self.fetcher_concurrency = fetcher_concurrency
+        self.run_id = run_id
+        self.num_shards = num_shards
+
+        self.rules = RobotsRules.from_table(robots)
+        seed_cols = canonicalize_batch(seeds.column("url"))
+        self.allowed = frozenset(seed_cols["host"])
+        self.seeds = seeds
+        self._seed_cols = seed_cols
+
+        self.seen = SeenSet(num_shards)
+        self.frontier = Frontier(num_shards, self.rules.delay,
+                                 self.seen.shards)
+        self.pages_ref = ray.put(pages)
+        self.rules_ref = ray.put(self.rules)
+
+        self.global_seq = 0
+        self.max_fetch_time = 0.0
+        self.round_stats: list[dict] = []
+        self.next_round = 0
+
+    # ------------------------------------------------------------- paths
+    def _round_dir(self, rnd: int) -> str:
+        return os.path.join(self.checkpoint_dir, "rounds", f"round={rnd}")
+
+    def _docs_dir(self, rnd: int) -> str:
+        return os.path.join(self.checkpoint_dir, "docs", f"round={rnd}")
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.checkpoint_dir, "manifest.json")
+
+    # -------------------------------------------------------------- seed
+    def seed(self) -> int:
+        """Canonicalize + filter the seed list and enqueue it (round 0)."""
+        s = self.seeds
+        cols = self._seed_cols
+        n = s.num_rows
+        keep = offsite_mask(cols["host"], self.allowed)
+        keep &= self.rules.allowed_mask(cols["host"], cols["canon_url"])
+        idx = np.flatnonzero(keep)
+        prio = s.column("priority").to_numpy(zero_copy_only=False)
+        seed_index = s.column("seed_index").to_numpy(zero_copy_only=False)
+        tbl = pa.table(
+            {
+                "canon_url": pa.array(
+                    [cols["canon_url"][i] for i in idx], pa.string()
+                ),
+                "url_sha1": pa.array(
+                    [cols["url_sha1"][i] for i in idx], pa.binary(20)
+                ),
+                "host": pa.array([cols["host"][i] for i in idx], pa.string()),
+                "host_hash": pa.array(
+                    cols["host_hash"][idx], pa.uint64()
+                ),
+                "priority": pa.array(prio[idx], pa.int32()),
+                "ok": pa.array(seed_index[idx].astype(np.int64), pa.int64()),
+            }
+        )
+        return self.frontier.enqueue_table(tbl)
+
+    # -------------------------------------------------------------- round
+    def run_round(self, rnd: int) -> dict | None:
+        cand = self.frontier.poll_round(rnd)
+        n = cand.num_rows
+        if n == 0:
+            return None
+        cand = cand.append_column(
+            "seq", pa.array(self.global_seq + np.arange(n), pa.int64())
+        ).append_column(
+            "round", pa.array(np.full(n, rnd, dtype=np.int32), pa.int32())
+        )
+        self.global_seq += n
+        self.max_fetch_time = max(
+            self.max_fetch_time,
+            float(pc.max(cand["fetch_time"]).as_py() or 0.0),
+        )
+
+        os.makedirs(self._round_dir(rnd), exist_ok=True)
+        pq.write_table(
+            cand, os.path.join(self._round_dir(rnd), "crawl_order.parquet")
+        )
+
+        # ---- data plane: fetch → write docs (streaming, actor pool)
+        slices = [
+            cand.slice(i, self.batch_size)
+            for i in range(0, n, self.batch_size)
+        ]
+        ds = ray.data.from_arrow(slices)
+        docs = ds.map_batches(
+            SyntheticWebFetcher,
+            fn_constructor_kwargs={"pages_ref": self.pages_ref},
+            concurrency=self.fetcher_concurrency,
+            batch_size=self.batch_size,
+            batch_format="pyarrow",
+            num_cpus=0.5,
+        )
+        docs.write_parquet(self._docs_dir(rnd))
+
+        # ---- extract + route discovered links
+        links_ds = ray.data.read_parquet(self._docs_dir(rnd))
+        summaries = links_ds.map_batches(
+            LinkRouter,
+            fn_constructor_kwargs={
+                "rules_ref": self.rules_ref,
+                "allowed_domains": self.allowed,
+                "frontier_shards": self.frontier.shards,
+            },
+            concurrency=self.fetcher_concurrency,
+            batch_size=self.batch_size,
+            batch_format="pyarrow",
+            num_cpus=0.5,
+        ).take_all()  # tiny per-batch count rows
+
+        stat = {
+            "round": rnd,
+            "scheduled": n,
+            "fetched": int(sum(r["fetched"] for r in summaries)),
+            "missing": int(sum(r["missing"] for r in summaries)),
+            "links": int(sum(r["links"] for r in summaries)),
+            "candidates": int(sum(r["candidates"] for r in summaries)),
+        }
+        self.round_stats.append(stat)
+        self._checkpoint(rnd)
+        return stat
+
+    def _checkpoint(self, rnd: int) -> None:
+        fdir = os.path.join(self.checkpoint_dir, "frontier")
+        os.makedirs(fdir, exist_ok=True)
+        with open(os.path.join(fdir, f"round={rnd}.pkl"), "wb") as f:
+            pickle.dump(self.frontier.dump_all(), f)
+        manifest = {
+            "run_id": self.run_id,
+            "num_shards": self.num_shards,
+            "next_round": rnd + 1,
+            "global_seq": self.global_seq,
+            "max_fetch_time": self.max_fetch_time,
+            "round_stats": self.round_stats,
+        }
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path())  # atomic "applied or not"
+
+    # ------------------------------------------------------------- resume
+    def resume(self) -> int:
+        """Restore state from the checkpoint; return the next round no."""
+        with open(self._manifest_path()) as f:
+            manifest = json.load(f)
+        assert manifest["num_shards"] == self.num_shards
+        self.global_seq = manifest["global_seq"]
+        self.max_fetch_time = manifest["max_fetch_time"]
+        self.round_stats = manifest["round_stats"]
+        last_round = manifest["next_round"] - 1
+        with open(
+            os.path.join(
+                self.checkpoint_dir, "frontier", f"round={last_round}.pkl"
+            ),
+            "rb",
+        ) as f:
+            self.frontier.restore_all(pickle.load(f))
+        # replay the seen-set delta (scheduled URLs) from crawl_order logs
+        for r in range(last_round + 1):
+            tbl = pq.read_table(
+                os.path.join(self._round_dir(r), "crawl_order.parquet"),
+                columns=["url_sha1", "canon_url", "host_hash"],
+            )
+            self.seen.restore_all(
+                tbl.column("url_sha1").to_pylist(),
+                tbl.column("canon_url").to_pylist(),
+                tbl.column("host_hash").to_numpy(zero_copy_only=False),
+            )
+        self.next_round = last_round + 1
+        return self.next_round
+
+    # ---------------------------------------------------------------- run
+    def run(self, max_rounds: int | None = None, seed: bool = True) -> dict:
+        if seed:
+            self.seed()
+        rnd = self.next_round
+        while max_rounds is None or rnd < max_rounds:
+            stat = self.run_round(rnd)
+            if stat is None:
+                break
+            rnd += 1
+        self.next_round = rnd
+        return {
+            "rounds": len(self.round_stats),
+            "scheduled": self.global_seq,
+            "stats": self.round_stats,
+        }
+
+    # ----------------------------------------------------------- outputs
+    @property
+    def close_time(self) -> float:
+        return float(int(self.max_fetch_time) + 1)
+
+    def crawl_order(self) -> pa.Table:
+        """(seq, url, host, round) over all rounds, seq-ordered."""
+        parts = [
+            pq.read_table(
+                os.path.join(self._round_dir(r), "crawl_order.parquet")
+            )
+            for r in range(self.next_round)
+            if os.path.exists(
+                os.path.join(self._round_dir(r), "crawl_order.parquet")
+            )
+        ]
+        if not parts:
+            return pa.table(
+                {"seq": pa.array([], pa.int64()),
+                 "url": pa.array([], pa.string()),
+                 "host": pa.array([], pa.string()),
+                 "round": pa.array([], pa.int32())}
+            )
+        full = pa.concat_tables(parts).sort_by("seq")
+        return pa.table(
+            {
+                "seq": full.column("seq"),
+                "url": full.column("canon_url"),
+                "host": full.column("host"),
+                "round": full.column("round"),
+            }
+        )
+
+    def seen_table(self) -> pa.Table:
+        """(url_sha1, canon_url) — the final URL-seen set."""
+        keys, urls = self.seen.snapshot_all()
+        return pa.table(
+            {
+                "url_sha1": pa.array(keys, pa.binary(20)),
+                "canon_url": pa.array(urls, pa.string()),
+            }
+        )
+
+    def docs_dataset(self) -> ray.data.Dataset:
+        """All fetched docs as a streaming Dataset (doc_id, spans, seq)."""
+        import glob
+
+        files = [
+            f
+            for r in range(self.next_round)
+            if os.path.isdir(self._docs_dir(r))
+            for f in sorted(
+                glob.glob(os.path.join(self._docs_dir(r), "*.parquet"))
+            )
+        ]
+        ds = ray.data.read_parquet(
+            files, columns=["canon_url", "seq", "spans", "fetch_status"]
+        )
+
+        def _project(t: pa.Table) -> pa.Table:
+            f = t.filter(pc.equal(t["fetch_status"], "fetched"))
+            return pa.table(
+                {"doc_id": f["canon_url"], "seq": f["seq"],
+                 "spans": f["spans"]}
+            )
+
+        return ds.map_batches(_project, batch_format="pyarrow")
+
+    def finalize_tables(self) -> dict[str, pa.Table]:
+        """Build the relational outputs from checkpointed docs.
+
+        Ray-Data jobs: extraction = map_batches; upsert/dedup = keyed
+        groupby (the A1/A2/J1 shuffles of SURVEY.md §2.5, keys per
+        §7.4); all results are small relative to the doc payload.
+        """
+        docs = self.docs_dataset()
+        close_us = int(self.close_time * 1_000_000)
+
+        # ---- lists: profile sections → last-writer-wins upsert by list_id
+        def lists_stage(t: pa.Table) -> pa.Table:
+            out = extract_profile_sections(t)
+            if out.num_rows == 0:
+                return pa.table(
+                    {"list_id": pa.array([], pa.int64()),
+                     "title": pa.array([], pa.string()),
+                     "url": pa.array([], pa.string()),
+                     "user_profile": pa.array([], pa.string()),
+                     "seq": pa.array([], pa.int64())}
+                )
+            seq_map = {
+                d: s
+                for d, s in zip(
+                    t.column("doc_id").to_pylist(),
+                    t.column("seq").to_pylist(),
+                )
+            }
+            profiles = [
+                u.split("/")[3] if len(u.split("/")) > 3 else ""
+                for u in out.column("src_doc_id").to_pylist()
+            ]
+            seqs = [seq_map[d] for d in out.column("src_doc_id").to_pylist()]
+            return pa.table(
+                {
+                    "list_id": out.column("list_id"),
+                    "title": out.column("title"),
+                    "url": out.column("url"),
+                    "user_profile": pa.array(profiles, pa.string()),
+                    "seq": pa.array(seqs, pa.int64()),
+                }
+            )
+
+        import pandas as pd
+
+        def last_writer(g: pd.DataFrame) -> pd.DataFrame:
+            return g.sort_values("seq").tail(1)
+
+        lists_tbl = (
+            docs.map_batches(lists_stage, batch_format="pyarrow")
+            .groupby("list_id")
+            .map_groups(last_writer, batch_format="pandas")
+            .to_pandas()
+        )
+        lists_tbl = lists_tbl.sort_values("list_id").reset_index(drop=True)
+        lists_out = pa.table(
+            {
+                "list_id": pa.array(lists_tbl["list_id"], pa.int64()),
+                "title": pa.array(lists_tbl["title"], pa.string()),
+                "url": pa.array(lists_tbl["url"], pa.string()),
+                "user_profile": pa.array(
+                    lists_tbl["user_profile"], pa.string()
+                ),
+                "scrape_status": pa.array(
+                    ["completed"] * len(lists_tbl), pa.string()
+                ),
+                "scraped_at": pa.array(
+                    [close_us] * len(lists_tbl), pa.timestamp("us")
+                ),
+            }
+        )
+
+        # ---- junction + titles: list-page title links in document order
+        allowed = self.allowed
+
+        def title_links_stage(t: pa.Table) -> pa.Table:
+            links = extract_title_links(t)
+            if links.num_rows == 0:
+                return pa.table(
+                    {"list_id": pa.array([], pa.int64()),
+                     "title_id": pa.array([], pa.int64()),
+                     "title": pa.array([], pa.string()),
+                     "url": pa.array([], pa.string()),
+                     "position": pa.array([], pa.int32()),
+                     "ok": pa.array([], pa.int64())}
+                )
+            cols = canonicalize_batch(
+                links.column("href").to_pylist(),
+                links.column("src_doc_id").to_pylist(),
+            )
+            keep = offsite_mask(cols["host"], allowed)
+            tids = ids_from_url_tail(links.column("href")).to_numpy(
+                zero_copy_only=False
+            )
+            keep &= ~pa.compute.is_null(
+                ids_from_url_tail(links.column("href"))
+            ).to_numpy(zero_copy_only=False)
+            sub = links.filter(pa.array(keep))
+            canon = [c for c, k in zip(cols["canon_url"], keep) if k]
+            sub_tids = ids_from_url_tail(sub.column("href"))
+            ranked = rank_positions(sub, group_col="src_doc_id")
+            seq_map = {
+                d: s
+                for d, s in zip(
+                    t.column("doc_id").to_pylist(),
+                    t.column("seq").to_pylist(),
+                )
+            }
+            seqs = np.array(
+                [seq_map[d] for d in ranked.column("src_doc_id").to_pylist()],
+                dtype=np.int64,
+            )
+            offs = ranked.column("offset").to_numpy(zero_copy_only=False)
+            ok = (seqs << OK_SHIFT) | np.minimum(
+                offs.astype(np.int64), (1 << OK_SHIFT) - 1
+            )
+            return pa.table(
+                {
+                    "list_id": ranked.column("list_id"),
+                    "title_id": sub_tids,
+                    "title": ranked.column("anchor_text"),
+                    "url": pa.array(canon, pa.string()),
+                    "position": ranked.column("position"),
+                    "ok": pa.array(ok, pa.int64()),
+                }
+            )
+
+        tl = docs.map_batches(title_links_stage, batch_format="pyarrow")
+        tl_mat = tl.materialize()
+
+        from ray.data.aggregate import Min
+
+        junction_pdf = (
+            tl_mat.groupby(["list_id", "title_id"])
+            .aggregate(Min("position", alias_name="position"))
+            .to_pandas()
+            .sort_values(["list_id", "title_id"])
+            .reset_index(drop=True)
+        )
+        junction_out = pa.table(
+            {
+                "list_id": pa.array(junction_pdf["list_id"], pa.int64()),
+                "title_id": pa.array(junction_pdf["title_id"], pa.int64()),
+                "position": pa.array(junction_pdf["position"], pa.int32()),
+            }
+        )
+
+        def first_seen(g: pd.DataFrame) -> pd.DataFrame:
+            return g.sort_values("ok").head(1)
+
+        titles_pdf = (
+            tl_mat.groupby("title_id")
+            .map_groups(first_seen, batch_format="pandas")
+            .to_pandas()
+            .sort_values("title_id")
+            .reset_index(drop=True)
+        )
+        titles_out = pa.table(
+            {
+                "title_id": pa.array(titles_pdf["title_id"], pa.int64()),
+                "title": pa.array(titles_pdf["title"], pa.string()),
+                "url": pa.array(titles_pdf["url"], pa.string()),
+                "scrape_status": pa.array(
+                    ["pending"] * len(titles_pdf), pa.string()
+                ),
+            }
+        )
+
+        return {
+            "lists": lists_out,
+            "junction": junction_out,
+            "titles": titles_out,
+        }

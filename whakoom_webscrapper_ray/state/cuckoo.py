@@ -1,0 +1,100 @@
+"""From-scratch numpy-backed cuckoo filter for the URL-seen fast path.
+
+Replaces the reference's three dedup layers — in-memory ``processed_*``
+sets (/root/reference/whakoom_webscrapper/pipelines.py:32-34), SQLite
+UNIQUE constraints (migrations/001_initial_schema.sql:4,19,39,47) and
+Scrapy's SHA-1 request-fingerprint dupefilter (settings.py:139) — with
+an approximate-membership structure sized for 10^10 keys sharded across
+actors (SURVEY.md §7.5): 4-slot buckets, 16-bit fingerprints ≈ 2.3
+bytes/key at 95% load, ~0.012% false-positive rate.
+
+Keys are 20-byte SHA-1 digests; fingerprint and bucket indices are
+carved directly out of the digest (no extra hashing).  The filter is
+the fast path only — each :class:`~..state.seen.SeenShard` backs it
+with an exact key set, so engine results are exact and the filter's FP
+rate is asserted separately in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MUL = 0x5BD1E995  # Murmur-ish odd multiplier for the partial-key hash
+
+
+class CuckooFilter:
+    """Partial-key cuckoo filter (Fan et al., CoNEXT'14, public paper)."""
+
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, capacity: int, seed: int = 42) -> None:
+        # Buckets is the next power of two fitting capacity at ~95% load.
+        need = max(16, int(capacity / (self.SLOTS * 0.95)))
+        nb = 1
+        while nb < need:
+            nb <<= 1
+        self.num_buckets = nb
+        self.mask = nb - 1
+        self.table = np.zeros((nb, self.SLOTS), dtype=np.uint16)
+        self.count = 0
+        self._rng = np.random.Generator(np.random.PCG64(seed))
+
+    # -- key carving ------------------------------------------------------
+    def _parts(self, key: bytes) -> tuple[int, int, int]:
+        fp = int.from_bytes(key[0:2], "big") | 1  # nonzero fingerprint
+        i1 = int.from_bytes(key[4:12], "big") & self.mask
+        i2 = i1 ^ ((fp * _MUL) & self.mask)
+        return fp, i1, i2
+
+    def _alt(self, i: int, fp: int) -> int:
+        return i ^ ((fp * _MUL) & self.mask)
+
+    # -- ops --------------------------------------------------------------
+    def insert(self, key: bytes) -> bool:
+        fp, i1, i2 = self._parts(key)
+        for i in (i1, i2):
+            row = self.table[i]
+            empty = np.flatnonzero(row == 0)
+            if empty.size:
+                row[empty[0]] = fp
+                self.count += 1
+                return True
+        # evict loop
+        i = i1 if self._rng.integers(0, 2) else i2
+        cur = fp
+        for _ in range(self.MAX_KICKS):
+            slot = int(self._rng.integers(0, self.SLOTS))
+            cur, self.table[i, slot] = int(self.table[i, slot]), cur
+            i = self._alt(i, cur)
+            row = self.table[i]
+            empty = np.flatnonzero(row == 0)
+            if empty.size:
+                row[empty[0]] = cur
+                self.count += 1
+                return True
+        return False  # table full — caller should have sized capacity
+
+    def contains(self, key: bytes) -> bool:
+        fp, i1, i2 = self._parts(key)
+        return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
+
+    def contains_batch(self, keys: list[bytes]) -> np.ndarray:
+        """Vectorized membership probe for a batch of SHA-1 keys."""
+        n = len(keys)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        raw = np.frombuffer(b"".join(keys), dtype=np.uint8).reshape(n, 20)
+        fp = ((raw[:, 0].astype(np.uint32) << 8) | raw[:, 1]) | 1
+        i1 = np.zeros(n, dtype=np.uint64)
+        for b in range(4, 12):
+            i1 = (i1 << np.uint64(8)) | raw[:, b].astype(np.uint64)
+        i1 = (i1 & np.uint64(self.mask)).astype(np.int64)
+        i2 = i1 ^ ((fp.astype(np.int64) * _MUL) & self.mask)
+        hit1 = (self.table[i1] == fp[:, None].astype(np.uint16)).any(axis=1)
+        hit2 = (self.table[i2] == fp[:, None].astype(np.uint16)).any(axis=1)
+        return hit1 | hit2
+
+    @property
+    def load_factor(self) -> float:
+        return self.count / (self.num_buckets * self.SLOTS)
