@@ -1,0 +1,195 @@
+"""Approximate-nearest-neighbor search over the ``embeddings`` table.
+
+- ``ann_topk``: brute-force cosine top-k — broadcast the (tiny,
+  normalized) query matrix once via ``ray.put``; every batch does one
+  float64 matmul and emits only its LOCAL top-k per query (the
+  pruning combiner), then a small groupby merges per-query top-k.
+  Shuffled rows per query = k × num_blocks, never the corpus.
+- ``ann_ivf``: IVF-bucketed variant (the scale path): deterministic
+  centroids via k-means on a fixed sample, vectors partitioned by
+  nearest centroid, queries probe the ``nprobe`` nearest buckets only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from .common import read
+
+
+def _load_queries(sf_dir: str, num_queries: int):
+    """First ``num_queries`` vectors by vec_id — the fixed query set."""
+    import pyarrow.parquet as pq
+
+    from .common import table_path
+
+    t = pq.read_table(
+        table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    t = t.sort_by("vec_id").slice(0, num_queries)
+    qids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    qmat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    return qids, qmat
+
+
+class _TopKScorer:
+    """Per-batch local top-k against the broadcast query matrix."""
+
+    def __init__(self, q_ref, k: int) -> None:
+        self.qids, self.qmat = ray.get(q_ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        mat = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = self.qmat @ mat.T                      # (Q, batch)
+        k = min(self.k, sims.shape[1])
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(self.qids)):
+            # local top-k, ties broken by vec_id ascending
+            order = np.lexsort((ids, -sims[qi]))[:k]
+            out_q.append(np.full(k, self.qids[qi], dtype=np.int64))
+            out_n.append(ids[order])
+            out_s.append(sims[qi][order])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "sim": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+
+def _merge_topk(k: int):
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["sim", "neighbor_id"], ascending=[False, True]
+        ).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return merge
+
+
+def ann_topk(sf_dir: str, k: int = 10, num_queries: int = 8
+             ) -> ray.data.Dataset:
+    """(query_id, neighbor_id, rank) — exact cosine top-k baseline."""
+    q_ref = ray.put(_load_queries(sf_dir, num_queries))
+    return (
+        read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(
+            _TopKScorer, fn_constructor_kwargs={"q_ref": q_ref, "k": k},
+            concurrency=(1, 8), batch_format="pyarrow",
+        )
+        .groupby("query_id")
+        .map_groups(_merge_topk(k), batch_format="pandas")
+    )
+
+
+def oracle_ann_topk(k: int = 10, num_queries: int = 8) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings ORDER BY vec_id LIMIT {num_queries}
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q CROSS JOIN embeddings e
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+       ) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+# ----------------------------------------------------------------- IVF
+def _kmeans(mat: np.ndarray, n_centroids: int, iters: int = 5,
+            seed: int = 42) -> np.ndarray:
+    """Tiny deterministic Lloyd's k-means on normalized vectors."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cent = mat[rng.choice(len(mat), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(n_centroids):
+            sel = mat[assign == c]
+            if len(sel):
+                v = sel.mean(axis=0)
+                cent[c] = v / np.linalg.norm(v)
+    return cent
+
+
+def ann_ivf(sf_dir: str, k: int = 10, num_queries: int = 8,
+            n_centroids: int = 16, nprobe: int = 4) -> ray.data.Dataset:
+    """IVF top-k: probe only the ``nprobe`` nearest buckets per query.
+
+    The bucket assignment is one extra map_batches column; at 100 TB
+    the buckets are the partitioning key of the stored index, so a
+    query touches nprobe/n_centroids of the data.  Recall vs the
+    brute-force baseline is asserted in tests.
+    """
+    qids, qmat = _load_queries(sf_dir, num_queries)
+
+    emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    sample = pa.concat_tables([ray.get(r) for r in emb.to_arrow_refs()])
+    mat = np.asarray(sample["embedding"].to_pylist(), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cent = _kmeans(mat, min(n_centroids, len(mat)))
+
+    probe = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
+    probe_sets = [frozenset(row.tolist()) for row in probe]
+    state_ref = ray.put((qids, qmat, cent, probe_sets))
+
+    class IVFScorer:
+        def __init__(self, state_ref, k: int) -> None:
+            self.qids, self.qmat, self.cent, self.probe = ray.get(state_ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+            m = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            bucket = np.argmax(m @ self.cent.T, axis=1)
+            sims = self.qmat @ m.T
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(self.qids)):
+                mask = np.isin(bucket, list(self.probe[qi]))
+                if not mask.any():
+                    continue
+                cand_ids = ids[mask]
+                cand_sims = sims[qi][mask]
+                kk = min(self.k, len(cand_ids))
+                order = np.lexsort((cand_ids, -cand_sims))[:kk]
+                out_q.append(np.full(kk, self.qids[qi], dtype=np.int64))
+                out_n.append(cand_ids[order])
+                out_s.append(cand_sims[order])
+            if not out_q:
+                return pa.table(
+                    {"query_id": pa.array([], pa.int64()),
+                     "neighbor_id": pa.array([], pa.int64()),
+                     "sim": pa.array([], pa.float64())}
+                )
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                    "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                    "sim": pa.array(np.concatenate(out_s), pa.float64()),
+                }
+            )
+
+    return (
+        emb.map_batches(
+            IVFScorer, fn_constructor_kwargs={"state_ref": state_ref, "k": k},
+            concurrency=(1, 8), batch_format="pyarrow",
+        )
+        .groupby("query_id")
+        .map_groups(_merge_topk(k), batch_format="pandas")
+    )

@@ -1,0 +1,488 @@
+"""Relational operators over the driver testdata (TPC-H-ish tables).
+
+These exercise the engine's general operator vocabulary — the
+distributed generalizations of the reference's SQL layer
+(whakoom_webscrapper/queries/lists.sql, sqlmanager.py): filter /
+project (J4), groupby aggregate with map-side partials (A4), broadcast
+joins (J5), anti-joins (J3), last-writer-wins upsert merge (A2,
+queries/lists.sql:1-9), junction min-position (J1,
+001_initial_schema.sql:31-43), sort/limit (O1), and windowed /
+sessionized event streams (the streaming-window custom operator).
+
+Exactness discipline: every currency aggregate goes through
+``floor(x * 100) → int64`` cents on BOTH sides (Ray and oracle SQL) so
+sums are order-independent and hash-comparable; see common.cents.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from .common import read
+
+
+def _floor_cents(arr) -> pa.Array:
+    return pc.cast(pc.floor(pc.multiply(arr, 100.0)), pa.int64())
+
+
+# ------------------------------------------------- filter / project
+def docs_filter_project(sf_dir: str) -> ray.data.Dataset:
+    """English documents, 2-column projection (M-family, J4)."""
+    ds = read(sf_dir, "documents",
+              columns=["doc_id", "lang", "source", "n_chars"])
+    return ds.filter(
+        expr="lang == 'en'"
+    ).select_columns(["doc_id", "source", "n_chars"])
+
+
+ORACLE_DOCS_FILTER = """
+SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'
+"""
+
+
+# ------------------------------------------------- pricing summary (A4)
+def pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1-shaped aggregate with exact integer-cents sums.
+
+    The per-batch projection computes the cents columns map-side; the
+    groupby on the 2 low-cardinality keys then moves only partial
+    aggregates (Ray Data's hash-agg combines per block before the
+    exchange).
+    """
+    import datetime
+
+    cutoff = datetime.datetime(1998, 9, 1)
+
+    def project(b: pa.Table) -> pa.Table:
+        keep = pc.less_equal(b["l_shipdate"],
+                             pa.scalar(cutoff, pa.timestamp("us")))
+        b = b.filter(keep)
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty": pc.cast(b["l_quantity"], pa.int64()),
+                "price_cents": _floor_cents(b["l_extendedprice"]),
+                "disc_cents": _floor_cents(b["l_discount"]),
+            }
+        )
+
+    return (
+        read(sf_dir, "lineitem",
+             columns=["l_returnflag", "l_linestatus", "l_quantity",
+                      "l_extendedprice", "l_discount", "l_shipdate"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Sum("disc_cents", alias_name="sum_disc_cents"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       CAST(sum(CAST(floor(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------- top customers (J5 + O1)
+def top_customers(sf_dir: str, n: int = 10) -> ray.data.Dataset:
+    """Revenue top-N: shuffle-aggregate orders by custkey, then enrich
+    with a broadcast of the small customer table (no shuffle join)."""
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": b["o_custkey"],
+                "price_cents": _floor_cents(b["o_totalprice"]),
+            }
+        )
+
+    agg = (
+        read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Sum("price_cents", alias_name="revenue_cents"),
+            Count(alias_name="n_orders"),
+        )
+    )
+
+    cust = pa.concat_tables(
+        [ray.get(r) for r in
+         read(sf_dir, "customer", columns=["c_custkey", "c_name"]
+              ).to_arrow_refs()]
+    )
+    name_ref = ray.put(
+        dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist()))
+    )
+
+    class Enrich:
+        def __init__(self, name_ref) -> None:
+            self.names = ray.get(name_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys = b["o_custkey"].to_pylist()
+            return b.append_column(
+                "c_name",
+                pa.array([self.names.get(k) for k in keys], pa.string()),
+            )
+
+    enriched = agg.map_batches(
+        Enrich, fn_constructor_kwargs={"name_ref": name_ref},
+        concurrency=(1, 4), batch_format="pyarrow",
+    )
+    out = enriched.sort(["revenue_cents", "o_custkey"],
+                        descending=[True, False]).limit(n)
+    return out.select_columns(
+        ["o_custkey", "c_name", "revenue_cents", "n_orders"]
+    )
+
+
+ORACLE_TOP_CUSTOMERS = """
+SELECT o_custkey, c_name, revenue_cents, n_orders
+FROM (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+         count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+) r JOIN customer ON c_custkey = o_custkey
+ORDER BY revenue_cents DESC, o_custkey ASC
+LIMIT 10
+"""
+
+
+# ------------------------------------- nation/region rollup (J5 chain)
+def customer_rollup(sf_dir: str) -> ray.data.Dataset:
+    """customer ⋈ nation ⋈ region via two broadcast lookups, then agg."""
+    nation = pa.concat_tables(
+        [ray.get(r) for r in read(sf_dir, "nation").to_arrow_refs()]
+    )
+    region = pa.concat_tables(
+        [ray.get(r) for r in read(sf_dir, "region").to_arrow_refs()]
+    )
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(),
+                   nation["n_regionkey"].to_pylist()))
+    n2name = dict(zip(nation["n_nationkey"].to_pylist(),
+                      nation["n_name"].to_pylist()))
+    r2name = dict(zip(region["r_regionkey"].to_pylist(),
+                      region["r_name"].to_pylist()))
+    lookup_ref = ray.put((n2r, n2name, r2name))
+
+    class Tag:
+        def __init__(self, lookup_ref) -> None:
+            self.n2r, self.n2name, self.r2name = ray.get(lookup_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            nk = b["c_nationkey"].to_pylist()
+            return pa.table(
+                {
+                    "region_name": pa.array(
+                        [self.r2name[self.n2r[k]] for k in nk], pa.string()
+                    ),
+                    "nation_name": pa.array(
+                        [self.n2name[k] for k in nk], pa.string()
+                    ),
+                    "acctbal_cents": _floor_cents(b["c_acctbal"]),
+                }
+            )
+
+    return (
+        read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+        .map_batches(Tag, fn_constructor_kwargs={"lookup_ref": lookup_ref},
+                     concurrency=(1, 4), batch_format="pyarrow")
+        .groupby(["region_name", "nation_name"])
+        .aggregate(
+            Count(alias_name="n_customers"),
+            Sum("acctbal_cents", alias_name="acctbal_cents_sum"),
+        )
+    )
+
+
+ORACLE_CUSTOMER_ROLLUP = """
+SELECT r_name AS region_name, n_name AS nation_name,
+       count(*) AS n_customers,
+       CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents_sum
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# ------------------------------------------------ orders by month (F4)
+def orders_by_month(sf_dir: str) -> ray.data.Dataset:
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "month": pc.strftime(b["o_orderdate"], format="%Y-%m"),
+                "price_cents": _floor_cents(b["o_totalprice"]),
+            }
+        )
+
+    return (
+        read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("price_cents", alias_name="total_cents"),
+        )
+    )
+
+
+ORACLE_ORDERS_BY_MONTH = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY 1
+"""
+
+
+# --------------------------------------------- junction min-position (J1)
+def junction_min_position(sf_dir: str) -> ray.data.Dataset:
+    """groupby (orderkey, partkey) min(linenumber) — the exact shape of
+    the reference's lists_titles junction UNIQUE + min(position)
+    aggregate (001_initial_schema.sql:31-43, SURVEY.md J1)."""
+    ds = (
+        read(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_partkey", "l_linenumber"])
+        .groupby(["l_orderkey", "l_partkey"])
+        .aggregate(Min("l_linenumber", alias_name="position"))
+    )
+
+    def widen(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.schema.get_field_index("position"), "position",
+            pc.cast(b["position"], pa.int64()),
+        )
+
+    return ds.map_batches(widen, batch_format="pyarrow")
+
+
+ORACLE_JUNCTION_MIN = """
+SELECT l_orderkey, l_partkey,
+       CAST(min(l_linenumber) AS BIGINT) AS position
+FROM lineitem
+GROUP BY l_orderkey, l_partkey
+"""
+
+
+# ------------------------------------------------------- anti-join (J3)
+def customers_no_big_orders(sf_dir: str, cents_threshold: int = 45_000_000
+                            ) -> ray.data.Dataset:
+    """Customers with no order above the threshold — the seen-set
+    anti-join pattern: the small 'seen' key set is collected once,
+    broadcast via ``ray.put``, and probed inside map_batches (exactly
+    how candidate URLs probe the crawl seen-set, SURVEY.md J3)."""
+    def big_keys(b: pa.Table) -> pa.Table:
+        keep = pc.greater(_floor_cents(b["o_totalprice"]),
+                          pa.scalar(cents_threshold, pa.int64()))
+        return b.filter(keep).select(["o_custkey"])
+
+    big = (
+        read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(big_keys, batch_format="pyarrow")
+        .unique("o_custkey")
+    )
+    seen_ref = ray.put(frozenset(big))
+
+    class AntiProbe:
+        def __init__(self, seen_ref) -> None:
+            self.seen = ray.get(seen_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys = b["c_custkey"].to_pylist()
+            mask = pa.array([k not in self.seen for k in keys])
+            return b.filter(mask)
+
+    return read(sf_dir, "customer", columns=["c_custkey", "c_name"]
+                ).map_batches(
+        AntiProbe, fn_constructor_kwargs={"seen_ref": seen_ref},
+        concurrency=(1, 4), batch_format="pyarrow",
+    )
+
+
+ORACLE_CUSTOMERS_NO_BIG = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND CAST(floor(o.o_totalprice * 100) AS BIGINT) > 45000000
+)
+"""
+
+
+# ------------------------------------------------------ sort/limit (O1)
+def top_parts(sf_dir: str, n: int = 20) -> ray.data.Dataset:
+    def project(b: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(b["p_size"], pa.scalar(40, pa.int32()))
+        b = b.filter(keep)
+        return pa.table(
+            {
+                "p_partkey": b["p_partkey"],
+                "p_name": b["p_name"],
+                "price_cents": _floor_cents(b["p_retailprice"]),
+            }
+        )
+
+    return (
+        read(sf_dir, "part", columns=["p_partkey", "p_name", "p_size",
+                                      "p_retailprice"])
+        .map_batches(project, batch_format="pyarrow")
+        .sort(["price_cents", "p_partkey"], descending=[True, False])
+        .limit(n)
+    )
+
+
+ORACLE_TOP_PARTS = """
+SELECT p_partkey, p_name,
+       CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents
+FROM part WHERE p_size >= 40
+ORDER BY price_cents DESC, p_partkey ASC
+LIMIT 20
+"""
+
+
+# ------------------------------------------------ events hourly window
+def events_hourly(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling 1-hour window count/sum per event type."""
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": pc.strftime(b["ts"], format="%Y-%m-%d %H:00"),
+                "event_type": b["event_type"],
+                "value_cents": _floor_cents(b["value"]),
+            }
+        )
+
+    return (
+        read(sf_dir, "events", columns=["ts", "event_type", "value"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_cents", alias_name="value_cents_sum"),
+        )
+    )
+
+
+ORACLE_EVENTS_HOURLY = """
+SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------- sessionize
+SESSION_GAP_S = 1800
+
+
+def sessionize(sf_dir: str) -> ray.data.Dataset:
+    """30-min-gap sessionization — the streaming-window custom operator.
+
+    Partition by ``user_id`` (one shuffle), then a per-group ordered
+    scan assigns session ids.  At 100 TB the same shape holds: the
+    shuffle key is the session/entity key and each group is processed
+    independently; skewed users would be range-split by time with
+    boundary-session stitching.
+    """
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff().dt.total_seconds().fillna(np.inf)
+        session = (gaps > SESSION_GAP_S).cumsum().astype(np.int64)
+        g = g.assign(session_id=session)
+        out = (
+            g.groupby("session_id", as_index=False)
+            .agg(
+                n_events=("event_id", "size"),
+                start_ts=("ts", "min"),
+                end_ts=("ts", "max"),
+            )
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return (
+        read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+        .groupby("user_id")
+        .map_groups(assign, batch_format="pandas")
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH x AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+                   OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), y AS (
+  SELECT user_id, event_id, ts,
+         CAST(sum(new_s) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+           AS session_id
+  FROM x
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts
+FROM y
+GROUP BY user_id, session_id
+"""
+
+
+# ------------------------------------------- last-writer-wins (A2/X5)
+def latest_user_state(sf_dir: str) -> ray.data.Dataset:
+    """Per-user last event — the upsert/last-writer-wins merge of the
+    reference (queries/lists.sql:1-9): groupby key, keep max by the
+    total order (ts, event_id)."""
+    def lww(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).tail(1)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].values,
+                "last_event_type": g["event_type"].values,
+                "last_value_cents": np.floor(
+                    g["value"].values * 100
+                ).astype(np.int64),
+                "last_ts": g["ts"].values,
+            }
+        )
+
+    return (
+        read(sf_dir, "events",
+             columns=["event_id", "ts", "user_id", "event_type", "value"])
+        .groupby("user_id")
+        .map_groups(lww, batch_format="pandas")
+    )
+
+
+ORACLE_LATEST_USER_STATE = """
+SELECT user_id,
+       event_type AS last_event_type,
+       CAST(floor(value * 100) AS BIGINT) AS last_value_cents,
+       ts AS last_ts
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+) = 1
+"""
