@@ -122,42 +122,156 @@ class LinkRouter:
         keep = offsite_mask(cols["host"], self.allowed)
         keep &= self.rules.allowed_mask(cols["host"], cols["canon_url"])
 
-        # partial dedup: min-ok per sha within the batch (combiner)
-        best: dict[bytes, int] = {}
-        order = np.argsort(ok, kind="stable")
-        chosen = []
-        for j in order:
-            if not keep[j]:
-                continue
-            sha = cols["url_sha1"][j]
-            if sha not in best:
-                best[sha] = j
-                chosen.append(j)
-        if not chosen:
-            return pa.table(summary)
-        chosen = np.array(sorted(chosen))
+        # partial dedup: min-ok per sha within the batch (combiner).
+        # Vectorized first-occurrence: order survivors by ok (stable),
+        # then hash-based duplicate marking over the full 20-byte sha.
+        import pandas as pd
 
+        keep_idx = np.flatnonzero(keep)
+        if keep_idx.size == 0:
+            return pa.table(summary)
+        order = keep_idx[np.argsort(ok[keep_idx], kind="stable")]
+        dup = pd.Series(
+            [cols["url_sha1"][j] for j in order], dtype=object
+        ).duplicated().to_numpy()
+        chosen = np.sort(order[~dup])
+        if chosen.size == 0:
+            return pa.table(summary)
+
+        # one Arrow block of survivors, routed per shard via take —
+        # columnar end-to-end, no python list marshalling in the RPC
+        cand_tbl = pa.table(
+            {
+                "canon_url": pa.array(
+                    [cols["canon_url"][i] for i in chosen], pa.string()
+                ),
+                "url_sha1": pa.array(
+                    [cols["url_sha1"][i] for i in chosen], pa.binary(20)
+                ),
+                "host": pa.array(
+                    [cols["host"][i] for i in chosen], pa.string()
+                ),
+                "host_hash": pa.array(
+                    cols["host_hash"][chosen], pa.uint64()
+                ),
+                "priority": pa.array(
+                    np.zeros(chosen.size, dtype=np.int32), pa.int32()
+                ),
+                "ok": pa.array(ok[chosen], pa.int64()),
+            }
+        )
         shard_of = (
             cols["host_hash"][chosen] % np.uint64(self.num_shards)
         ).astype(np.int64)
         futs = []
         for s in range(self.num_shards):
-            sel = chosen[np.flatnonzero(shard_of == s)]
+            sel = np.flatnonzero(shard_of == s)
             if sel.size == 0:
                 continue
             futs.append(
-                self.shards[s].enqueue.remote(
-                    [cols["canon_url"][i] for i in sel],
-                    [cols["url_sha1"][i] for i in sel],
-                    [cols["host"][i] for i in sel],
-                    [int(cols["host_hash"][i]) for i in sel],
-                    [0] * sel.size,
-                    [int(ok[i]) for i in sel],
+                self.shards[s].enqueue_block.remote(
+                    cand_tbl.take(pa.array(sel, pa.int64()))
                 )
             )
         ray.get(futs)  # enqueues must land before the next poll
         summary["candidates"] = [int(chosen.size)]
         return pa.table(summary)
+
+
+# Per-worker state cache for task-based round stages.  Ray Data actor
+# pools are torn down when their Dataset finishes — in a driver ROUND
+# LOOP that means paying pool startup every round.  Plain tasks run in
+# long-lived worker processes that persist across Datasets, so
+# memoizing the broadcast-derived state per worker gives actor-pool
+# semantics (build once, reuse per batch) amortized across ALL rounds.
+_WORKER_STATE: dict = {}
+
+
+def _worker_fetcher(pages_ref) -> SyntheticWebFetcher:
+    key = ("fetcher", pages_ref.hex())
+    if key not in _WORKER_STATE:
+        _WORKER_STATE[key] = SyntheticWebFetcher(pages_ref)
+    return _WORKER_STATE[key]
+
+
+def _fetch_batch(batch: pa.Table, pages_parts=None) -> pa.Table:
+    """Shard-run fetch: resolve each contiguous host-shard run of the
+    batch against that shard's page partition only.
+
+    run_round sorts candidates by shard before slicing, so a batch is
+    one shard (common case) or a handful of contiguous runs at slice
+    boundaries — each run is resolved with a small per-partition
+    ``index_in`` value set instead of the whole web.
+    """
+    num_shards = len(pages_parts)
+    hh = batch.column("host_hash").to_numpy(zero_copy_only=False)
+    shard = (hh % np.uint64(num_shards)).astype(np.int64)
+    change = np.flatnonzero(np.r_[True, shard[1:] != shard[:-1]])
+    if change.size == 1:
+        return _worker_fetcher(pages_parts[shard[0]])(batch)
+    bounds = np.r_[change, len(shard)]
+    outs = []
+    for b0, b1 in zip(bounds[:-1], bounds[1:]):
+        outs.append(
+            _worker_fetcher(pages_parts[shard[b0]])(
+                batch.slice(b0, b1 - b0)
+            )
+        )
+    return pa.concat_tables(outs)
+
+
+_HOST_RE = r"^[a-z][a-z0-9+.-]*://(?P<host>[^/]+)"
+
+
+def partition_pages(pages: pa.Table, num_shards: int) -> list[pa.Table]:
+    """Split the page store by host-shard (``host_hash % P``) — the ONE
+    partitioning key of the engine (SURVEY.md §7.4).  Vectorized: hosts
+    are regex-extracted in C, hashed once per UNIQUE host, mapped back
+    via index_in.  At the 10^10 design point this partitioning is the
+    on-disk layout of the page store; here it is done once at init."""
+    from ..functions.canonicalize import host_hash64
+
+    host = pc.struct_field(
+        pc.extract_regex(pages["doc_id"], _HOST_RE), "host"
+    )
+    uniq = pc.unique(
+        host.combine_chunks() if isinstance(host, pa.ChunkedArray) else host
+    )
+    hashes = np.array(
+        [host_hash64(h) for h in uniq.to_pylist()], dtype=np.uint64
+    )
+    shard_of_host = (hashes % np.uint64(num_shards)).astype(np.int64)
+    host_idx = pc.index_in(host, value_set=uniq).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    shard = shard_of_host[host_idx]
+    return [
+        pages.filter(pa.array(shard == s)) for s in range(num_shards)
+    ]
+
+
+def _worker_router(engine_key, rules_ref, allowed, shards) -> "LinkRouter":
+    key = ("router", engine_key)
+    if key not in _WORKER_STATE:
+        _WORKER_STATE[key] = LinkRouter(rules_ref, allowed, shards)
+    return _WORKER_STATE[key]
+
+
+def _route_batch(batch: pa.Table, engine_key=None, rules_ref=None,
+                 allowed=None, shards=None, docs_dir=None) -> pa.Table:
+    """Side-write the fetched docs partition, then extract + route.
+
+    The docs parquet is written per batch, named by the batch's seq
+    range — deterministic and idempotent, so a resumed round simply
+    overwrites the same files (the reference's HTTP-cache re-run
+    story, settings.py:132).
+    """
+    min_seq = int(pc.min(batch["seq"]).as_py())
+    pq.write_table(
+        batch, os.path.join(docs_dir, f"part-{min_seq:010d}.parquet")
+    )
+    router = _worker_router(engine_key, rules_ref, allowed, shards)
+    return router(batch)
 
 
 class CrawlEngine:
@@ -171,12 +285,13 @@ class CrawlEngine:
         checkpoint_dir: str,
         num_shards: int = 4,
         fetcher_concurrency=(1, 4),
-        batch_size: int = 1024,
+        batch_size: int | None = None,
         run_id: str = "run0",
     ) -> None:
         self.checkpoint_dir = checkpoint_dir
         os.makedirs(checkpoint_dir, exist_ok=True)
         self.batch_size = batch_size
+        self._cpus = max(1, int(ray.cluster_resources().get("CPU", 8)))
         self.fetcher_concurrency = fetcher_concurrency
         self.run_id = run_id
         self.num_shards = num_shards
@@ -190,13 +305,21 @@ class CrawlEngine:
         self.seen = SeenSet(num_shards)
         self.frontier = Frontier(num_shards, self.rules.delay,
                                  self.seen.shards)
-        self.pages_ref = ray.put(pages)
+        self.pages_parts = [
+            ray.put(p) for p in partition_pages(pages, num_shards)
+        ]
         self.rules_ref = ray.put(self.rules)
 
         self.global_seq = 0
         self.max_fetch_time = 0.0
         self.round_stats: list[dict] = []
         self.next_round = 0
+
+    def shutdown(self) -> None:
+        """Kill the long-lived frontier/seen actors (they outlive
+        Datasets by design and must be released explicitly)."""
+        for a in list(self.frontier.shards) + list(self.seen.shards):
+            ray.kill(a, no_restart=True)
 
     # ------------------------------------------------------------- paths
     def _round_dir(self, rnd: int) -> str:
@@ -239,7 +362,12 @@ class CrawlEngine:
 
     # -------------------------------------------------------------- round
     def run_round(self, rnd: int) -> dict | None:
+        import time as _time
+
+        _trace = os.environ.get("WKM_ROUND_TIMING")
+        _t0 = _time.perf_counter()
         cand = self.frontier.poll_round(rnd)
+        _t_poll = _time.perf_counter() - _t0
         n = cand.num_rows
         if n == 0:
             return None
@@ -255,41 +383,74 @@ class CrawlEngine:
         )
 
         os.makedirs(self._round_dir(rnd), exist_ok=True)
-        pq.write_table(
-            cand, os.path.join(self._round_dir(rnd), "crawl_order.parquet")
-        )
+        # crawl_order write overlaps the round pipeline (file IO holds
+        # no locks the pipeline needs); joined before the checkpoint
+        # manifest records the round as complete.
+        import threading
 
-        # ---- data plane: fetch → write docs (streaming, actor pool)
+        wo_thread = threading.Thread(
+            target=pq.write_table,
+            args=(cand,
+                  os.path.join(self._round_dir(rnd),
+                               "crawl_order.parquet")),
+        )
+        wo_thread.start()
+
+        # ---- data plane: ONE streaming pipeline per round.
+        # fetch → side-write docs partition → extract+route, fused: no
+        # disk barrier between fetch and extract, no per-round actor
+        # pool startup (worker-memoized broadcast state instead), docs
+        # still checkpointed per batch for resume.
+        docs_dir = self._docs_dir(rnd)
+        os.makedirs(docs_dir, exist_ok=True)
+        batch_size = self.batch_size or int(
+            np.clip(n // (4 * self._cpus), 256, 16384)
+        )
+        # shard-clustered blocks: ONE stable sort by host-shard, then
+        # contiguous zero-copy slices.  Blocks are almost always
+        # shard-pure (fetch resolves against one small page partition);
+        # slice-boundary blocks have a few contiguous runs which
+        # _fetch_batch handles.  This keeps the driver-side cost one
+        # vectorized take + ~4·cpus ray.puts, independent of shard
+        # count — per-shard filter loops were a serial driver hotspot.
+        hh = cand.column("host_hash").to_numpy(zero_copy_only=False)
+        shard = (hh % np.uint64(self.num_shards)).astype(np.int64)
+        order = np.argsort(shard, kind="stable")
+        cand_sorted = cand.take(pa.array(order, pa.int64()))
         slices = [
-            cand.slice(i, self.batch_size)
-            for i in range(0, n, self.batch_size)
+            cand_sorted.slice(i, batch_size)
+            for i in range(0, n, batch_size)
         ]
-        ds = ray.data.from_arrow(slices)
-        docs = ds.map_batches(
-            SyntheticWebFetcher,
-            fn_constructor_kwargs={"pages_ref": self.pages_ref},
-            concurrency=self.fetcher_concurrency,
-            batch_size=self.batch_size,
-            batch_format="pyarrow",
-            num_cpus=0.5,
+        _t1 = _time.perf_counter()
+        summaries = (
+            ray.data.from_arrow(slices)
+            .map_batches(
+                _fetch_batch,
+                fn_kwargs={"pages_parts": self.pages_parts},
+                batch_size=None,
+                batch_format="pyarrow",
+            )
+            .map_batches(
+                _route_batch,
+                fn_kwargs={
+                    "engine_key": self.checkpoint_dir,
+                    "rules_ref": self.rules_ref,
+                    "allowed": self.allowed,
+                    "shards": self.frontier.shards,
+                    "docs_dir": docs_dir,
+                },
+                batch_size=None,
+                batch_format="pyarrow",
+            )
+            .take_all()  # tiny per-batch count rows
         )
-        docs.write_parquet(self._docs_dir(rnd))
 
-        # ---- extract + route discovered links
-        links_ds = ray.data.read_parquet(self._docs_dir(rnd))
-        summaries = links_ds.map_batches(
-            LinkRouter,
-            fn_constructor_kwargs={
-                "rules_ref": self.rules_ref,
-                "allowed_domains": self.allowed,
-                "frontier_shards": self.frontier.shards,
-            },
-            concurrency=self.fetcher_concurrency,
-            batch_size=self.batch_size,
-            batch_format="pyarrow",
-            num_cpus=0.5,
-        ).take_all()  # tiny per-batch count rows
-
+        _t_pipe = _time.perf_counter() - _t1
+        wo_thread.join()
+        if _trace:
+            print(f"[round {rnd}] n={n} bs={batch_size} "
+                  f"poll={_t_poll:.2f} prep={_t1 - _t0 - _t_poll:.2f} "
+                  f"pipe={_t_pipe:.2f}", flush=True)
         stat = {
             "round": rnd,
             "scheduled": n,
@@ -303,10 +464,9 @@ class CrawlEngine:
         return stat
 
     def _checkpoint(self, rnd: int) -> None:
-        fdir = os.path.join(self.checkpoint_dir, "frontier")
-        os.makedirs(fdir, exist_ok=True)
-        with open(os.path.join(fdir, f"round={rnd}.pkl"), "wb") as f:
-            pickle.dump(self.frontier.dump_all(), f)
+        fdir = os.path.join(self.checkpoint_dir, "frontier",
+                            f"round={rnd}")
+        self.frontier.dump_to_dir(fdir)
         manifest = {
             "run_id": self.run_id,
             "num_shards": self.num_shards,
@@ -330,13 +490,10 @@ class CrawlEngine:
         self.max_fetch_time = manifest["max_fetch_time"]
         self.round_stats = manifest["round_stats"]
         last_round = manifest["next_round"] - 1
-        with open(
-            os.path.join(
-                self.checkpoint_dir, "frontier", f"round={last_round}.pkl"
-            ),
-            "rb",
-        ) as f:
-            self.frontier.restore_all(pickle.load(f))
+        self.frontier.restore_from_dir(
+            os.path.join(self.checkpoint_dir, "frontier",
+                         f"round={last_round}")
+        )
         # replay the seen-set delta (scheduled URLs) from crawl_order logs
         for r in range(last_round + 1):
             tbl = pq.read_table(

@@ -24,7 +24,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from .common import read
+from .common import deref, read, two_phase_agg
 
 
 def _floor_cents(arr) -> pa.Array:
@@ -73,18 +73,16 @@ def pricing_summary(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return (
-        read(sf_dir, "lineitem",
-             columns=["l_returnflag", "l_linestatus", "l_quantity",
-                      "l_extendedprice", "l_discount", "l_shipdate"])
-        .map_batches(project, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty", alias_name="sum_qty"),
-            Sum("price_cents", alias_name="sum_price_cents"),
-            Sum("disc_cents", alias_name="sum_disc_cents"),
-            Count(alias_name="count_order"),
-        )
+    projected = read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(project, batch_format="pyarrow")
+    return two_phase_agg(
+        projected, ["l_returnflag", "l_linestatus"],
+        sums={"qty": "sum_qty", "price_cents": "sum_price_cents",
+              "disc_cents": "sum_disc_cents"},
+        count_alias="count_order",
     )
 
 
@@ -122,29 +120,28 @@ def top_customers(sf_dir: str, n: int = 10) -> ray.data.Dataset:
         )
     )
 
-    cust = pa.concat_tables(
-        [ray.get(r) for r in
-         read(sf_dir, "customer", columns=["c_custkey", "c_name"]
-              ).to_arrow_refs()]
-    )
+    # Small side: read directly + broadcast ONCE via ray.put; each task
+    # dereferences the shared copy from local plasma (no per-batch ship).
+    import pyarrow.parquet as pq
+
+    from .common import table_path
+
+    cust = pq.read_table(table_path(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name"])
     name_ref = ray.put(
         dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist()))
     )
 
-    class Enrich:
-        def __init__(self, name_ref) -> None:
-            self.names = ray.get(name_ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            keys = b["o_custkey"].to_pylist()
-            return b.append_column(
-                "c_name",
-                pa.array([self.names.get(k) for k in keys], pa.string()),
-            )
+    def enrich(b: pa.Table, names=None) -> pa.Table:
+        names = deref(names)
+        keys = b["o_custkey"].to_pylist()
+        return b.append_column(
+            "c_name",
+            pa.array([names.get(k) for k in keys], pa.string()),
+        )
 
     enriched = agg.map_batches(
-        Enrich, fn_constructor_kwargs={"name_ref": name_ref},
-        concurrency=(1, 4), batch_format="pyarrow",
+        enrich, fn_kwargs={"names": name_ref}, batch_format="pyarrow",
     )
     out = enriched.sort(["revenue_cents", "o_custkey"],
                         descending=[True, False]).limit(n)
@@ -169,12 +166,12 @@ LIMIT 10
 # ------------------------------------- nation/region rollup (J5 chain)
 def customer_rollup(sf_dir: str) -> ray.data.Dataset:
     """customer ⋈ nation ⋈ region via two broadcast lookups, then agg."""
-    nation = pa.concat_tables(
-        [ray.get(r) for r in read(sf_dir, "nation").to_arrow_refs()]
-    )
-    region = pa.concat_tables(
-        [ray.get(r) for r in read(sf_dir, "region").to_arrow_refs()]
-    )
+    import pyarrow.parquet as pq
+
+    from .common import table_path
+
+    nation = pq.read_table(table_path(sf_dir, "nation"))
+    region = pq.read_table(table_path(sf_dir, "region"))
     n2r = dict(zip(nation["n_nationkey"].to_pylist(),
                    nation["n_regionkey"].to_pylist()))
     n2name = dict(zip(nation["n_nationkey"].to_pylist(),
@@ -183,34 +180,28 @@ def customer_rollup(sf_dir: str) -> ray.data.Dataset:
                       region["r_name"].to_pylist()))
     lookup_ref = ray.put((n2r, n2name, r2name))
 
-    class Tag:
-        def __init__(self, lookup_ref) -> None:
-            self.n2r, self.n2name, self.r2name = ray.get(lookup_ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            nk = b["c_nationkey"].to_pylist()
-            return pa.table(
-                {
-                    "region_name": pa.array(
-                        [self.r2name[self.n2r[k]] for k in nk], pa.string()
-                    ),
-                    "nation_name": pa.array(
-                        [self.n2name[k] for k in nk], pa.string()
-                    ),
-                    "acctbal_cents": _floor_cents(b["c_acctbal"]),
-                }
-            )
-
-    return (
-        read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
-        .map_batches(Tag, fn_constructor_kwargs={"lookup_ref": lookup_ref},
-                     concurrency=(1, 4), batch_format="pyarrow")
-        .groupby(["region_name", "nation_name"])
-        .aggregate(
-            Count(alias_name="n_customers"),
-            Sum("acctbal_cents", alias_name="acctbal_cents_sum"),
+    def tag(b: pa.Table, lookups=None) -> pa.Table:
+        n2r, n2name, r2name = deref(lookups)
+        nk = b["c_nationkey"].to_pylist()
+        return pa.table(
+            {
+                "region_name": pa.array(
+                    [r2name[n2r[k]] for k in nk], pa.string()
+                ),
+                "nation_name": pa.array(
+                    [n2name[k] for k in nk], pa.string()
+                ),
+                "acctbal_cents": _floor_cents(b["c_acctbal"]),
+            }
         )
-    )
+
+    tagged = read(
+        sf_dir, "customer", columns=["c_nationkey", "c_acctbal"]
+    ).map_batches(tag, fn_kwargs={"lookups": lookup_ref},
+                  batch_format="pyarrow")
+    return two_phase_agg(tagged, ["region_name", "nation_name"],
+                         sums={"acctbal_cents": "acctbal_cents_sum"},
+                         count_alias="n_customers")
 
 
 ORACLE_CUSTOMER_ROLLUP = """
@@ -234,15 +225,12 @@ def orders_by_month(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return (
-        read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
-        .map_batches(project, batch_format="pyarrow")
-        .groupby("month")
-        .aggregate(
-            Count(alias_name="n_orders"),
-            Sum("price_cents", alias_name="total_cents"),
-        )
-    )
+    projected = read(
+        sf_dir, "orders", columns=["o_orderdate", "o_totalprice"]
+    ).map_batches(project, batch_format="pyarrow")
+    return two_phase_agg(projected, ["month"],
+                         sums={"price_cents": "total_cents"},
+                         count_alias="n_orders")
 
 
 ORACLE_ORDERS_BY_MONTH = """
@@ -259,20 +247,35 @@ def junction_min_position(sf_dir: str) -> ray.data.Dataset:
     """groupby (orderkey, partkey) min(linenumber) — the exact shape of
     the reference's lists_titles junction UNIQUE + min(position)
     aggregate (001_initial_schema.sql:31-43, SURVEY.md J1)."""
-    ds = (
-        read(sf_dir, "lineitem",
-             columns=["l_orderkey", "l_partkey", "l_linenumber"])
-        .groupby(["l_orderkey", "l_partkey"])
-        .aggregate(Min("l_linenumber", alias_name="position"))
-    )
+    num_buckets = 32
 
-    def widen(b: pa.Table) -> pa.Table:
-        return b.set_column(
-            b.schema.get_field_index("position"), "position",
-            pc.cast(b["position"], pa.int64()),
+    def add_bucket(b: pa.Table) -> pa.Table:
+        k = pc.add(pc.multiply(b["l_orderkey"], 2654435761),
+                   b["l_partkey"])
+        return b.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(k, num_buckets - 1),
+                              pa.int32())
         )
 
-    return ds.map_batches(widen, batch_format="pyarrow")
+    def agg_group(g: pa.Table) -> pa.Table:
+        r = pa.TableGroupBy(g, ["l_orderkey", "l_partkey"]).aggregate(
+            [("l_linenumber", "min")]
+        )
+        return pa.table(
+            {
+                "l_orderkey": r["l_orderkey"],
+                "l_partkey": r["l_partkey"],
+                "position": pc.cast(r["l_linenumber_min"], pa.int64()),
+            }
+        )
+
+    return (
+        read(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_partkey", "l_linenumber"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(agg_group, batch_format="pyarrow")
+    )
 
 
 ORACLE_JUNCTION_MIN = """
@@ -302,19 +305,15 @@ def customers_no_big_orders(sf_dir: str, cents_threshold: int = 45_000_000
     )
     seen_ref = ray.put(frozenset(big))
 
-    class AntiProbe:
-        def __init__(self, seen_ref) -> None:
-            self.seen = ray.get(seen_ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            keys = b["c_custkey"].to_pylist()
-            mask = pa.array([k not in self.seen for k in keys])
-            return b.filter(mask)
+    def anti_probe(b: pa.Table, seen=None) -> pa.Table:
+        seen = deref(seen)
+        keys = b["c_custkey"].to_pylist()
+        mask = pa.array([k not in seen for k in keys])
+        return b.filter(mask)
 
     return read(sf_dir, "customer", columns=["c_custkey", "c_name"]
                 ).map_batches(
-        AntiProbe, fn_constructor_kwargs={"seen_ref": seen_ref},
-        concurrency=(1, 4), batch_format="pyarrow",
+        anti_probe, fn_kwargs={"seen": seen_ref}, batch_format="pyarrow",
     )
 
 
@@ -371,15 +370,12 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return (
-        read(sf_dir, "events", columns=["ts", "event_type", "value"])
-        .map_batches(project, batch_format="pyarrow")
-        .groupby(["hour", "event_type"])
-        .aggregate(
-            Count(alias_name="n_events"),
-            Sum("value_cents", alias_name="value_cents_sum"),
-        )
-    )
+    projected = read(
+        sf_dir, "events", columns=["ts", "event_type", "value"]
+    ).map_batches(project, batch_format="pyarrow")
+    return two_phase_agg(projected, ["hour", "event_type"],
+                         sums={"value_cents": "value_cents_sum"},
+                         count_alias="n_events")
 
 
 ORACLE_EVENTS_HOURLY = """

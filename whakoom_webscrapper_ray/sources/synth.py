@@ -250,6 +250,227 @@ def generate_web(cfg: SynthConfig) -> dict[str, pa.Table]:
     return {"pages": pages, "seeds": seeds, "robots": robots}
 
 
+def generate_web_fast(cfg: SynthConfig) -> dict[str, pa.Table]:
+    """Vectorized generator for BENCH-scale webs (10^6+ pages).
+
+    Same schema and crawl shape as :func:`generate_web` (profile →
+    list → title levels, relative profile hrefs, arity-skip section,
+    robots delay/disallow fixtures) but built with Arrow ``take`` over
+    string pools and numpy index arithmetic — no per-span Python
+    objects, so a ~10M-span web generates in seconds.  A different
+    (simpler) fixture instance than generate_web: list pages interleave
+    an ``image`` span every 4th rank and carry no offsite links.
+    """
+    import pyarrow.compute as _pc
+
+    rng = np.random.Generator(np.random.PCG64(cfg.seed))
+    H, L, T = cfg.num_hosts, cfg.lists_per_profile, cfg.titles_per_list
+    hosts_np = np.array([_host(i) for i in range(H)], dtype=object)
+
+    slots = H * L * T
+    n_unique = max(1, int(slots * (1.0 - cfg.dup_link_frac)))
+    title_ids = 200_000 + np.arange(n_unique, dtype=np.int64)
+    id_str = _pc.cast(pa.array(title_ids), pa.string())
+    if cfg.hot_host_frac > 0 and H > 1:
+        p = np.full(H, (1.0 - cfg.hot_host_frac) / (H - 1))
+        p[0] = cfg.hot_host_frac
+    else:
+        p = np.full(H, 1.0 / H)
+    home = rng.choice(H, size=n_unique, p=p)
+
+    j = _pc.binary_join_element_wise
+    host_arr = pa.array(hosts_np[home], pa.string())
+    title_url = j("https://", host_arr, "/comics/t_", id_str, "")
+    title_name = j("title ", id_str, "")
+    cover = j("https://cdn.example/covers/", id_str, ".jpg", "")
+    synopsis = j("Synopsis ", id_str, "")
+    empty1 = pa.array([""], pa.string())
+
+    all_doc_ids: list[pa.Array] = []
+    all_offsets: list[np.ndarray] = []   # list-boundary offsets per block
+    all_kind: list[pa.Array] = []
+    all_text: list[pa.Array] = []
+    all_media: list[pa.Array] = []
+    kind_pool = pa.array(["heading", "text", "link", "image"], pa.string())
+
+    def take_kind(codes: np.ndarray) -> pa.Array:
+        return kind_pool.take(pa.array(codes, pa.int64()))
+
+    # ---- profile pages (small: python loop over H, as in generate_web)
+    prof_doc, prof_spans_kind, prof_text, prof_media = [], [], [], []
+    prof_bounds = [0]
+    list_id0 = 100_000
+    list_host = np.repeat(np.arange(H), L)
+    list_ids = list_id0 + np.arange(H * L, dtype=np.int64)
+    lid_str = _pc.cast(pa.array(list_ids), pa.string())
+    prof_of_host = [f"user{h}_0" for h in range(H)]
+    lrel = j(
+        "/", pa.array(np.array(prof_of_host, dtype=object)[list_host]),
+        "/lists/l_", lid_str, "",
+    )
+    lrel_np = lrel.to_numpy(zero_copy_only=False)
+    lname = j("list ", lid_str, "")
+    lname_np = lname.to_numpy(zero_copy_only=False)
+    for h in range(H):
+        profile = prof_of_host[h]
+        prof_doc.append(f"https://{hosts_np[h]}/{profile}/lists")
+        kinds = [1]
+        texts = [f"Lists curated by {profile}"]
+        media = [""]
+        for li in range(L):
+            gi = h * L + li
+            kinds += [0, 2, 2]
+            texts += [f"Section {li}", "★", f"  {lname_np[gi]}  "]
+            media += ["", f"/{profile}", lrel_np[gi]]
+        kinds += [0, 2]  # single-link section: must be arity-skipped
+        texts += ["About", "profile settings"]
+        media += ["", f"/{profile}/settings"]
+        prof_spans_kind.extend(kinds)
+        prof_text.extend(texts)
+        prof_media.extend(media)
+        prof_bounds.append(len(prof_spans_kind))
+    all_doc_ids.append(pa.array(prof_doc, pa.string()))
+    all_offsets.append(np.array(prof_bounds, dtype=np.int64))
+    all_kind.append(take_kind(np.array(prof_spans_kind)))
+    all_text.append(pa.array(prof_text, pa.string()))
+    all_media.append(pa.array(prof_media, pa.string()))
+
+    # ---- list pages: vectorized template (heading, then per rank:
+    #      [image every 4th] link)
+    P = H * L
+    chosen = rng.integers(0, n_unique, size=(P, T))
+    slot_kind: list[int] = [0]          # heading
+    slot_rank: list[int] = [-1]
+    for r in range(T):
+        if r % 4 == 0:
+            slot_kind.append(3)          # image
+            slot_rank.append(r)
+        slot_kind.append(2)              # link
+        slot_rank.append(r)
+    S = len(slot_kind)
+    slot_kind_np = np.array(slot_kind, dtype=np.int64)
+    slot_rank_np = np.array(slot_rank, dtype=np.int64)
+
+    # text pool: [title_name (U), "Titles in this list", ""]
+    text_pool = pa.concat_arrays(
+        [title_name.combine_chunks() if isinstance(title_name, pa.ChunkedArray)
+         else title_name,
+         pa.array(["Titles in this list", ""], pa.string())]
+    )
+    U = n_unique
+    tidx = np.empty((P, S), dtype=np.int64)
+    tidx[:, 0] = U                       # heading text
+    media_pool = pa.concat_arrays(
+        [title_url.combine_chunks() if isinstance(title_url, pa.ChunkedArray)
+         else title_url,
+         cover.combine_chunks() if isinstance(cover, pa.ChunkedArray)
+         else cover,
+         empty1]
+    )
+    midx = np.empty((P, S), dtype=np.int64)
+    midx[:, 0] = 2 * U                   # heading media = ""
+    for s in range(1, S):
+        r = slot_rank_np[s]
+        if slot_kind_np[s] == 2:         # link: text=name, media=url
+            tidx[:, s] = chosen[:, r]
+            midx[:, s] = chosen[:, r]
+        else:                            # image: text="", media=cover
+            tidx[:, s] = U + 1
+            midx[:, s] = U + chosen[:, r]
+    lurl_abs = j("https://", pa.array(hosts_np[list_host], pa.string()),
+                 lrel, "")
+    all_doc_ids.append(
+        lurl_abs.combine_chunks()
+        if isinstance(lurl_abs, pa.ChunkedArray) else lurl_abs
+    )
+    all_offsets.append(np.arange(P + 1, dtype=np.int64) * S)
+    all_kind.append(take_kind(np.tile(slot_kind_np, P)))
+    all_text.append(text_pool.take(pa.array(tidx.ravel(), pa.int64())))
+    all_media.append(media_pool.take(pa.array(midx.ravel(), pa.int64())))
+
+    # ---- leaf title pages: template (heading name, image cover,
+    #      text synopsis)
+    leaf_text_pool = pa.concat_arrays(
+        [title_name.combine_chunks() if isinstance(title_name, pa.ChunkedArray)
+         else title_name,
+         synopsis.combine_chunks() if isinstance(synopsis, pa.ChunkedArray)
+         else synopsis,
+         empty1]
+    )
+    leaf_media_pool = pa.concat_arrays(
+        [cover.combine_chunks() if isinstance(cover, pa.ChunkedArray)
+         else cover, empty1]
+    )
+    lt = np.empty(3 * U, dtype=np.int64)
+    lt[0::3] = np.arange(U)              # heading: name
+    lt[1::3] = 2 * U                     # image: ""
+    lt[2::3] = U + np.arange(U)          # text: synopsis
+    lm = np.empty(3 * U, dtype=np.int64)
+    lm[0::3] = U                         # heading media ""
+    lm[1::3] = np.arange(U)              # image: cover
+    lm[2::3] = U
+    all_doc_ids.append(
+        title_url.combine_chunks()
+        if isinstance(title_url, pa.ChunkedArray) else title_url
+    )
+    all_offsets.append(np.arange(U + 1, dtype=np.int64) * 3)
+    all_kind.append(take_kind(np.tile(np.array([0, 3, 1]), U)))
+    all_text.append(leaf_text_pool.take(pa.array(lt, pa.int64())))
+    all_media.append(leaf_media_pool.take(pa.array(lm, pa.int64())))
+
+    # ---- assemble pages table (one ListArray per level, concatenated)
+    page_chunks = []
+    for doc_ids, bounds, kinds, texts, media in zip(
+        all_doc_ids, all_offsets, all_kind, all_text, all_media
+    ):
+        n_spans = bounds[-1]
+        offs_col = np.empty(n_spans, dtype=np.int32)
+        # per-span offset within its page: position - page_start
+        page_start = np.repeat(bounds[:-1], np.diff(bounds))
+        offs_col = (np.arange(n_spans) - page_start).astype(np.int32)
+        struct = pa.StructArray.from_arrays(
+            [kinds, texts, media, pa.array(offs_col, pa.int32())],
+            names=["kind", "text", "media_ref", "offset"],
+        )
+        spans = pa.ListArray.from_arrays(
+            pa.array(bounds, pa.int32()), struct
+        )
+        page_chunks.append(
+            pa.table({"doc_id": doc_ids, "spans": spans},
+                     schema=PAGES_SCHEMA)
+        )
+    pages = pa.concat_tables(page_chunks).combine_chunks()
+
+    # ---- seeds + robots (identical layout to generate_web)
+    seed_urls = [
+        f"https://{_host(h)}/user{h}_0/lists" for h in range(H)
+    ]
+    dup = seed_urls[0].replace("https://", "HTTPS://").replace(
+        ".example/", ".EXAMPLE:443/"
+    )
+    seeds = pa.Table.from_pydict(
+        {
+            "seed_index": list(range(H + 1)),
+            "url": seed_urls + [dup],
+            "priority": [0] * (H + 1),
+        },
+        schema=SEEDS_SCHEMA,
+    )
+    r_host, r_delay, r_dis = [], [], []
+    for hi in range(H):
+        delay = 2.0 if 1 <= hi <= cfg.delayed_hosts else 0.0
+        dis = (["/comics/"]
+               if cfg.disallow_hosts and hi == H - 1 else [])
+        r_host.append(str(hosts_np[hi]))
+        r_delay.append(delay)
+        r_dis.append(dis)
+    robots = pa.Table.from_pydict(
+        {"host": r_host, "crawl_delay": r_delay, "disallow": r_dis},
+        schema=ROBOTS_SCHEMA,
+    )
+    return {"pages": pages, "seeds": seeds, "robots": robots}
+
+
 def write_web(tables: dict[str, pa.Table], out_dir: str) -> None:
     """Write the fixture tables as parquet files under ``out_dir``."""
     import os

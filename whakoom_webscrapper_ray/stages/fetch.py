@@ -30,6 +30,7 @@ from typing import Callable
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 
@@ -56,47 +57,57 @@ class SyntheticWebFetcher:
             if isinstance(pages_ref, ray.ObjectRef)
             else pages_ref
         )
-        self.pages = pages.combine_chunks()
-        ids = self.pages.column("doc_id").to_pylist()
-        self.index: dict[str, int] = {u: i for i, u in enumerate(ids)}
-        spans_col = self.pages.column("spans")
+        # Zero-copy views into the broadcast PARTITION.  The engine
+        # partitions the page store by host-shard and each fetch batch
+        # is shard-pure, so the ``pc.index_in`` value set here is one
+        # partition (|pages|/num_shards), not the whole web — the
+        # per-batch hash-build cost stays O(partition) and the fetch
+        # stage needs NO per-worker index materialization at all.
+        # (Designs that were tried and rejected: a python dict per
+        # worker = seconds of per-worker setup that multiplies with
+        # worker count; index_in against the FULL table = ~230 ms per
+        # batch at 10^6 URLs.)
+        self.doc_ids = pages.column("doc_id")
+        spans_col = pages.column("spans")
         if isinstance(spans_col, pa.ChunkedArray):
             spans_col = spans_col.combine_chunks()
-        # sentinel empty-spans row at index n for missing/failed fetches
-        self.spans_ext = pa.concat_arrays(
-            [spans_col, pa.array([[]], type=spans_col.type)]
-        )
-        self.missing_row = len(ids)
+        self.spans = spans_col
+        self.empty_spans = pa.scalar([], type=spans_col.type)
         self.max_attempts = max_attempts
         self.fail_fn = fail_fn
         self.attempt_log: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("canon_url").to_pylist()
-        rows = np.empty(len(urls), dtype=np.int64)
-        status = []
-        for i, u in enumerate(urls):
-            r = self.index.get(u, -1)
-            attempts = 0
-            if self.fail_fn is not None and r >= 0:
-                while attempts < self.max_attempts and self.fail_fn(u, attempts):
+        urls = batch.column("canon_url")
+        idx = pc.index_in(urls, value_set=self.doc_ids)
+        valid = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        status = np.where(valid, "fetched", "missing").astype(object)
+
+        if self.fail_fn is not None:
+            # semantic-retry injection (tests): per-URL attempt loop,
+            # exercised only when a failure predicate is configured.
+            idx_np = np.where(
+                valid, idx.to_numpy(zero_copy_only=False), -1
+            ).astype(np.int64)
+            url_list = urls.to_pylist()
+            for i, u in enumerate(url_list):
+                if not valid[i]:
+                    continue
+                attempts = 0
+                while (attempts < self.max_attempts
+                       and self.fail_fn(u, attempts)):
                     attempts += 1
+                if attempts:
+                    self.attempt_log[u] = attempts
                 if attempts >= self.max_attempts:
-                    r = -2  # transient failure exhausted retries
-            rows[i] = r
-            if r >= 0:
-                status.append("fetched")
-            elif r == -1:
-                status.append("missing")
-            else:
-                status.append("failed")
-            if attempts:
-                self.attempt_log[u] = attempts
+                    status[i] = "failed"
+                    idx_np[i] = -1
+            idx = pa.array(
+                np.where(idx_np < 0, np.nan, idx_np), pa.int64(),
+                from_pandas=True,
+            )
 
-        take_idx = np.where(rows >= 0, rows, self.missing_row)
-        spans = self.spans_ext.take(pa.array(take_idx, pa.int64()))
-
-        out = batch.append_column(
-            "spans", spans
-        ).append_column("fetch_status", pa.array(status, pa.string()))
-        return out
+        spans = pc.fill_null(self.spans.take(idx), self.empty_spans)
+        return batch.append_column("spans", spans).append_column(
+            "fetch_status", pa.array(status, pa.string())
+        )

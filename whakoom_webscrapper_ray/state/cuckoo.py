@@ -75,6 +75,57 @@ class CuckooFilter:
                 return True
         return False  # table full — caller should have sized capacity
 
+    def insert_batch(self, keys: list[bytes]) -> int:
+        """Vectorized bulk insert.
+
+        Key carving is one numpy pass; placement runs in rounds — per
+        round, the first not-yet-placed key of each target bucket takes
+        the bucket's first empty slot (pure numpy scatter).  Keys whose
+        buckets fill (both i1 and i2) fall back to the sequential
+        cuckoo-eviction path, which at sane load factors is a tiny
+        minority.  Returns the number inserted.
+        """
+        n = len(keys)
+        if n == 0:
+            return 0
+        raw = np.frombuffer(b"".join(keys), dtype=np.uint8).reshape(n, 20)
+        fp = (((raw[:, 0].astype(np.uint32) << 8) | raw[:, 1]) | 1).astype(
+            np.uint16
+        )
+        i1 = np.zeros(n, dtype=np.uint64)
+        for b in range(4, 12):
+            i1 = (i1 << np.uint64(8)) | raw[:, b].astype(np.uint64)
+        i1 = (i1 & np.uint64(self.mask)).astype(np.int64)
+        i2 = i1 ^ ((fp.astype(np.int64) * _MUL) & self.mask)
+
+        table = self.table
+        placed = np.zeros(n, dtype=bool)
+        for bucket_arr in (i1, i2):
+            for _ in range(self.SLOTS):
+                rem = np.flatnonzero(~placed)
+                if rem.size == 0:
+                    break
+                b = bucket_arr[rem]
+                # first pending key per bucket this round
+                uniq_b, first = np.unique(b, return_index=True)
+                cand = rem[first]
+                rows = table[bucket_arr[cand]]
+                has_empty = (rows == 0).any(axis=1)
+                tgt = cand[has_empty]
+                if tgt.size == 0:
+                    break
+                slot = (table[bucket_arr[tgt]] == 0).argmax(axis=1)
+                table[bucket_arr[tgt], slot] = fp[tgt]
+                placed[tgt] = True
+        ok_count = int(placed.sum())
+        # rare leftovers: sequential eviction path
+        for j in np.flatnonzero(~placed):
+            if self.insert(keys[j]):
+                ok_count += 1
+                self.count -= 1  # insert() already counted it
+        self.count += ok_count
+        return ok_count
+
     def contains(self, key: bytes) -> bool:
         fp, i1, i2 = self._parts(key)
         return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())

@@ -27,16 +27,31 @@ the sequential oracle implement — SURVEY.md §4.3 "Ordering"):
 Logical time means politeness is *simulated* deterministically — the
 benchmark measures real compute throughput, not sleep time, while the
 ordering honors the politeness budget exactly.
+
+**Columnar shard state (explicit skew handling).**  Pending queues are
+Arrow blocks (O(1) enqueue, concatenated lazily at poll) and the
+poll-time dedup → seen-probe → politeness-pacing path is fully
+vectorized (numpy argsort/lexsort + pandas hash dedup).  A shard
+serving a hot host with 20%+ of the URL mass processes its backlog at
+vectorized speed instead of a Python tuple loop, so the slowest shard
+no longer dominates the round.  The remaining lever — salted splits of
+a zero-delay hot host across shards with the politeness clock leased
+from the base shard (SURVEY.md §4.3) — applies when a single shard's
+*vectorized* backlog exceeds the round budget.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray
 
 # 2^20 span offsets per document bound the discovery-order key layout.
 OK_SHIFT = 20
+
+PENDING_FIELDS = ("canon_url", "url_sha1", "host", "host_hash",
+                  "priority", "ok")
 
 
 def discovery_ok(parent_seq: np.ndarray, offset: np.ndarray) -> np.ndarray:
@@ -46,9 +61,23 @@ def discovery_ok(parent_seq: np.ndarray, offset: np.ndarray) -> np.ndarray:
     )
 
 
-@ray.remote(num_cpus=0.25)
+def _empty_poll_table() -> pa.Table:
+    return pa.table(
+        {
+            "canon_url": pa.array([], pa.string()),
+            "url_sha1": pa.array([], pa.binary(20)),
+            "host": pa.array([], pa.string()),
+            "host_hash": pa.array([], pa.uint64()),
+            "priority": pa.array([], pa.int32()),
+            "ok": pa.array([], pa.int64()),
+            "fetch_time": pa.array([], pa.float64()),
+        }
+    )
+
+
+@ray.remote(num_cpus=0)
 class FrontierShard:
-    """One shard: pending queues + politeness clocks for its hosts."""
+    """One shard: pending queue blocks + politeness clocks for its hosts."""
 
     def __init__(self, shard_id: int, num_shards: int,
                  robots: dict[str, float] | None = None,
@@ -56,8 +85,7 @@ class FrontierShard:
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.crawl_delay = robots or {}   # host -> delay (seconds, logical)
-        # host -> list of (priority, ok, canon_url, sha1, host_hash)
-        self.pending: dict[str, list] = {}
+        self.pending: list[pa.Table] = []  # columnar enqueue blocks
         self.next_time: dict[str, float] = {}
         # Co-located seen shard (same host_hash % P partition): the
         # schedule-time dedup probe is a LOCAL call, never a shuffle.
@@ -66,85 +94,128 @@ class FrontierShard:
     def set_robots(self, delays: dict[str, float]) -> None:
         self.crawl_delay.update(delays)
 
-    def enqueue(self, canon_url: list[str], url_sha1: list[bytes],
-                host: list[str], host_hash: list[int],
-                priority: list[int], ok: list[int]) -> int:
-        for i in range(len(canon_url)):
-            self.pending.setdefault(host[i], []).append(
-                (int(priority[i]), int(ok[i]), canon_url[i], url_sha1[i],
-                 int(host_hash[i]), host[i])
-            )
-        return len(canon_url)
+    def enqueue_block(self, tbl: pa.Table) -> int:
+        """O(1): stash the Arrow block; all work happens at poll."""
+        self.pending.append(tbl)
+        return tbl.num_rows
 
-    def poll_round(self, round_no: int) -> dict:
+    def enqueue(self, canon_url, url_sha1, host, host_hash,
+                priority, ok) -> int:
+        """List-based enqueue (tests / simple callers)."""
+        return self.enqueue_block(pa.table(
+            {
+                "canon_url": pa.array(canon_url, pa.string()),
+                "url_sha1": pa.array(url_sha1, pa.binary(20)),
+                "host": pa.array(host, pa.string()),
+                "host_hash": pa.array(
+                    np.asarray(host_hash, dtype=np.uint64), pa.uint64()
+                ),
+                "priority": pa.array(priority, pa.int32()),
+                "ok": pa.array(np.asarray(ok, dtype=np.int64), pa.int64()),
+            }
+        ))
+
+    def poll_round(self, round_no: int) -> pa.Table:
         """Dedup → seen-probe → politeness-pace all pending candidates.
 
         Per the canonical model: duplicates of a SHA collapse to the
         min-``ok`` (first-discovered) occurrence; already-seen URLs are
         dropped WITHOUT consuming a politeness slot; survivors are
         marked seen (schedule-time marking, like Scrapy's dupefilter)
-        and get fetch times ``next_time[host] + i*delay``.
-
-        Clears the pending queues and advances the per-host clocks.
-        Returns plain columns (small control-plane payload; the heavy
-        doc payload never passes through this actor).
+        and get fetch times ``next_time[host] + i*delay``.  Fully
+        vectorized; returns one Arrow table (zero-copy to the driver's
+        round merge).
         """
-        # 1. shard-wide dedup by sha, keep first-discovered (min ok).
-        best: dict[bytes, tuple] = {}
-        for h, items in self.pending.items():
-            for it in items:
-                prev = best.get(it[3])
-                if prev is None or it[1] < prev[1]:
-                    best[it[3]] = it
-        self.pending.clear()
-        cand = list(best.values())
+        if not self.pending:
+            return _empty_poll_table()
+        t = pa.concat_tables(self.pending).combine_chunks()
+        self.pending = []
 
-        # 2. probe the co-located seen shard (test-and-mark in one RPC).
-        if cand and self.seen_shard is not None:
-            keys = [c[3] for c in cand]
-            urls = [c[2] for c in cand]
+        # 1. shard-wide dedup by sha, keep first-discovered (min ok):
+        #    stable argsort by ok, then hash-based first-occurrence.
+        ok = t.column("ok").to_numpy(zero_copy_only=False)
+        sha = t.column("url_sha1").to_numpy(zero_copy_only=False)
+        order = np.argsort(ok, kind="stable")
+        dup = pd.Series(sha[order], dtype=object).duplicated().to_numpy()
+        cand_idx = order[~dup]                       # in ok order
+
+        # 2. probe the co-located seen shard (test-and-mark, one RPC).
+        if self.seen_shard is not None and cand_idx.size:
+            urls = t.column("canon_url").to_numpy(zero_copy_only=False)
             new_mask = ray.get(
-                self.seen_shard.contains_and_add.remote(keys, urls)
+                self.seen_shard.contains_and_add.remote(
+                    sha[cand_idx].tolist(), urls[cand_idx].tolist()
+                )
             )
-            cand = [c for c, new in zip(cand, new_mask) if new]
+            cand_idx = cand_idx[new_mask]
+        if cand_idx.size == 0:
+            return _empty_poll_table()
 
-        # 3. per-host pacing of the survivors.
-        by_host: dict[str, list] = {}
-        for c in cand:
-            by_host.setdefault(c[5], []).append(c)
-        cols: dict[str, list] = {
-            "canon_url": [], "url_sha1": [], "host": [], "host_hash": [],
-            "priority": [], "ok": [], "fetch_time": [],
-        }
-        for h in sorted(by_host.keys()):
-            items = sorted(by_host[h], key=lambda t: (t[0], t[1]))
-            delay = float(self.crawl_delay.get(h, 0.0))
-            t0 = self.next_time.get(h, 0.0)
-            for i, (prio, ok, url, sha, hh, _h) in enumerate(items):
-                cols["canon_url"].append(url)
-                cols["url_sha1"].append(sha)
-                cols["host"].append(h)
-                cols["host_hash"].append(hh)
-                cols["priority"].append(prio)
-                cols["ok"].append(ok)
-                cols["fetch_time"].append(t0 + i * delay)
-            if items and delay > 0:
-                self.next_time[h] = t0 + len(items) * delay
-        return cols
+        # 3. politeness pacing, vectorized per host: survivors sorted
+        #    (host, priority, ok); within-host rank i gets
+        #    fetch_time = next_time[host] + i * delay.
+        sub = t.take(pa.array(cand_idx, pa.int64()))
+        host_np = sub.column("host").to_numpy(zero_copy_only=False)
+        prio = sub.column("priority").to_numpy(zero_copy_only=False)
+        ok2 = sub.column("ok").to_numpy(zero_copy_only=False)
+        codes, uniq_hosts = pd.factorize(host_np)
+        order2 = np.lexsort((ok2, prio, codes))
+        c_sorted = codes[order2]
+        change = np.r_[True, c_sorted[1:] != c_sorted[:-1]]
+        grp_start_pos = np.flatnonzero(change)
+        grp_len = np.diff(np.r_[grp_start_pos, len(c_sorted)])
+        rank = np.arange(len(c_sorted)) - np.repeat(grp_start_pos, grp_len)
+
+        delays = np.array(
+            [float(self.crawl_delay.get(h, 0.0)) for h in uniq_hosts]
+        )
+        t0s = np.array([self.next_time.get(h, 0.0) for h in uniq_hosts])
+        fetch_time = t0s[c_sorted] + rank * delays[c_sorted]
+        # advance clocks for delayed hosts (slots consumed this round)
+        first_codes = c_sorted[grp_start_pos]
+        for gc, gl in zip(first_codes, grp_len):
+            if delays[gc] > 0:
+                self.next_time[uniq_hosts[gc]] = t0s[gc] + gl * delays[gc]
+
+        out = sub.take(pa.array(order2, pa.int64()))
+        return out.append_column(
+            "fetch_time", pa.array(fetch_time, pa.float64())
+        )
 
     def pending_count(self) -> int:
-        return sum(len(v) for v in self.pending.values())
+        return int(sum(b.num_rows for b in self.pending))
 
     # -- checkpoint -------------------------------------------------------
     def dump(self) -> dict:
         return {
-            "pending": {h: list(v) for h, v in self.pending.items()},
+            "pending": (pa.concat_tables(self.pending)
+                        if self.pending else None),
             "next_time": dict(self.next_time),
         }
 
     def restore(self, state: dict) -> None:
-        self.pending = {h: list(v) for h, v in state["pending"].items()}
+        self.pending = (
+            [state["pending"]] if state.get("pending") is not None else []
+        )
         self.next_time = dict(state["next_time"])
+
+    def dump_to(self, path: str) -> None:
+        """Write this shard's state to its own file — checkpointing is
+        parallel across shards and never serializes queue state through
+        the driver (the per-partition lineage of the north rule)."""
+        import os
+        import pickle
+
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(self.dump(), f)
+        os.replace(tmp, path)
+
+    def restore_from(self, path: str) -> None:
+        import pickle
+
+        with open(path, "rb") as f:
+            self.restore(pickle.load(f))
 
 
 class Frontier:
@@ -167,26 +238,21 @@ class Frontier:
                 % np.uint64(self.num_shards)).astype(np.int64)
 
     def enqueue_table(self, tbl: pa.Table) -> int:
-        """Route a candidate table to shards by host hash."""
+        """Route a candidate table to shards by host hash (Arrow blocks
+        end-to-end; no python list marshalling)."""
         if tbl.num_rows == 0:
             return 0
+        tbl = tbl.select(list(PENDING_FIELDS))
         hh = tbl.column("host_hash").to_numpy(zero_copy_only=False)
         shard = self.shard_of(hh)
-        cols = {
-            name: tbl.column(name).to_pylist()
-            for name in ("canon_url", "url_sha1", "host", "host_hash",
-                         "priority", "ok")
-        }
         futs = []
         for s in range(self.num_shards):
             idx = np.flatnonzero(shard == s)
             if idx.size == 0:
                 continue
             futs.append(
-                self.shards[s].enqueue.remote(
-                    *[[cols[c][i] for i in idx]
-                      for c in ("canon_url", "url_sha1", "host", "host_hash",
-                                "priority", "ok")]
+                self.shards[s].enqueue_block.remote(
+                    tbl.take(pa.array(idx, pa.int64()))
                 )
             )
         return int(sum(ray.get(futs)))
@@ -195,30 +261,12 @@ class Frontier:
         """Collect all shards' paced candidates, globally ordered.
 
         Sort key = (fetch_time, priority, ok) — the canonical round
-        order.  A dense global ``seq`` is appended by the caller.  At
-        design scale this merge is a Ray Data sort over shard refs; at
-        control-plane sizes a driver-side Arrow sort is cheaper.
+        order.  A dense global ``seq`` is appended by the caller.
         """
         parts = ray.get(
             [s.poll_round.remote(round_no) for s in self.shards]
         )
-        cols: dict[str, list] = {k: [] for k in parts[0].keys()}
-        for p in parts:
-            for k, v in p.items():
-                cols[k].extend(v)
-        tbl = pa.table(
-            {
-                "canon_url": pa.array(cols["canon_url"], pa.string()),
-                "url_sha1": pa.array(cols["url_sha1"], pa.binary(20)),
-                "host": pa.array(cols["host"], pa.string()),
-                "host_hash": pa.array(
-                    [np.uint64(x) for x in cols["host_hash"]], pa.uint64()
-                ),
-                "priority": pa.array(cols["priority"], pa.int32()),
-                "ok": pa.array(cols["ok"], pa.int64()),
-                "fetch_time": pa.array(cols["fetch_time"], pa.float64()),
-            }
-        )
+        tbl = pa.concat_tables(parts).combine_chunks()
         if tbl.num_rows:
             order = pa.compute.sort_indices(
                 tbl,
@@ -239,4 +287,21 @@ class Frontier:
     def restore_all(self, states: list[dict]) -> None:
         ray.get([
             s.restore.remote(st) for s, st in zip(self.shards, states)
+        ])
+
+    def dump_to_dir(self, dirpath: str) -> None:
+        import os
+
+        os.makedirs(dirpath, exist_ok=True)
+        ray.get([
+            s.dump_to.remote(os.path.join(dirpath, f"shard={i}.pkl"))
+            for i, s in enumerate(self.shards)
+        ])
+
+    def restore_from_dir(self, dirpath: str) -> None:
+        import os
+
+        ray.get([
+            s.restore_from.remote(os.path.join(dirpath, f"shard={i}.pkl"))
+            for i, s in enumerate(self.shards)
         ])

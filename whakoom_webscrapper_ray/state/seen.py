@@ -23,7 +23,7 @@ import ray
 from .cuckoo import CuckooFilter
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0)
 class SeenShard:
     """One shard of the URL-seen set."""
 
@@ -39,15 +39,22 @@ class SeenShard:
         verified against the exact set so the engine's dedup is exact
         (the filter's FP rate is a perf concern, not a correctness one).
         """
-        out = np.zeros(len(keys), dtype=bool)
+        n = len(keys)
         maybe = self.filter.contains_batch(keys)
-        for i, k in enumerate(keys):
-            if maybe[i] and k in self.exact:
-                continue  # true positive: already seen
-            # new (filter miss, or filter false-positive)
-            out[i] = True
-            self.exact[k] = urls[i] if urls is not None else ""
-            self.filter.insert(k)
+        exact = self.exact
+        # Only filter-positives need the exact check (the filter's
+        # guarantee: no false negatives); everything else is new.
+        out = np.ones(n, dtype=bool)
+        for i in np.flatnonzero(maybe):
+            if keys[i] in exact:
+                out[i] = False
+        new_idx = np.flatnonzero(out)
+        if new_idx.size:
+            if urls is not None:
+                exact.update((keys[i], urls[i]) for i in new_idx)
+            else:
+                exact.update((keys[i], "") for i in new_idx)
+            self.filter.insert_batch([keys[i] for i in new_idx])
         return out
 
     def contains(self, keys: list[bytes]) -> np.ndarray:
