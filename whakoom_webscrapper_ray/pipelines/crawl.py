@@ -56,7 +56,6 @@ from ..stages.extract import (
 )
 from ..stages.fetch import SyntheticWebFetcher
 from ..state.frontier import OK_SHIFT, Frontier
-from ..state.seen import SeenSet
 
 
 class LinkRouter:
@@ -79,6 +78,9 @@ class LinkRouter:
         self.allowed = frozenset(allowed_domains)
         self.shards = frontier_shards
         self.num_shards = len(frontier_shards)
+        self.delayed = frozenset(
+            h for h, d in self.rules.delay.items() if d > 0
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n_fetched = int(
@@ -160,9 +162,13 @@ class LinkRouter:
                 "ok": pa.array(ok[chosen], pa.int64()),
             }
         )
-        shard_of = (
-            cols["host_hash"][chosen] % np.uint64(self.num_shards)
-        ).astype(np.int64)
+        shard_of = route_shard(
+            np.array([cols["host"][i] for i in chosen], dtype=object),
+            cols["host_hash"][chosen],
+            cols["url_hash"][chosen],
+            self.delayed,
+            self.num_shards,
+        )
         futs = []
         for s in range(self.num_shards):
             sel = np.flatnonzero(shard_of == s)
@@ -203,9 +209,7 @@ def _fetch_batch(batch: pa.Table, pages_parts=None) -> pa.Table:
     boundaries — each run is resolved with a small per-partition
     ``index_in`` value set instead of the whole web.
     """
-    num_shards = len(pages_parts)
-    hh = batch.column("host_hash").to_numpy(zero_copy_only=False)
-    shard = (hh % np.uint64(num_shards)).astype(np.int64)
+    shard = batch.column("shard").to_numpy(zero_copy_only=False)
     change = np.flatnonzero(np.r_[True, shard[1:] != shard[:-1]])
     if change.size == 1:
         return _worker_fetcher(pages_parts[shard[0]])(batch)
@@ -223,28 +227,80 @@ def _fetch_batch(batch: pa.Table, pages_parts=None) -> pa.Table:
 _HOST_RE = r"^[a-z][a-z0-9+.-]*://(?P<host>[^/]+)"
 
 
-def partition_pages(pages: pa.Table, num_shards: int) -> list[pa.Table]:
-    """Split the page store by host-shard (``host_hash % P``) — the ONE
-    partitioning key of the engine (SURVEY.md §7.4).  Vectorized: hosts
-    are regex-extracted in C, hashed once per UNIQUE host, mapped back
-    via index_in.  At the 10^10 design point this partitioning is the
-    on-disk layout of the page store; here it is done once at init."""
+def route_shard(hosts: np.ndarray, host_hash: np.ndarray,
+                url_hash: np.ndarray, delayed: frozenset,
+                num_shards: int) -> np.ndarray:
+    """Salted shard routing — the engine's explicit skew mitigation.
+
+    Zero-delay hosts route by **url hash** (their URLs spread evenly
+    over all shards: a hot host with 20% of the corpus no longer lands
+    on one shard); hosts WITH a crawl delay route by **host hash** so
+    their politeness clock stays on a single shard.  The rule is a
+    pure function of (host, url), so dedup stays exact (one URL →
+    one shard) and, for zero-delay hosts, pacing is unaffected
+    (fetch_time is a constant per round regardless of which shard
+    assigns it) — crawl-order conformance is preserved by
+    construction (SURVEY.md §4.3 "salted splits").
+    """
+    import pandas as pd
+
+    if delayed:
+        is_delayed = pd.Index(hosts).isin(list(delayed))
+        base = np.where(is_delayed, host_hash, url_hash)
+    else:
+        base = url_hash
+    return (base.astype(np.uint64)
+            % np.uint64(num_shards)).astype(np.int64)
+
+
+@ray.remote
+def _sha_u64_chunk(urls: list[str]) -> np.ndarray:
+    """uint64 prefixes of SHA-1(url) for a chunk (parallel init)."""
+    import hashlib
+
+    out = np.empty(len(urls), dtype=np.uint64)
+    for i, u in enumerate(urls):
+        out[i] = int.from_bytes(
+            hashlib.sha1(u.encode("utf-8")).digest()[:8], "big"
+        )
+    return out
+
+
+def partition_pages(pages: pa.Table, num_shards: int,
+                    delayed: frozenset = frozenset()) -> list[pa.Table]:
+    """Split the page store by the engine's (salted) routing key — the
+    same rule as :func:`route_shard`, so every shard-pure fetch batch
+    finds its docs in exactly one partition.  Host extraction is one C
+    regex pass; per-URL SHA-1 prefixes are computed by parallel Ray
+    tasks.  At the 10^10 design point this partitioning is the on-disk
+    layout of the page store; here it is done once at init."""
     from ..functions.canonicalize import host_hash64
 
     host = pc.struct_field(
         pc.extract_regex(pages["doc_id"], _HOST_RE), "host"
     )
-    uniq = pc.unique(
-        host.combine_chunks() if isinstance(host, pa.ChunkedArray) else host
-    )
+    if isinstance(host, pa.ChunkedArray):
+        host = host.combine_chunks()
+    uniq = pc.unique(host)
     hashes = np.array(
         [host_hash64(h) for h in uniq.to_pylist()], dtype=np.uint64
     )
-    shard_of_host = (hashes % np.uint64(num_shards)).astype(np.int64)
     host_idx = pc.index_in(host, value_set=uniq).to_numpy(
         zero_copy_only=False
     ).astype(np.int64)
-    shard = shard_of_host[host_idx]
+    host_hash = hashes[host_idx]
+    host_np = np.asarray(uniq.to_pylist(), dtype=object)[host_idx]
+
+    ids = pages.column("doc_id").to_pylist()
+    chunk = max(1, len(ids) // 32)
+    url_hash = np.concatenate(
+        ray.get([
+            _sha_u64_chunk.remote(ids[i:i + chunk])
+            for i in range(0, len(ids), chunk)
+        ])
+    ) if ids else np.empty(0, dtype=np.uint64)
+
+    shard = route_shard(host_np, host_hash, url_hash, delayed, num_shards)
     return [
         pages.filter(pa.array(shard == s)) for s in range(num_shards)
     ]
@@ -302,11 +358,13 @@ class CrawlEngine:
         self.seeds = seeds
         self._seed_cols = seed_cols
 
-        self.seen = SeenSet(num_shards)
-        self.frontier = Frontier(num_shards, self.rules.delay,
-                                 self.seen.shards)
+        self.delayed = frozenset(
+            h for h, d in self.rules.delay.items() if d > 0
+        )
+        self.frontier = Frontier(num_shards, self.rules.delay)
         self.pages_parts = [
-            ray.put(p) for p in partition_pages(pages, num_shards)
+            ray.put(p)
+            for p in partition_pages(pages, num_shards, self.delayed)
         ]
         self.rules_ref = ray.put(self.rules)
 
@@ -316,9 +374,9 @@ class CrawlEngine:
         self.next_round = 0
 
     def shutdown(self) -> None:
-        """Kill the long-lived frontier/seen actors (they outlive
-        Datasets by design and must be released explicitly)."""
-        for a in list(self.frontier.shards) + list(self.seen.shards):
+        """Kill the long-lived frontier actors (they outlive Datasets
+        by design and must be released explicitly)."""
+        for a in self.frontier.shards:
             ray.kill(a, no_restart=True)
 
     # ------------------------------------------------------------- paths
@@ -358,7 +416,14 @@ class CrawlEngine:
                 "ok": pa.array(seed_index[idx].astype(np.int64), pa.int64()),
             }
         )
-        return self.frontier.enqueue_table(tbl)
+        shard = route_shard(
+            np.array([cols["host"][i] for i in idx], dtype=object),
+            cols["host_hash"][idx],
+            cols["url_hash"][idx],
+            self.delayed,
+            self.num_shards,
+        )
+        return self.frontier.enqueue_table(tbl, shard=shard)
 
     # -------------------------------------------------------------- round
     def run_round(self, rnd: int) -> dict | None:
@@ -366,21 +431,19 @@ class CrawlEngine:
 
         _trace = os.environ.get("WKM_ROUND_TIMING")
         _t0 = _time.perf_counter()
-        cand = self.frontier.poll_round(rnd)
+        # Two-phase distributed poll: only ~20 B/row of numeric sort
+        # keys reach the driver; shards append the globally-ranked seq
+        # actor-side and the candidate blocks go straight from shard
+        # actors into the Dataset (from_arrow_refs — zero driver
+        # copies, zero re-puts).
+        refs, n, max_ft = self.frontier.poll_round_distributed(
+            rnd, self.global_seq
+        )
         _t_poll = _time.perf_counter() - _t0
-        n = cand.num_rows
         if n == 0:
             return None
-        cand = cand.append_column(
-            "seq", pa.array(self.global_seq + np.arange(n), pa.int64())
-        ).append_column(
-            "round", pa.array(np.full(n, rnd, dtype=np.int32), pa.int32())
-        )
         self.global_seq += n
-        self.max_fetch_time = max(
-            self.max_fetch_time,
-            float(pc.max(cand["fetch_time"]).as_py() or 0.0),
-        )
+        self.max_fetch_time = max(self.max_fetch_time, max_ft)
 
         os.makedirs(self._round_dir(rnd), exist_ok=True)
         # crawl_order write overlaps the round pipeline (file IO holds
@@ -388,46 +451,32 @@ class CrawlEngine:
         # manifest records the round as complete.
         import threading
 
-        wo_thread = threading.Thread(
-            target=pq.write_table,
-            args=(cand,
-                  os.path.join(self._round_dir(rnd),
-                               "crawl_order.parquet")),
-        )
+        def _write_order(refs=refs, path=os.path.join(
+                self._round_dir(rnd), "crawl_order.parquet")):
+            full = pa.concat_tables(ray.get(list(refs))).sort_by("seq")
+            pq.write_table(full, path)
+
+        wo_thread = threading.Thread(target=_write_order)
         wo_thread.start()
 
         # ---- data plane: ONE streaming pipeline per round.
         # fetch → side-write docs partition → extract+route, fused: no
         # disk barrier between fetch and extract, no per-round actor
         # pool startup (worker-memoized broadcast state instead), docs
-        # still checkpointed per batch for resume.
+        # still checkpointed per batch for resume.  Blocks are the
+        # per-shard candidate tables (shard-pure by construction).
         docs_dir = self._docs_dir(rnd)
         os.makedirs(docs_dir, exist_ok=True)
         batch_size = self.batch_size or int(
             np.clip(n // (4 * self._cpus), 256, 16384)
         )
-        # shard-clustered blocks: ONE stable sort by host-shard, then
-        # contiguous zero-copy slices.  Blocks are almost always
-        # shard-pure (fetch resolves against one small page partition);
-        # slice-boundary blocks have a few contiguous runs which
-        # _fetch_batch handles.  This keeps the driver-side cost one
-        # vectorized take + ~4·cpus ray.puts, independent of shard
-        # count — per-shard filter loops were a serial driver hotspot.
-        hh = cand.column("host_hash").to_numpy(zero_copy_only=False)
-        shard = (hh % np.uint64(self.num_shards)).astype(np.int64)
-        order = np.argsort(shard, kind="stable")
-        cand_sorted = cand.take(pa.array(order, pa.int64()))
-        slices = [
-            cand_sorted.slice(i, batch_size)
-            for i in range(0, n, batch_size)
-        ]
         _t1 = _time.perf_counter()
         summaries = (
-            ray.data.from_arrow(slices)
+            ray.data.from_arrow_refs(list(refs))
             .map_batches(
                 _fetch_batch,
                 fn_kwargs={"pages_parts": self.pages_parts},
-                batch_size=None,
+                batch_size=batch_size,
                 batch_format="pyarrow",
             )
             .map_batches(
@@ -439,7 +488,7 @@ class CrawlEngine:
                     "shards": self.frontier.shards,
                     "docs_dir": docs_dir,
                 },
-                batch_size=None,
+                batch_size=batch_size,
                 batch_format="pyarrow",
             )
             .take_all()  # tiny per-batch count rows
@@ -453,6 +502,7 @@ class CrawlEngine:
                   f"pipe={_t_pipe:.2f}", flush=True)
         stat = {
             "round": rnd,
+            "sec": round(_time.perf_counter() - _t0, 3),
             "scheduled": n,
             "fetched": int(sum(r["fetched"] for r in summaries)),
             "missing": int(sum(r["missing"] for r in summaries)),
@@ -494,16 +544,17 @@ class CrawlEngine:
             os.path.join(self.checkpoint_dir, "frontier",
                          f"round={last_round}")
         )
-        # replay the seen-set delta (scheduled URLs) from crawl_order logs
+        # replay the seen-set delta (scheduled URLs) from crawl_order
+        # logs; the recorded (salted) routing shard keys the replay.
         for r in range(last_round + 1):
             tbl = pq.read_table(
                 os.path.join(self._round_dir(r), "crawl_order.parquet"),
-                columns=["url_sha1", "canon_url", "host_hash"],
+                columns=["url_sha1", "canon_url", "shard"],
             )
-            self.seen.restore_all(
+            self.frontier.restore_seen(
                 tbl.column("url_sha1").to_pylist(),
                 tbl.column("canon_url").to_pylist(),
-                tbl.column("host_hash").to_numpy(zero_copy_only=False),
+                tbl.column("shard").to_numpy(zero_copy_only=False),
             )
         self.next_round = last_round + 1
         return self.next_round
@@ -560,7 +611,7 @@ class CrawlEngine:
 
     def seen_table(self) -> pa.Table:
         """(url_sha1, canon_url) — the final URL-seen set."""
-        keys, urls = self.seen.snapshot_all()
+        keys, urls = self.frontier.snapshot_seen()
         return pa.table(
             {
                 "url_sha1": pa.array(keys, pa.binary(20)),

@@ -71,6 +71,7 @@ def _empty_poll_table() -> pa.Table:
             "priority": pa.array([], pa.int32()),
             "ok": pa.array([], pa.int64()),
             "fetch_time": pa.array([], pa.float64()),
+            "shard": pa.array([], pa.int32()),
         }
     )
 
@@ -81,15 +82,24 @@ class FrontierShard:
 
     def __init__(self, shard_id: int, num_shards: int,
                  robots: dict[str, float] | None = None,
-                 seen_shard=None) -> None:
+                 seen_shard=None, local_seen: bool = True) -> None:
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.crawl_delay = robots or {}   # host -> delay (seconds, logical)
         self.pending: list[pa.Table] = []  # columnar enqueue blocks
         self.next_time: dict[str, float] = {}
-        # Co-located seen shard (same host_hash % P partition): the
-        # schedule-time dedup probe is a LOCAL call, never a shuffle.
+        # Co-located seen state (same routing partition): held INSIDE
+        # this actor, so the schedule-time dedup probe is a plain
+        # method call — no cross-actor RPC, no key-list pickling.
+        # ``seen_shard`` (an external actor handle) is supported for
+        # the split deployment but costs a serialized round trip.
         self.seen_shard = seen_shard
+        if local_seen and seen_shard is None:
+            from .seen import SeenCore
+
+            self.seen = SeenCore(seed=42 + shard_id)
+        else:
+            self.seen = None
 
     def set_robots(self, delays: dict[str, float]) -> None:
         self.crawl_delay.update(delays)
@@ -132,33 +142,49 @@ class FrontierShard:
         self.pending = []
 
         # 1. shard-wide dedup by sha, keep first-discovered (min ok):
-        #    stable argsort by ok, then hash-based first-occurrence.
+        #    stable argsort by ok, then first-occurrence via np.unique
+        #    over a zero-copy void-20 view of the fixed-size binary
+        #    column — C memcmp sort, no Python bytes objects.
         ok = t.column("ok").to_numpy(zero_copy_only=False)
-        sha = t.column("url_sha1").to_numpy(zero_copy_only=False)
+        sha_arr = t.column("url_sha1")
+        if isinstance(sha_arr, pa.ChunkedArray):
+            sha_arr = sha_arr.combine_chunks()
+        raw = np.frombuffer(
+            sha_arr.buffers()[1], dtype=np.uint8
+        )[sha_arr.offset * 20:(sha_arr.offset + len(sha_arr)) * 20]
+        sha_v = raw.reshape(-1, 20).view(np.dtype((np.void, 20))).ravel()
         order = np.argsort(ok, kind="stable")
-        dup = pd.Series(sha[order], dtype=object).duplicated().to_numpy()
-        cand_idx = order[~dup]                       # in ok order
+        _, first = np.unique(sha_v[order], return_index=True)
+        cand_idx = order[np.sort(first)]             # in ok order
 
-        # 2. probe the co-located seen shard (test-and-mark, one RPC).
-        if self.seen_shard is not None and cand_idx.size:
+        # 2. probe the co-located seen state (test-and-mark, local).
+        if cand_idx.size and (self.seen is not None
+                              or self.seen_shard is not None):
             urls = t.column("canon_url").to_numpy(zero_copy_only=False)
-            new_mask = ray.get(
-                self.seen_shard.contains_and_add.remote(
-                    sha[cand_idx].tolist(), urls[cand_idx].tolist()
+            keys = [v.tobytes() for v in sha_v[cand_idx]]
+            us = urls[cand_idx].tolist()
+            if self.seen is not None:
+                new_mask = self.seen.contains_and_add(keys, us)
+            else:
+                new_mask = ray.get(
+                    self.seen_shard.contains_and_add.remote(keys, us)
                 )
-            )
             cand_idx = cand_idx[new_mask]
         if cand_idx.size == 0:
             return _empty_poll_table()
 
         # 3. politeness pacing, vectorized per host: survivors sorted
         #    (host, priority, ok); within-host rank i gets
-        #    fetch_time = next_time[host] + i * delay.
+        #    fetch_time = next_time[host] + i * delay.  Grouping runs
+        #    on the int64 host hash (np.unique in C); host STRINGS are
+        #    touched only once per unique host for the delay/clock maps.
         sub = t.take(pa.array(cand_idx, pa.int64()))
-        host_np = sub.column("host").to_numpy(zero_copy_only=False)
+        hh2 = sub.column("host_hash").to_numpy(zero_copy_only=False)
         prio = sub.column("priority").to_numpy(zero_copy_only=False)
         ok2 = sub.column("ok").to_numpy(zero_copy_only=False)
-        codes, uniq_hosts = pd.factorize(host_np)
+        uniq_hh, first_pos, codes = np.unique(
+            hh2, return_index=True, return_inverse=True
+        )
         order2 = np.lexsort((ok2, prio, codes))
         c_sorted = codes[order2]
         change = np.r_[True, c_sorted[1:] != c_sorted[:-1]]
@@ -166,6 +192,10 @@ class FrontierShard:
         grp_len = np.diff(np.r_[grp_start_pos, len(c_sorted)])
         rank = np.arange(len(c_sorted)) - np.repeat(grp_start_pos, grp_len)
 
+        host_col = sub.column("host")
+        uniq_hosts = [
+            host_col[int(i)].as_py() for i in first_pos
+        ]
         delays = np.array(
             [float(self.crawl_delay.get(h, 0.0)) for h in uniq_hosts]
         )
@@ -178,8 +208,47 @@ class FrontierShard:
                 self.next_time[uniq_hosts[gc]] = t0s[gc] + gl * delays[gc]
 
         out = sub.take(pa.array(order2, pa.int64()))
-        return out.append_column(
+        out = out.append_column(
             "fetch_time", pa.array(fetch_time, pa.float64())
+        )
+        # routing shard of every row IS this shard — carried so the
+        # fetch stage can pick the matching page partition without
+        # re-deriving the (salted) routing.
+        return out.append_column(
+            "shard",
+            pa.array(
+                np.full(out.num_rows, self.shard_id, dtype=np.int32),
+                pa.int32(),
+            ),
+        )
+
+    # -- two-phase poll (scale path) --------------------------------------
+    def poll_keys(self, round_no: int) -> pa.Table:
+        """Phase 1: poll, but return ONLY the numeric sort keys.
+
+        The full candidate table stays actor-side; the driver computes
+        the global round order from (fetch_time, priority, ok) of all
+        shards — ~20 bytes/row — then calls :meth:`finalize_round` with
+        this shard's global ranks.  The heavy string columns never pass
+        through the driver.
+        """
+        self._polled = self.poll_round(round_no)
+        return self._polled.select(["fetch_time", "priority", "ok"])
+
+    def finalize_round(self, seq: np.ndarray, round_no: int) -> pa.Table:
+        """Phase 2: append the globally-ranked ``seq`` + round columns
+        and return the complete block (one zero-copy object-store
+        entry, consumed directly by ``from_arrow_refs``)."""
+        t = self._polled
+        self._polled = None
+        t = t.append_column(
+            "seq", pa.array(np.asarray(seq, dtype=np.int64), pa.int64())
+        )
+        return t.append_column(
+            "round",
+            pa.array(
+                np.full(t.num_rows, round_no, dtype=np.int32), pa.int32()
+            ),
         )
 
     def pending_count(self) -> int:
@@ -217,6 +286,13 @@ class FrontierShard:
         with open(path, "rb") as f:
             self.restore(pickle.load(f))
 
+    # -- co-located seen state -------------------------------------------
+    def seen_snapshot(self):
+        return self.seen.snapshot() if self.seen is not None else ([], [])
+
+    def seen_restore(self, keys, urls) -> int:
+        return self.seen.restore(keys, urls) if self.seen is not None else 0
+
 
 class Frontier:
     """Driver-side handle over the frontier shard pool."""
@@ -237,14 +313,19 @@ class Frontier:
         return (np.asarray(host_hash, dtype=np.uint64)
                 % np.uint64(self.num_shards)).astype(np.int64)
 
-    def enqueue_table(self, tbl: pa.Table) -> int:
-        """Route a candidate table to shards by host hash (Arrow blocks
-        end-to-end; no python list marshalling)."""
+    def enqueue_table(self, tbl: pa.Table, shard=None) -> int:
+        """Route a candidate table to shards (Arrow blocks end-to-end).
+
+        ``shard`` is the per-row routing decision (salted: url-hash for
+        zero-delay hosts, host-hash for delayed ones — crawl.route_shard);
+        defaults to plain host-hash routing.
+        """
         if tbl.num_rows == 0:
             return 0
         tbl = tbl.select(list(PENDING_FIELDS))
-        hh = tbl.column("host_hash").to_numpy(zero_copy_only=False)
-        shard = self.shard_of(hh)
+        if shard is None:
+            hh = tbl.column("host_hash").to_numpy(zero_copy_only=False)
+            shard = self.shard_of(hh)
         futs = []
         for s in range(self.num_shards):
             idx = np.flatnonzero(shard == s)
@@ -276,6 +357,52 @@ class Frontier:
             tbl = tbl.take(order)
         return tbl
 
+    def poll_round_distributed(self, round_no: int, seq_base: int):
+        """Two-phase poll: numeric keys to the driver, global lexsort,
+        actor-side seq finalize.  Returns ``(block_refs, n, max_ft)``
+        where ``block_refs`` are per-shard Arrow tables (object refs,
+        ready for ``ray.data.from_arrow_refs``) already carrying dense
+        global ``seq`` in canonical order (fetch_time, priority, ok).
+        Driver critical path is one lexsort over ~20 B/row — no string
+        column is ever concatenated, sorted or re-put driver-side.
+        """
+        keys = ray.get(
+            [s.poll_keys.remote(round_no) for s in self.shards]
+        )
+        sizes = np.array([k.num_rows for k in keys], dtype=np.int64)
+        n = int(sizes.sum())
+        if n == 0:
+            # release the empty polled tables
+            ray.get([
+                s.finalize_round.remote(
+                    np.empty(0, dtype=np.int64), round_no
+                )
+                for s in self.shards
+            ])
+            return [], 0, 0.0
+        ft = np.concatenate(
+            [k.column("fetch_time").to_numpy(zero_copy_only=False)
+             for k in keys]
+        )
+        prio = np.concatenate(
+            [k.column("priority").to_numpy(zero_copy_only=False)
+             for k in keys]
+        )
+        ok = np.concatenate(
+            [k.column("ok").to_numpy(zero_copy_only=False) for k in keys]
+        )
+        order = np.lexsort((ok, prio, ft))
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = seq_base + np.arange(n, dtype=np.int64)
+        bounds = np.r_[0, np.cumsum(sizes)]
+        refs = [
+            s.finalize_round.remote(rank[bounds[i]:bounds[i + 1]],
+                                    round_no)
+            for i, s in enumerate(self.shards)
+        ]
+        nonempty = [r for r, sz in zip(refs, sizes) if sz > 0]
+        return nonempty, n, float(ft.max())
+
     def pending_total(self) -> int:
         return int(sum(ray.get(
             [s.pending_count.remote() for s in self.shards]
@@ -288,6 +415,30 @@ class Frontier:
         ray.get([
             s.restore.remote(st) for s, st in zip(self.shards, states)
         ])
+
+    def snapshot_seen(self) -> tuple[list[bytes], list[str]]:
+        """Exact seen keys/urls across all co-located seen states."""
+        keys: list[bytes] = []
+        urls: list[str] = []
+        for pair in ray.get(
+            [s.seen_snapshot.remote() for s in self.shards]
+        ):
+            keys.extend(pair[0])
+            urls.extend(pair[1])
+        return keys, urls
+
+    def restore_seen(self, keys: list[bytes], urls: list[str],
+                     shard: np.ndarray) -> None:
+        shard = np.asarray(shard, dtype=np.int64)
+        futs = []
+        for s in range(self.num_shards):
+            idx = np.flatnonzero(shard == s)
+            futs.append(
+                self.shards[s].seen_restore.remote(
+                    [keys[i] for i in idx], [urls[i] for i in idx]
+                )
+            )
+        ray.get(futs)
 
     def dump_to_dir(self, dirpath: str) -> None:
         import os

@@ -23,13 +23,41 @@ import ray
 from .cuckoo import CuckooFilter
 
 
-@ray.remote(num_cpus=0)
-class SeenShard:
-    """One shard of the URL-seen set."""
+class SeenCore:
+    """Shard-local seen-set state: cuckoo fast path + exact backing.
+
+    Used in two deployments: wrapped by the :class:`SeenShard` actor
+    (standalone pool), or held INSIDE a frontier shard actor (true
+    co-location — the schedule-time dedup probe is then a plain method
+    call with zero cross-actor serialization; SURVEY.md §2.3 T2/T3).
+    """
 
     def __init__(self, capacity: int = 1 << 18, seed: int = 42) -> None:
         self.filter = CuckooFilter(capacity, seed=seed)
         self.exact: dict[bytes, str] = {}  # sha1 -> canonical URL
+        self._seed = seed
+
+    def _ensure_capacity(self, extra: int) -> None:
+        """Grow the cuckoo filter before it saturates.
+
+        A cuckoo filter past ~90% load thrashes its eviction loop (a
+        single overloaded insert costs MAX_KICKS random kicks), so when
+        the incoming batch would push load past 0.85 the filter is
+        rebuilt at 2× from the exact backing keys — the classic
+        doubling amortization; at the 10^10 design point shards are
+        pre-sized from the frontier estimate and this is the safety
+        net, not the steady state.
+        """
+        need = len(self.exact) + extra
+        cap = self.filter.num_buckets * self.filter.SLOTS
+        if need <= 0.85 * cap:
+            return
+        new_cap = cap
+        while need > 0.85 * new_cap:
+            new_cap *= 2
+        rebuilt = CuckooFilter(int(new_cap * 0.95), seed=self._seed)
+        rebuilt.insert_batch(list(self.exact.keys()))
+        self.filter = rebuilt
 
     def contains_and_add(self, keys: list[bytes],
                          urls: list[str] | None = None) -> np.ndarray:
@@ -50,6 +78,7 @@ class SeenShard:
                 out[i] = False
         new_idx = np.flatnonzero(out)
         if new_idx.size:
+            self._ensure_capacity(int(new_idx.size))
             if urls is not None:
                 exact.update((keys[i], urls[i]) for i in new_idx)
             else:
@@ -69,6 +98,7 @@ class SeenShard:
         return list(self.exact.keys()), list(self.exact.values())
 
     def restore(self, keys: list[bytes], urls: list[str]) -> int:
+        self._ensure_capacity(len(keys))
         for k, u in zip(keys, urls):
             if k not in self.exact:
                 self.exact[k] = u
@@ -80,6 +110,11 @@ class SeenShard:
             "keys": len(self.exact),
             "filter_load": self.filter.load_factor,
         }
+
+
+@ray.remote(num_cpus=0)
+class SeenShard(SeenCore):
+    """Actor wrapper over :class:`SeenCore` (standalone shard pool)."""
 
 
 class SeenSet:
@@ -130,8 +165,10 @@ class SeenSet:
         return keys, urls
 
     def restore_all(self, keys: list[bytes], urls: list[str],
-                    host_hash: np.ndarray) -> None:
-        shard = self.shard_of(np.asarray(host_hash, dtype=np.uint64))
+                    shard: np.ndarray) -> None:
+        """Replay keys into shards; ``shard`` is the per-key routing
+        decision recorded in the crawl_order checkpoint (salted)."""
+        shard = np.asarray(shard, dtype=np.int64)
         futs = []
         for s in range(self.num_shards):
             idx = np.flatnonzero(shard == s)
