@@ -32,6 +32,7 @@ from whakoom_webscrapper_ray.pipelines import dataops as _do
 from whakoom_webscrapper_ray.pipelines import dedup as _dd
 from whakoom_webscrapper_ray.pipelines import interleaved as _il
 from whakoom_webscrapper_ray.pipelines import multimodal as _mm
+from whakoom_webscrapper_ray.pipelines import sinks as _sk
 from whakoom_webscrapper_ray.pipelines import text as _tx
 
 _CRAWL_CACHE: dict[str, Any] = {}
@@ -127,11 +128,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_junction": _crawl_table("junction"),
         "crawl_titles": _crawl_table("titles"),
         "crawl_doc_spans": _crawl_doc_spans,
+        "crawl_metrics": lambda sf_dir: _crawl()["engine"].metrics_rollup(),
+        "feed_export": _sk.feed_export,
         # ---- interleaved-documents span operators (SQL-oracled)
         "span_links": _il.span_links,
         "span_kind_counts": _il.span_kind_counts,
         # ---- text analysis
         "token_stats": _tx.token_stats,
+        "quality_score": _tx.quality_score,
         "langid": _tx.langid,
         "fingerprints": _tx.fingerprints,
         # ---- dedup family
@@ -166,6 +170,7 @@ def oracle_sql() -> dict[str, str]:
         "span_links": _il.ORACLE_SPAN_LINKS,
         "span_kind_counts": _il.ORACLE_SPAN_KIND_COUNTS,
         "token_stats": _tx.ORACLE_TOKEN_STATS,
+        "quality_score": _tx.ORACLE_QUALITY_SCORE,
         "exact_dedup": _dd.ORACLE_EXACT_DEDUP,
         "embedding_dups": _dd.ORACLE_EMBEDDING_DUPS,
         "ann_topk": _ann.oracle_ann_topk(),

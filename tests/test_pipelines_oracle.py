@@ -1,0 +1,93 @@
+"""DuckDB-oracle parity for the data-ops / training-data pipelines.
+
+Mirrors the driver's correctness gate locally at sf0.001: run the Ray
+pipeline and its ``oracle_sql()`` over the same parquet, compare row
+count, column names, and order-insensitive values exactly.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+# Fast-at-sf0.001 representatives of every pipeline family (crawl ops
+# are covered by test_crawl_conformance.py against the sequential
+# simulator instead).
+QUERIES = [
+    "span_links", "span_kind_counts",           # interleaved spans
+    "token_stats", "quality_score",             # text analysis
+    "exact_dedup", "embedding_dups",            # dedup family
+    "ann_topk",                                 # similarity search
+    "pricing_summary", "junction_min_position",  # relational aggs
+    "orders_by_month", "customers_no_big_orders",
+    "events_hourly", "sessionize", "latest_user_state",  # streaming
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def entry(ray_session):
+    import __ray_entry__ as E
+
+    return E
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_oracle_parity(entry, ddb, name):
+    res = canon(to_pandas(entry.queries()[name](SF_DIR)))
+    exp = canon(ddb.sql(entry.oracle_sql()[name]).df())
+    assert list(res.columns) == list(exp.columns)
+    assert len(res) == len(exp)
+    pd.testing.assert_frame_equal(res, exp, check_dtype=True)
+
+
+def test_feed_export_manifest(entry):
+    m = entry.queries()["feed_export"](SF_DIR).to_pandas()
+    assert set(m["format"]) == {"parquet", "json"}
+    assert (m["n_files"] > 0).all()
+    assert (m["n_bytes"] > 0).all()
+
+
+def test_media_features_schema(entry):
+    df = to_pandas(entry.queries()["media_features"](SF_DIR))
+    assert list(df.columns) == [
+        "doc_id", "n_bytes", "width", "height", "crc32"
+    ]
+    assert len(df) == 500
+    assert (df["width"] >= 16).all() and (df["height"] >= 16).all()

@@ -619,6 +619,50 @@ class CrawlEngine:
             }
         )
 
+    def metrics_table(self) -> pa.Table:
+        """Per-round metrics rows — the S5 append-only ``scraping_log``
+        analog (reference sqlmanager.py:266-302), one row per
+        (round, stage-counter) with durations; feeds the A4 rollup
+        (``GROUP BY stage`` over counts/durations)."""
+        rows: list[dict] = []
+        for st in self.round_stats:
+            for stage in ("scheduled", "fetched", "missing", "links",
+                          "candidates"):
+                rows.append(
+                    {
+                        "run_id": self.run_id,
+                        "round": st["round"],
+                        "stage": stage,
+                        "n": int(st[stage]),
+                        "round_sec": float(st["sec"]),
+                    }
+                )
+        if not rows:
+            return pa.table(
+                {"run_id": pa.array([], pa.string()),
+                 "round": pa.array([], pa.int64()),
+                 "stage": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64()),
+                 "round_sec": pa.array([], pa.float64())}
+            )
+        return pa.Table.from_pylist(rows)
+
+    def metrics_rollup(self) -> pa.Table:
+        """A4: metrics grouped by stage → total count + mean round sec
+        (a Ray Data groupby over the metrics side-channel)."""
+        ds = ray.data.from_arrow(self.metrics_table())
+        from ray.data.aggregate import Mean, Sum
+
+        out = (
+            ds.groupby("stage")
+            .aggregate(Sum("n", alias_name="total"),
+                       Mean("round_sec", alias_name="mean_round_sec"))
+            .to_pandas()
+            .sort_values("stage")
+            .reset_index(drop=True)
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def docs_dataset(self) -> ray.data.Dataset:
         """All fetched docs as a streaming Dataset (doc_id, spans, seq)."""
         import glob

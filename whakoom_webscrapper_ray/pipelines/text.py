@@ -67,6 +67,117 @@ FROM documents
 """
 
 
+# -------------------------------------------------------- quality score
+def _quality_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized quality heuristics over the flattened token stream.
+
+    All outputs are exact integers (pct = floor(100·num/den)) so the
+    DuckDB oracle compares bit-for-bit — no float tolerance games.
+    """
+    import pandas as pd
+
+    words = pc.split_pattern(batch["text"], " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = pc.list_flatten(words)
+    parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    n_tokens = pc.list_value_length(words).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    n_chars = pc.utf8_length(batch["text"]).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+
+    toks = pd.Series(flat.to_pylist(), dtype=object)
+    codes, _ = pd.factorize(toks)
+    df = pd.DataFrame({"p": parent, "t": codes})
+    per_tok = df.groupby(["p", "t"], sort=False).size()
+    by_doc = per_tok.groupby(level=0)
+    n_rows = batch.num_rows
+    n_unique = np.zeros(n_rows, dtype=np.int64)
+    max_rep = np.zeros(n_rows, dtype=np.int64)
+    sizes = by_doc.size()
+    n_unique[sizes.index.to_numpy()] = sizes.to_numpy()
+    mx = by_doc.max()
+    max_rep[mx.index.to_numpy()] = mx.to_numpy()
+
+    is_stop = toks.isin(STOPWORDS).to_numpy()
+    n_stop = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(n_stop, parent[is_stop], 1)
+
+    den = np.maximum(n_tokens, 1)
+    stop_pct = 100 * n_stop // den
+    uniq_pct = 100 * n_unique // den
+    rep_pct = 100 * max_rep // den
+    # letters only: tokens are single-space-joined, so spaces = n_tokens-1
+    letters = n_chars - np.maximum(n_tokens - 1, 0)
+    mean_len_x100 = 100 * letters // den
+    ok = (
+        (n_tokens >= 5)
+        & (stop_pct <= 60)
+        & (uniq_pct >= 20)
+        & (rep_pct <= 40)
+        & (mean_len_x100 >= 200)
+        & (mean_len_x100 <= 1200)
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "stop_pct": pa.array(stop_pct, pa.int64()),
+            "uniq_pct": pa.array(uniq_pct, pa.int64()),
+            "rep_pct": pa.array(rep_pct, pa.int64()),
+            "mean_len_x100": pa.array(mean_len_x100, pa.int64()),
+            "quality_ok": pa.array(ok, pa.bool_()),
+        }
+    )
+
+
+def quality_score(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_tokens, stop_pct, uniq_pct, rep_pct, mean_len_x100,
+    quality_ok) — the quality-scoring stage of a training-data pipeline
+    (stopword ratio, lexical diversity, repetition, mean token length),
+    single-pass map_batches, no shuffle."""
+    return read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        _quality_batch, batch_format="pyarrow"
+    )
+
+
+ORACLE_QUALITY_SCORE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+per AS (
+  SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id,
+         sum(c) AS n_tokens,
+         count(*) AS n_unique,
+         max(c) AS max_rep,
+         coalesce(sum(c) FILTER (
+             WHERE list_contains({list(STOPWORDS)}, tok)), 0) AS n_stop
+  FROM per GROUP BY 1
+),
+base AS (
+  SELECT d.doc_id,
+         CAST(a.n_tokens AS BIGINT) AS n_tokens,
+         CAST(100 * a.n_stop // a.n_tokens AS BIGINT) AS stop_pct,
+         CAST(100 * a.n_unique // a.n_tokens AS BIGINT) AS uniq_pct,
+         CAST(100 * a.max_rep // a.n_tokens AS BIGINT) AS rep_pct,
+         CAST(100 * (length(d.text) - greatest(a.n_tokens - 1, 0))
+             // a.n_tokens AS BIGINT) AS mean_len_x100
+  FROM documents d JOIN agg a USING (doc_id)
+)
+SELECT doc_id, n_tokens, stop_pct, uniq_pct, rep_pct, mean_len_x100,
+       (n_tokens >= 5 AND stop_pct <= 60 AND uniq_pct >= 20
+        AND rep_pct <= 40 AND mean_len_x100 BETWEEN 200 AND 1200)
+           AS quality_ok
+FROM base
+"""
+
+
 # --------------------------------------------------------------- langid
 class LangIdModel:
     """Character-n-gram language classifier (actor-pool stage).
