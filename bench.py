@@ -166,7 +166,10 @@ def main() -> None:
         # processes, 2 trials per size (best-of to damp host CPU-steal
         # noise on this shared box).  Reports whole-crawl efficiency
         # AND steady-state (URL-dominant round) efficiency.
-        pair = (2, 8)
+        pair = tuple(
+            int(x) for x in
+            os.environ.get("WKM_SCALING_PAIR", "8,32").split(",")
+        )
         trials = 1
         results = {}
         for cpus in pair:

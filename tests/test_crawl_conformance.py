@@ -123,6 +123,20 @@ def test_titles_equality(engine_run, small_golden):
         assert g["url"] == w["url"]
 
 
+def test_title_metadata_equality(engine_run, small_golden):
+    """The spec'd title_metadata table (reference README.md:79-110 /
+    001_initial_schema.sql:63-79; persistence unimplemented there)."""
+    eng, _ = engine_run
+    tables = getattr(eng, "_finalized", None) or eng.finalize_tables()
+    got = {r["title_id"]: r for r in tables["title_metadata"].to_pylist()}
+    assert set(got) == set(small_golden.metadata_out)
+    for tid, w in small_golden.metadata_out.items():
+        g = got[tid]
+        assert g["name"] == w["name"]
+        assert g["cover_ref"] == w["cover_ref"]
+        assert g["synopsis"] == w["synopsis"]
+
+
 def test_robots_disallow_nowhere(engine_run, small_web):
     """Disallowed URLs are in neither seen nor output (FIXTURES.md §3)."""
     eng, _ = engine_run
@@ -147,9 +161,9 @@ def test_politeness_spacing(engine_run, small_web, small_golden):
     assert delayed
     parts = []
     for r in range(eng.next_round):
-        p = os.path.join(eng._round_dir(r), "crawl_order.parquet")
-        if os.path.exists(p):
-            parts.append(pq.read_table(p))
+        t = eng._order_table(r)
+        if t is not None:
+            parts.append(t)
     full = pa.concat_tables(parts)
     for h in delayed:
         sub = full.filter(pc.equal(full["host"], h)).sort_by("fetch_time")

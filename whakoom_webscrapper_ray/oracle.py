@@ -35,7 +35,7 @@ from .functions.canonicalize import (
     user_profile_of,
 )
 from .functions.robots import RobotsRules
-from .stages.extract import LIST_RE, PROFILE_RE
+from .stages.extract import LIST_RE, PROFILE_RE, TITLE_RE
 import re
 
 OK_SHIFT = 20  # must match state/frontier.py
@@ -49,6 +49,7 @@ class OracleResult:
     lists_out: dict[int, dict]                             # list_id -> row
     junction_out: dict[tuple[int, int], int]               # (lid,tid)->pos
     titles_out: dict[int, dict]                            # title_id -> row
+    metadata_out: dict[int, dict]                          # title_id -> row
     close_time: float = 0.0
     fetch_log: list[tuple[str, str]] = field(default_factory=list)
 
@@ -69,6 +70,7 @@ def run_oracle(
     rules = RobotsRules.from_table(robots)
     profile_re = re.compile(PROFILE_RE)
     list_re = re.compile(LIST_RE)
+    title_re = re.compile(TITLE_RE)
 
     seed_rows = sorted(
         zip(
@@ -91,6 +93,7 @@ def run_oracle(
     lists_out: dict[int, dict] = {}
     junction: dict[tuple[int, int], int] = {}
     titles_out: dict[int, dict] = {}
+    metadata_out: dict[int, dict] = {}
     fetch_log: list[tuple[str, str]] = []
 
     # candidates for the current round: (priority, ok, canon, sha, host)
@@ -196,6 +199,24 @@ def run_oracle(
                             "scraped_at": ft,
                         }
 
+            # ---- title-metadata spec on title leaf pages (the
+            #      reference SPEC's title_metadata table,
+            #      001_initial_schema.sql:63-79; persistence
+            #      unimplemented in the reference pipeline)
+            if title_re.match(canon):
+                tid = id_from_url(canon)
+                if tid is not None:
+                    row = {"title_id": tid, "name": "", "cover_ref": "",
+                           "synopsis": ""}
+                    for sp in spans:
+                        if sp["kind"] == "heading" and not row["name"]:
+                            row["name"] = sp["text"]
+                        elif sp["kind"] == "image" and not row["cover_ref"]:
+                            row["cover_ref"] = sp["media_ref"]
+                        elif sp["kind"] == "text" and not row["synopsis"]:
+                            row["synopsis"] = sp["text"]
+                    metadata_out[tid] = row
+
             # ---- title links on list pages (publications semantics)
             if list_re.match(canon):
                 lid = id_from_url(canon)
@@ -238,6 +259,7 @@ def run_oracle(
         lists_out=lists_out,
         junction_out=junction,
         titles_out=titles_out,
+        metadata_out=metadata_out,
         close_time=close_time,
         fetch_log=fetch_log,
     )

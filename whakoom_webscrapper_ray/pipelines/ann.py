@@ -21,6 +21,25 @@ import ray.data
 from .common import read
 
 
+
+def emb_matrix(col) -> np.ndarray:
+    """list<float> column → (n, dim) float64 matrix, zero-copy flatten.
+
+    ``to_pylist`` materializes n·dim Python floats; flattening the Arrow
+    child array instead is one C memcpy + reshape.
+    """
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    if isinstance(col, _pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = _pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    return flat.astype(np.float64, copy=False).reshape(n, -1)
+
+
 def _load_queries(sf_dir: str, num_queries: int):
     """First ``num_queries`` vectors by vec_id — the fixed query set."""
     import pyarrow.parquet as pq
@@ -31,8 +50,8 @@ def _load_queries(sf_dir: str, num_queries: int):
         table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
     )
     t = t.sort_by("vec_id").slice(0, num_queries)
-    qids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-    qmat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    qids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    qmat = emb_matrix(t["embedding"])
     qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     return qids, qmat
 
@@ -45,8 +64,10 @@ class _TopKScorer:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        mat = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        mat = emb_matrix(batch["embedding"])
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         sims = self.qmat @ mat.T                      # (Q, batch)
         k = min(self.k, sims.shape[1])
@@ -139,8 +160,12 @@ def ann_ivf(sf_dir: str, k: int = 10, num_queries: int = 8,
     qids, qmat = _load_queries(sf_dir, num_queries)
 
     emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    sample = pa.concat_tables([ray.get(r) for r in emb.to_arrow_refs()])
-    mat = np.asarray(sample["embedding"].to_pylist(), dtype=np.float64)
+    # centroids from a bounded deterministic sample (first rows by
+    # storage order) — at 100 TB the trainer never sees the full corpus.
+    sample = pa.concat_tables(
+        [ray.get(r) for r in emb.limit(16384).to_arrow_refs()]
+    )
+    mat = emb_matrix(sample["embedding"])
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     cent = _kmeans(mat, min(n_centroids, len(mat)))
 
@@ -154,8 +179,10 @@ def ann_ivf(sf_dir: str, k: int = 10, num_queries: int = 8,
             self.k = k
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-            m = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            m = emb_matrix(batch["embedding"])
             m = m / np.linalg.norm(m, axis=1, keepdims=True)
             bucket = np.argmax(m @ self.cent.T, axis=1)
             sims = self.qmat @ m.T

@@ -51,6 +51,7 @@ from ..stages.extract import (
     PROFILE_RE,
     extract_profile_sections,
     extract_title_links,
+    extract_title_metadata,
     ids_from_url_tail,
     rank_positions,
 )
@@ -169,6 +170,9 @@ class LinkRouter:
             self.delayed,
             self.num_shards,
         )
+        import time as _t
+
+        _t0 = _t.perf_counter()
         futs = []
         for s in range(self.num_shards):
             sel = np.flatnonzero(shard_of == s)
@@ -179,7 +183,15 @@ class LinkRouter:
                     cand_tbl.take(pa.array(sel, pa.int64()))
                 )
             )
+        _t1 = _t.perf_counter()
         ray.get(futs)  # enqueues must land before the next poll
+        if os.environ.get("WKM_PROF") == "time":
+            import sys
+
+            print(f"[rt] n={batch.num_rows} links={idx.size} "
+                  f"submit={_t1 - _t0:.2f} "
+                  f"wait={_t.perf_counter() - _t1:.2f}",
+                  file=sys.stderr, flush=True)
         summary["candidates"] = [int(chosen.size)]
         return pa.table(summary)
 
@@ -323,6 +335,43 @@ def _route_batch(batch: pa.Table, engine_key=None, rules_ref=None,
     story, settings.py:132).
     """
     min_seq = int(pc.min(batch["seq"]).as_py())
+    if os.environ.get("WKM_PROF") == "time":
+        import sys
+        import time as _t
+
+        t0 = _t.perf_counter()
+        pq.write_table(
+            batch, os.path.join(docs_dir, f"part-{min_seq:010d}.parquet")
+        )
+        t1 = _t.perf_counter()
+        router = _worker_router(engine_key, rules_ref, allowed, shards)
+        out = router(batch)
+        print(f"[rb] rows={batch.num_rows} write={t1 - t0:.2f} "
+              f"route={_t.perf_counter() - t1:.2f}",
+              file=sys.stderr, flush=True)
+        return out
+    if os.environ.get("WKM_PROF"):
+        import cProfile
+        import time as _t
+
+        t0 = _t.perf_counter()
+        pq.write_table(
+            batch, os.path.join(docs_dir, f"part-{min_seq:010d}.parquet")
+        )
+        t_write = _t.perf_counter() - t0
+        router = _worker_router(engine_key, rules_ref, allowed, shards)
+        prof = cProfile.Profile()
+        prof.enable()
+        out = router(batch)
+        prof.disable()
+        import pstats
+        import sys
+
+        print(f"[prof] rows={batch.num_rows} write={t_write:.2f}",
+              file=sys.stderr, flush=True)
+        pstats.Stats(prof, stream=sys.stderr).sort_stats(
+            "cumulative").print_stats(8)
+        return out
     pq.write_table(
         batch, os.path.join(docs_dir, f"part-{min_seq:010d}.parquet")
     )
@@ -389,6 +438,22 @@ class CrawlEngine:
     def _manifest_path(self) -> str:
         return os.path.join(self.checkpoint_dir, "manifest.json")
 
+    def _order_files(self, rnd: int) -> list[str]:
+        """Crawl-order parquet parts for a round (per-shard files)."""
+        import glob
+
+        return sorted(
+            glob.glob(
+                os.path.join(self._round_dir(rnd), "crawl_order*.parquet")
+            )
+        )
+
+    def _order_table(self, rnd: int) -> pa.Table | None:
+        files = self._order_files(rnd)
+        if not files:
+            return None
+        return pa.concat_tables(pq.read_table(f) for f in files)
+
     # -------------------------------------------------------------- seed
     def seed(self) -> int:
         """Canonicalize + filter the seed list and enqueue it (round 0)."""
@@ -436,8 +501,11 @@ class CrawlEngine:
         # actor-side and the candidate blocks go straight from shard
         # actors into the Dataset (from_arrow_refs — zero driver
         # copies, zero re-puts).
+        os.makedirs(self._round_dir(rnd), exist_ok=True)
+        # Per-shard crawl_order parts are written by the shard actors
+        # themselves during finalize (parallel, no driver concat/sort).
         refs, n, max_ft = self.frontier.poll_round_distributed(
-            rnd, self.global_seq
+            rnd, self.global_seq, order_dir=self._round_dir(rnd)
         )
         _t_poll = _time.perf_counter() - _t0
         if n == 0:
@@ -445,33 +513,20 @@ class CrawlEngine:
         self.global_seq += n
         self.max_fetch_time = max(self.max_fetch_time, max_ft)
 
-        os.makedirs(self._round_dir(rnd), exist_ok=True)
-        # crawl_order write overlaps the round pipeline (file IO holds
-        # no locks the pipeline needs); joined before the checkpoint
-        # manifest records the round as complete.
-        import threading
-
-        def _write_order(refs=refs, path=os.path.join(
-                self._round_dir(rnd), "crawl_order.parquet")):
-            full = pa.concat_tables(ray.get(list(refs))).sort_by("seq")
-            pq.write_table(full, path)
-
-        wo_thread = threading.Thread(target=_write_order)
-        wo_thread.start()
-
         # ---- data plane: ONE streaming pipeline per round.
         # fetch → side-write docs partition → extract+route, fused: no
         # disk barrier between fetch and extract, no per-round actor
         # pool startup (worker-memoized broadcast state instead), docs
         # still checkpointed per batch for resume.  Blocks are the
-        # per-shard candidate tables (shard-pure by construction).
+        # per-shard candidate tables (shard-pure by construction);
+        # batch = WHOLE BLOCK by default so the route stage's enqueue
+        # fan-out (one RPC per frontier shard) happens once per task,
+        # not once per small batch.
         docs_dir = self._docs_dir(rnd)
         os.makedirs(docs_dir, exist_ok=True)
-        batch_size = self.batch_size or int(
-            np.clip(n // (4 * self._cpus), 256, 16384)
-        )
+        batch_size = self.batch_size or None
         _t1 = _time.perf_counter()
-        summaries = (
+        ds = (
             ray.data.from_arrow_refs(list(refs))
             .map_batches(
                 _fetch_batch,
@@ -491,11 +546,12 @@ class CrawlEngine:
                 batch_size=batch_size,
                 batch_format="pyarrow",
             )
-            .take_all()  # tiny per-batch count rows
         )
+        summaries = ds.take_all()  # tiny per-batch count rows
+        if _trace == "stats":
+            print(ds.stats(), flush=True)
 
         _t_pipe = _time.perf_counter() - _t1
-        wo_thread.join()
         if _trace:
             print(f"[round {rnd}] n={n} bs={batch_size} "
                   f"poll={_t_poll:.2f} prep={_t1 - _t0 - _t_poll:.2f} "
@@ -547,15 +603,15 @@ class CrawlEngine:
         # replay the seen-set delta (scheduled URLs) from crawl_order
         # logs; the recorded (salted) routing shard keys the replay.
         for r in range(last_round + 1):
-            tbl = pq.read_table(
-                os.path.join(self._round_dir(r), "crawl_order.parquet"),
-                columns=["url_sha1", "canon_url", "shard"],
-            )
-            self.frontier.restore_seen(
-                tbl.column("url_sha1").to_pylist(),
-                tbl.column("canon_url").to_pylist(),
-                tbl.column("shard").to_numpy(zero_copy_only=False),
-            )
+            for f in self._order_files(r):
+                tbl = pq.read_table(
+                    f, columns=["url_sha1", "canon_url", "shard"]
+                )
+                self.frontier.restore_seen(
+                    tbl.column("url_sha1").to_pylist(),
+                    tbl.column("canon_url").to_pylist(),
+                    tbl.column("shard").to_numpy(zero_copy_only=False),
+                )
         self.next_round = last_round + 1
         return self.next_round
 
@@ -584,13 +640,10 @@ class CrawlEngine:
     def crawl_order(self) -> pa.Table:
         """(seq, url, host, round) over all rounds, seq-ordered."""
         parts = [
-            pq.read_table(
-                os.path.join(self._round_dir(r), "crawl_order.parquet")
-            )
+            t
             for r in range(self.next_round)
-            if os.path.exists(
-                os.path.join(self._round_dir(r), "crawl_order.parquet")
-            )
+            for t in [self._order_table(r)]
+            if t is not None
         ]
         if not parts:
             return pa.table(
@@ -856,8 +909,27 @@ class CrawlEngine:
             }
         )
 
+        # ---- title_metadata: leaf-page spec extraction (each title page
+        # is fetched exactly once — dedup guaranteed upstream — so this
+        # is a pure map, no shuffle; sort only for stable output).
+        meta_pdf = (
+            docs.map_batches(extract_title_metadata, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("title_id")
+            .reset_index(drop=True)
+        )
+        metadata_out = pa.table(
+            {
+                "title_id": pa.array(meta_pdf["title_id"], pa.int64()),
+                "name": pa.array(meta_pdf["name"], pa.string()),
+                "cover_ref": pa.array(meta_pdf["cover_ref"], pa.string()),
+                "synopsis": pa.array(meta_pdf["synopsis"], pa.string()),
+            }
+        )
+
         return {
             "lists": lists_out,
             "junction": junction_out,
             "titles": titles_out,
+            "title_metadata": metadata_out,
         }

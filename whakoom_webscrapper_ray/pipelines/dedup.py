@@ -76,12 +76,31 @@ GROUP BY md5(text)
 
 
 # ----------------------------------------------------------- shingles
+_GRAM_MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
+
+
+def shingle_hashes_from_th(th: np.ndarray, k: int = 3) -> np.ndarray:
+    """Shingle (word-k-gram) hashes from a doc's token-hash array.
+
+    Gram hash = positional mix of k consecutive token hashes — pure
+    numpy slicing, no gram-string construction.  Shorter-than-k docs
+    hash their whole token sequence.
+    """
+    with np.errstate(over="ignore"):
+        if th.size < k:
+            g = np.uint64(0)
+            for i in range(th.size):
+                g = g * _GRAM_MIX + th[i]
+            return np.array([g], dtype=np.uint64)
+        g = np.zeros(th.size - k + 1, dtype=np.uint64)
+        for j in range(k):
+            g = g * _GRAM_MIX + th[j:th.size - k + 1 + j]
+        return np.unique(g)
+
+
 def shingle_hashes(tokens: list[str], k: int = 3) -> np.ndarray:
     """Hashes of word k-grams (padded doc if shorter than k)."""
-    if len(tokens) < k:
-        return token_hashes([" ".join(tokens)])
-    grams = [" ".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)]
-    return np.unique(token_hashes(grams))
+    return shingle_hashes_from_th(token_hashes(tokens), k)
 
 
 # MinHash permutation parameters: h_i(x) = (a_i * x + b_i) mod p, fixed
@@ -117,11 +136,18 @@ class MinHasher:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        words = pc.split_pattern(batch["text"], " ").to_pylist()
+        from .text import _split_flat
+
+        th, starts, lens = _split_flat(batch)
+        bounds = np.r_[starts, th.size]
         sigs = np.stack(
             [
-                minhash_signature(shingle_hashes(ws, self.k), self.a, self.b)
-                for ws in words
+                minhash_signature(
+                    shingle_hashes_from_th(th[bounds[i]:bounds[i + 1]],
+                                           self.k),
+                    self.a, self.b,
+                )
+                for i in range(batch.num_rows)
             ]
         )
         return pa.table(
@@ -181,6 +207,32 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, num_bands: int = 16,
 
     import pandas as pd
 
+    # Almost every LSH bucket is a singleton; running a Python
+    # map_groups over all of them pays per-group overhead ~N times.
+    # Instead: (1) tiny count-aggregate finds bucket keys with >= 2
+    # members, (2) that small key set is broadcast and probed inside
+    # map_batches (the seen-set anti-join pattern), (3) pair generation
+    # runs only over the surviving rows.
+    bands_mat = bands.materialize()
+    hot = (
+        bands_mat.groupby(["band", "band_key"])
+        .aggregate(Count(alias_name="n"))
+        .filter(expr="n >= 2")
+    )
+    hot_keys = frozenset(
+        (r["band"], r["band_key"]) for r in hot.take_all()
+    )
+    hot_ref = ray.put(hot_keys)
+
+    def keep_hot(b: pa.Table, hot=None) -> pa.Table:
+        from .common import deref
+
+        keys = deref(hot)
+        bnd = b["band"].to_pylist()
+        bk = b["band_key"].to_pylist()
+        mask = pa.array([(x, y) in keys for x, y in zip(bnd, bk)])
+        return b.filter(mask)
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(g["doc_id"].tolist()))
         pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
@@ -192,7 +244,10 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, num_bands: int = 16,
         )
 
     cand = (
-        bands.groupby(["band", "band_key"])
+        bands_mat.map_batches(
+            keep_hot, fn_kwargs={"hot": hot_ref}, batch_format="pyarrow"
+        )
+        .groupby(["band", "band_key"])
         .map_groups(bucket_pairs, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_bands"))
@@ -257,17 +312,24 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, num_bands: int = 16,
 
 # ------------------------------------------------------------ simhash
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    words = pc.split_pattern(batch["text"], " ").to_pylist()
-    out = np.empty(len(words), dtype=np.uint64)
-    for i, ws in enumerate(words):
-        hs = token_hashes(ws)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1)).astype(np.int32)
-        votes = (2 * bits - 1).sum(axis=0)
-        sh = np.uint64(0)
-        for b in np.flatnonzero(votes > 0):
-            sh |= np.uint64(1) << np.uint64(b)
-        out[i] = sh
+    """Whole-batch vectorized simhash: flat token-bit matrix, per-doc
+    bit votes via ``np.add.reduceat``, no per-row Python loop."""
+    from .text import _split_flat
+
+    th, starts, lens = _split_flat(batch)
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    bits = ((th[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+    votes = (
+        np.add.reduceat(bits, starts, axis=0)
+        if th.size
+        else np.zeros((0, 64), dtype=np.int32)
+    )
+    # majority bit: set where ones outnumber zeros (2·ones > n_tokens)
+    mask = (2 * votes) > lens[:, None]
+    with np.errstate(over="ignore"):
+        out = (mask.astype(np.uint64) << shifts).sum(
+            axis=1, dtype=np.uint64
+        )
     return pa.table(
         {
             "doc_id": batch["doc_id"],
@@ -354,10 +416,12 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.45
     self-join with list_cosine_similarity.  Scale path: IVF-bucket the
     vectors first (see ann.ivf_bucketed) so the matmul is per-bucket.
     """
+    from .ann import emb_matrix
+
     emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     full = pa.concat_tables([ray.get(r) for r in emb.to_arrow_refs()])
-    ids = np.asarray(full["vec_id"].to_pylist(), dtype=np.int64)
-    mat = np.asarray(full["embedding"].to_pylist(), dtype=np.float64)
+    ids = full["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = emb_matrix(full["embedding"])
     norms = np.linalg.norm(mat, axis=1)
     mat_ref = ray.put((ids, mat, norms))
 
@@ -367,10 +431,12 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.45
             self.threshold = threshold
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            bids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-            bmat = np.asarray(
-                batch["embedding"].to_pylist(), dtype=np.float64
+            from .ann import emb_matrix as _em
+
+            bids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(
+                np.int64
             )
+            bmat = _em(batch["embedding"])
             bnorms = np.linalg.norm(bmat, axis=1)
             sims = (bmat @ self.mat.T) / np.outer(bnorms, self.norms)
             ii, jj = np.nonzero(

@@ -244,28 +244,53 @@ FP_SEED = np.uint64(14695981039346656037)
 _MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-def _token_hash(tok: str) -> int:
-    """FNV-1a 64-bit over utf-8 bytes — deterministic across processes."""
-    h = 14695981039346656037
-    for b in tok.encode("utf-8"):
-        h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
-    return h
+def token_hashes(ws: list[str] | np.ndarray) -> np.ndarray:
+    """Vectorized uint64 token hashes, deterministic across processes.
+
+    ``pandas.util.hash_array`` (SipHash-1-3 with a fixed key) hashes the
+    whole array in C — replacing a per-character Python FNV loop that
+    dominated every hashing operator's profile.
+    """
+    import pandas as pd
+
+    arr = np.asarray(ws, dtype=object)
+    if arr.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(arr).astype(np.uint64)
 
 
-def token_hashes(ws: list[str]) -> np.ndarray:
-    return np.array([_token_hash(w) for w in ws], dtype=np.uint64)
+def _split_flat(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """text column → (flat token hashes, doc start offsets, doc lengths)."""
+    words = pc.split_pattern(batch["text"], " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = pc.list_flatten(words).to_numpy(zero_copy_only=False)
+    offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    th = token_hashes(flat)
+    return th, offs[:-1], np.diff(offs)
 
 
 def _fingerprint_batch(batch: pa.Table) -> pa.Table:
-    """Rolling polynomial hash over token hashes (Karp–Rabin style)."""
-    words = pc.split_pattern(batch["text"], " ").to_pylist()
-    fps = np.empty(len(words), dtype=np.uint64)
+    """Rolling polynomial hash over token hashes (Karp–Rabin style).
+
+    h = SEED·Bⁿ + Σ th[i]·B^(n-1-i) (mod 2⁶⁴) — evaluated for the whole
+    batch with one power table + one ``np.add.reduceat``, no row loop.
+    """
+    th, starts, lens = _split_flat(batch)
+    max_len = int(lens.max()) if lens.size else 0
     with np.errstate(over="ignore"):
-        for i, ws in enumerate(words):
-            h = FP_SEED
-            for th in token_hashes(ws):
-                h = (h * FP_BASE + th) & _MASK
-            fps[i] = h
+        pows = np.empty(max_len + 1, dtype=np.uint64)
+        pows[0] = np.uint64(1)
+        np.multiply.accumulate(
+            np.full(max_len, FP_BASE, dtype=np.uint64), out=pows[1:]
+        )
+        pos = np.arange(th.size, dtype=np.int64) - np.repeat(starts, lens)
+        exp = np.repeat(lens, lens) - 1 - pos
+        contrib = th * pows[exp]
+        fps = np.add.reduceat(contrib, starts) if th.size else np.empty(
+            0, dtype=np.uint64
+        )
+        fps = fps + FP_SEED * pows[lens]
     return pa.table(
         {
             "doc_id": batch["doc_id"],

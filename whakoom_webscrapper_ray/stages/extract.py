@@ -29,6 +29,7 @@ import pyarrow.compute as pc
 
 PROFILE_RE = r"^https?://[^/]+/[^/]+/lists/?$"
 LIST_RE = r"^https?://[^/]+/[^/]+/lists/.+_[0-9]+/?$"
+TITLE_RE = r"^https?://[^/]+/comics/.+_[0-9]+/?$"
 
 _INT_TAIL = re.compile(r"_([0-9]+)/?$")
 
@@ -205,6 +206,69 @@ def extract_profile_sections(batch: pa.Table) -> pa.Table:
         doc_col = doc_col.combine_chunks()
     masks = classify_pages(doc_col)
     return extract_sections(batch.filter(pa.array(masks["profile"])))
+
+
+def extract_title_metadata(batch: pa.Table) -> pa.Table:
+    """Metadata rows from TITLE (leaf) pages, vectorized.
+
+    The reference SPEC persists per-title metadata (README.md:79-110,
+    migrations 001_initial_schema.sql:63-79) but its pipeline never
+    implements the write (pipelines.py:161-205 only log) — the engine
+    implements the spec: per title page take the FIRST ``heading``
+    span's text as the display name, the FIRST ``image`` span's
+    media_ref as the cover, and the FIRST ``text`` span's text as the
+    synopsis, all in document (offset) order.
+
+    Output: (title_id, name, cover_ref, synopsis), one row per title
+    page in the batch.
+    """
+    doc_col = batch.column("doc_id")
+    if isinstance(doc_col, pa.ChunkedArray):
+        doc_col = doc_col.combine_chunks()
+    keep = pc.match_substring_regex(doc_col, TITLE_RE)
+    sub = batch.filter(keep)
+    empty = pa.table(
+        {
+            "title_id": pa.array([], pa.int64()),
+            "name": pa.array([], pa.string()),
+            "cover_ref": pa.array([], pa.string()),
+            "synopsis": pa.array([], pa.string()),
+        }
+    )
+    if sub.num_rows == 0:
+        return empty
+    parent, f = _flatten_spans(sub)
+    kinds = f["kind"].to_numpy(zero_copy_only=False)
+
+    def first_per_doc(mask: np.ndarray, values: pa.Array) -> np.ndarray:
+        """values[first flat index per doc row] (spans offset-ordered)."""
+        out = np.full(sub.num_rows, "", dtype=object)
+        idx = np.flatnonzero(mask)
+        if idx.size:
+            docs, firsts = np.unique(parent[idx], return_index=True)
+            vals = values.take(pa.array(idx[firsts])).to_pylist()
+            out[docs] = ["" if v is None else v for v in vals]
+        return out
+
+    sub_doc = sub.column("doc_id")
+    if isinstance(sub_doc, pa.ChunkedArray):
+        sub_doc = sub_doc.combine_chunks()
+    tids = ids_from_url_tail(sub_doc)
+    out = pa.table(
+        {
+            "title_id": tids,
+            "name": pa.array(
+                first_per_doc(kinds == "heading", f["text"]), pa.string()
+            ),
+            "cover_ref": pa.array(
+                first_per_doc(kinds == "image", f["media_ref"]), pa.string()
+            ),
+            "synopsis": pa.array(
+                first_per_doc(kinds == "text", f["text"]), pa.string()
+            ),
+        }
+    )
+    return out.filter(pc.is_valid(tids))
 
 
 def rank_positions(tbl: pa.Table, group_col: str = "list_id",

@@ -136,10 +136,18 @@ class FrontierShard:
         vectorized; returns one Arrow table (zero-copy to the driver's
         round merge).
         """
+        import os as _os
+        import time as _tm
+        _trace = _os.environ.get("WKM_POLL_TIMING")
+        _t0 = _tm.perf_counter()
+        _c0 = _tm.process_time()
+        import resource as _rs
+        _r0 = _rs.getrusage(_rs.RUSAGE_SELF)
         if not self.pending:
             return _empty_poll_table()
         t = pa.concat_tables(self.pending).combine_chunks()
         self.pending = []
+        _t1 = _tm.perf_counter()
 
         # 1. shard-wide dedup by sha, keep first-discovered (min ok):
         #    stable argsort by ok, then first-occurrence via np.unique
@@ -156,6 +164,7 @@ class FrontierShard:
         order = np.argsort(ok, kind="stable")
         _, first = np.unique(sha_v[order], return_index=True)
         cand_idx = order[np.sort(first)]             # in ok order
+        _t2 = _tm.perf_counter()
 
         # 2. probe the co-located seen state (test-and-mark, local).
         if cand_idx.size and (self.seen is not None
@@ -170,6 +179,7 @@ class FrontierShard:
                     self.seen_shard.contains_and_add.remote(keys, us)
                 )
             cand_idx = cand_idx[new_mask]
+        _t3 = _tm.perf_counter()
         if cand_idx.size == 0:
             return _empty_poll_table()
 
@@ -211,6 +221,23 @@ class FrontierShard:
         out = out.append_column(
             "fetch_time", pa.array(fetch_time, pa.float64())
         )
+        if _trace:
+            import sys as _sys
+            print(
+                f"[poll s={self.shard_id}] n={t.num_rows} "
+                f"concat={_t1 - _t0:.2f} dedup={_t2 - _t1:.2f} "
+                f"probe={_t3 - _t2:.2f} "
+                f"pace={_tm.perf_counter() - _t3:.2f} "
+                f"cpu={_tm.process_time() - _c0:.2f} "
+                f"wall={_tm.perf_counter() - _t0:.2f} "
+                + (lambda r1: f"usr={r1.ru_utime - _r0.ru_utime:.2f} "
+                   f"sys={r1.ru_stime - _r0.ru_stime:.2f} "
+                   f"minflt={r1.ru_minflt - _r0.ru_minflt} "
+                   f"majflt={r1.ru_majflt - _r0.ru_majflt} "
+                   f"ivcsw={r1.ru_nivcsw - _r0.ru_nivcsw}")(
+                       _rs.getrusage(_rs.RUSAGE_SELF)),
+                file=_sys.stderr, flush=True,
+            )
         # routing shard of every row IS this shard — carried so the
         # fetch stage can pick the matching page partition without
         # re-deriving the (salted) routing.
@@ -235,21 +262,40 @@ class FrontierShard:
         self._polled = self.poll_round(round_no)
         return self._polled.select(["fetch_time", "priority", "ok"])
 
-    def finalize_round(self, seq: np.ndarray, round_no: int) -> pa.Table:
+    def finalize_round(self, seq: np.ndarray, round_no: int,
+                       order_dir: str | None = None) -> pa.Table:
         """Phase 2: append the globally-ranked ``seq`` + round columns
         and return the complete block (one zero-copy object-store
-        entry, consumed directly by ``from_arrow_refs``)."""
+        entry, consumed directly by ``from_arrow_refs``).
+
+        When ``order_dir`` is given, this shard also writes its slice of
+        the round's crawl-order log as its own parquet part — the
+        checkpoint write is parallel across shards and the driver never
+        concatenates, sorts or writes the full round's URL list (which
+        at 10^10 URLs would be a driver OOM, and at bench scale was a
+        ~30 s serial tail per round)."""
         t = self._polled
         self._polled = None
         t = t.append_column(
             "seq", pa.array(np.asarray(seq, dtype=np.int64), pa.int64())
         )
-        return t.append_column(
+        t = t.append_column(
             "round",
             pa.array(
                 np.full(t.num_rows, round_no, dtype=np.int32), pa.int32()
             ),
         )
+        if order_dir is not None and t.num_rows:
+            import os
+
+            import pyarrow.parquet as pq
+
+            path = os.path.join(
+                order_dir, f"crawl_order-shard={self.shard_id}.parquet"
+            )
+            pq.write_table(t, path + ".tmp")
+            os.replace(path + ".tmp", path)
+        return t
 
     def pending_count(self) -> int:
         return int(sum(b.num_rows for b in self.pending))
@@ -357,7 +403,8 @@ class Frontier:
             tbl = tbl.take(order)
         return tbl
 
-    def poll_round_distributed(self, round_no: int, seq_base: int):
+    def poll_round_distributed(self, round_no: int, seq_base: int,
+                               order_dir: str | None = None):
         """Two-phase poll: numeric keys to the driver, global lexsort,
         actor-side seq finalize.  Returns ``(block_refs, n, max_ft)``
         where ``block_refs`` are per-shard Arrow tables (object refs,
@@ -375,7 +422,7 @@ class Frontier:
             # release the empty polled tables
             ray.get([
                 s.finalize_round.remote(
-                    np.empty(0, dtype=np.int64), round_no
+                    np.empty(0, dtype=np.int64), round_no, None
                 )
                 for s in self.shards
             ])
@@ -397,7 +444,7 @@ class Frontier:
         bounds = np.r_[0, np.cumsum(sizes)]
         refs = [
             s.finalize_round.remote(rank[bounds[i]:bounds[i + 1]],
-                                    round_no)
+                                    round_no, order_dir)
             for i, s in enumerate(self.shards)
         ]
         nonempty = [r for r, sz in zip(refs, sizes) if sz > 0]
