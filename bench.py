@@ -56,13 +56,20 @@ def _init_ray() -> None:
     DataContext.get_current().enable_progress_bars = False
 
 
-BENCH_WEB_CACHE = "/tmp/wkm_bench_web_h4096_l12_t220"
+# Bench web shape (override: WKM_BENCH_WEB="hosts,lists_per_profile,
+# titles_per_list").  ~6.6M URLs at the default.
+_WEB_SHAPE = tuple(
+    int(x) for x in os.environ.get("WKM_BENCH_WEB", "4096,12,220").split(",")
+)
+BENCH_WEB_CACHE = (
+    f"/tmp/wkm_bench_web_h{_WEB_SHAPE[0]}_l{_WEB_SHAPE[1]}_t{_WEB_SHAPE[2]}"
+)
 
 
 def _bench_web():
-    """Deterministic bench web (~2.45M pages, ~2.7M links), generated once per
-    machine and cached as parquet so repeated runs (and the --scaling
-    children) pay a read, not a rebuild."""
+    """Deterministic bench web, generated once per machine and cached as
+    parquet so repeated runs (and the --scaling children) pay a read,
+    not a rebuild."""
     import pyarrow.parquet as pq
 
     from whakoom_webscrapper_ray.sources.synth import (
@@ -70,8 +77,9 @@ def _bench_web():
     )
 
     if not os.path.isdir(BENCH_WEB_CACHE):
-        cfg = SynthConfig(num_hosts=4096, lists_per_profile=12,
-                          titles_per_list=220, hot_host_frac=0.2)
+        cfg = SynthConfig(num_hosts=_WEB_SHAPE[0],
+                          lists_per_profile=_WEB_SHAPE[1],
+                          titles_per_list=_WEB_SHAPE[2], hot_host_frac=0.2)
         write_web(generate_web_fast(cfg), BENCH_WEB_CACHE + ".tmp")
         os.rename(BENCH_WEB_CACHE + ".tmp", BENCH_WEB_CACHE)
     return {
@@ -166,11 +174,16 @@ def main() -> None:
         # processes, 2 trials per size (best-of to damp host CPU-steal
         # noise on this shared box).  Reports whole-crawl efficiency
         # AND steady-state (URL-dominant round) efficiency.
+        # Default pair (2, 8): within one box the crawl becomes
+        # DRAM-bandwidth-bound near full core count (a real 4N-node
+        # cluster adds 4× memory bandwidth; a single box cannot), so
+        # the (2, 8) pair isolates the ENGINE's scaling from the box's
+        # memory-bus ceiling.  Both pairs are reported in BASELINE.md.
         pair = tuple(
             int(x) for x in
-            os.environ.get("WKM_SCALING_PAIR", "8,32").split(",")
+            os.environ.get("WKM_SCALING_PAIR", "2,8").split(",")
         )
-        trials = 1
+        trials = 2
         results = {}
         for cpus in pair:
             best = None

@@ -292,6 +292,143 @@ def _canonicalize_slow(
     }
 
 
+_RE2_FAST_PARTS = {
+    # provably-canonical test, decomposed into RE2-safe pieces (Arrow's
+    # regex engine has no lookaround): lowercase http(s) + lowercase
+    # host + a path, and NONE of query/fragment/percent/whitespace,
+    # userinfo/port, empty path segments, or dot segments.
+    "shape": r"^https?://[a-z0-9]([a-z0-9.-]*[a-z0-9])?/",
+    "bad_qfp": r"[?#%\s]",
+    "bad_userport": r"^https?://[^/]*[:@]",
+    "bad_emptyseg": r"^https?://.*//",
+    "bad_dotseg": r"/\.\.?(/|$)",
+}
+
+_HOST_EXTRACT_RE = r"^[a-z][a-z0-9+.-]*://(?P<host>[^/]+)"
+
+
+def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, memoryview]:
+    """(offsets int64, data memoryview) of a single-chunk string array."""
+    if pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+        arr.offset:arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    return offs, memoryview(bufs[2])
+
+
+def sha1_column(arr: pa.Array) -> bytes:
+    """SHA-1 of every string in ``arr`` → one packed n×20 byte buffer.
+
+    Hashes straight from the Arrow data buffer via memoryview slices —
+    no per-row Python string/bytes objects survive the loop, so the
+    allocator never grows (the per-iteration temporaries reuse the same
+    small-object slots).  This matters beyond CPU: transient-object
+    churn at 10^7 rows/round causes page-fault storms on virtualized
+    hosts.
+    """
+    offs, mv = _string_buffers(arr)
+    n = len(arr)
+    out = bytearray(n * 20)
+    _sha1 = hashlib.sha1
+    for i in range(n):
+        out[i * 20:(i + 1) * 20] = _sha1(mv[offs[i]:offs[i + 1]]).digest()
+    return bytes(out)
+
+
+def canonicalize_arrow(
+    urls: pa.Array | pa.ChunkedArray,
+    base_for: "callable | None" = None,
+) -> dict:
+    """Arrow-native batch canonicalizer (zero per-row Python objects on
+    the fast path).
+
+    ``base_for(i)`` supplies the base URL string for slow-path row ``i``
+    (relative-href resolution); fast-path rows never materialize Python
+    strings.  Returns dict with:
+
+    - ``canon``: pa.StringArray of canonical URLs
+    - ``sha_bytes``: packed n×20 SHA-1 buffer (``url_sha1`` column)
+    - ``sha_void``: numpy void-20 view of it (C-sortable keys)
+    - ``host``: pa.StringArray
+    - ``host_hash`` / ``url_hash``: np.uint64 arrays
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    n = len(urls)
+    p = _RE2_FAST_PARTS
+    fast = pc.and_kleene(
+        pc.match_substring_regex(urls, p["shape"]),
+        pc.invert(
+            pc.or_(
+                pc.or_(
+                    pc.match_substring_regex(urls, p["bad_qfp"]),
+                    pc.match_substring_regex(urls, p["bad_userport"]),
+                ),
+                pc.or_(
+                    pc.match_substring_regex(urls, p["bad_emptyseg"]),
+                    pc.match_substring_regex(urls, p["bad_dotseg"]),
+                ),
+            )
+        ),
+    )
+    fast_np = fast.to_numpy(zero_copy_only=False)
+    slow_idx = np.flatnonzero(~fast_np)
+    if slow_idx.size:
+        slow_canon = []
+        for i in slow_idx:
+            u = urls[int(i)].as_py()
+            b = base_for(int(i)) if base_for is not None else None
+            slow_canon.append(canonicalize_url(u, b))
+        merged = pa.concat_arrays(
+            [urls, pa.array(slow_canon, pa.string())]
+        )
+        take_idx = np.arange(n, dtype=np.int64)
+        take_idx[slow_idx] = n + np.arange(slow_idx.size)
+        canon = merged.take(pa.array(take_idx, pa.int64()))
+        if isinstance(canon, pa.ChunkedArray):
+            canon = canon.combine_chunks()
+    else:
+        canon = urls
+
+    host = pc.struct_field(
+        pc.extract_regex(canon, _HOST_EXTRACT_RE), "host"
+    )
+    if isinstance(host, pa.ChunkedArray):
+        host = host.combine_chunks()
+
+    sha_bytes = sha1_column(canon)
+    sha_u8 = np.frombuffer(sha_bytes, dtype=np.uint8).reshape(n, 20)
+    sha_void = sha_u8.view(np.dtype((np.void, 20))).ravel()
+    url_hash = np.ascontiguousarray(sha_u8[:, :8]).view(">u8").ravel(
+    ).astype(np.uint64)
+
+    uniq = pc.unique(host)
+    uniq_hash = np.array(
+        [host_hash64(h) for h in uniq.to_pylist()], dtype=np.uint64
+    )
+    codes = pc.index_in(host, value_set=uniq).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    host_hash = uniq_hash[codes] if n else np.empty(0, np.uint64)
+
+    return {
+        "canon": canon,
+        "sha_bytes": sha_bytes,
+        "sha_void": sha_void,
+        "host": host,
+        "host_hash": host_hash,
+        "url_hash": url_hash,
+        "host_codes": codes,
+        "uniq_hosts": uniq,
+    }
+
+
 def canonicalize_table(
     batch: pa.Table,
     url_col: str = "url",

@@ -43,6 +43,34 @@ class RobotsRules:
                 return False
         return True
 
+    def allowed_mask_arrow(self, host: pa.Array,
+                           canon: pa.Array) -> np.ndarray:
+        """Vectorized robots gate over Arrow columns.
+
+        Disallow rules exist for few hosts; each (host, prefix) pair is
+        one C ``equal`` + ``starts_with`` pass — no per-row Python.  A
+        canonical URL's path starts right after ``scheme://host``, so
+        ``path.startswith(prefix)`` ≡ URL starts with
+        ``scheme://host<prefix>`` for either scheme.
+        """
+        import pyarrow.compute as pc
+
+        out = np.ones(len(canon), dtype=bool)
+        for h, prefixes in self.disallow.items():
+            if not prefixes:
+                continue
+            hm = pc.equal(host, h).to_numpy(zero_copy_only=False)
+            if not hm.any():
+                continue
+            for p in prefixes:
+                bad = np.zeros(len(canon), dtype=bool)
+                for scheme in ("https", "http"):
+                    bad |= pc.starts_with(
+                        canon, f"{scheme}://{h}{p}"
+                    ).to_numpy(zero_copy_only=False)
+                out &= ~(hm & bad)
+        return out
+
     def allowed_mask(self, hosts: list[str], urls: list[str]) -> np.ndarray:
         out = np.ones(len(urls), dtype=bool)
         for i, (h, u) in enumerate(zip(hosts, urls)):
@@ -54,6 +82,29 @@ class RobotsRules:
                         out[i] = False
                         break
         return out
+
+
+def offsite_mask_arrow(host: pa.Array,
+                       allowed_domains: frozenset[str] | set[str]
+                       ) -> np.ndarray:
+    """Vectorized offsite filter: exact ``is_in`` (C hash probe) plus a
+    Python suffix check only for the rare non-exact rows."""
+    import pyarrow.compute as pc
+
+    out = pc.is_in(
+        host, value_set=pa.array(sorted(allowed_domains), pa.string())
+    ).to_numpy(zero_copy_only=False).copy()
+    rem = np.flatnonzero(~out)
+    if rem.size:
+        for i in rem:
+            h = host[int(i)].as_py()
+            if h is None:
+                continue
+            for d in allowed_domains:
+                if h.endswith("." + d):
+                    out[i] = True
+                    break
+    return out
 
 
 def offsite_mask(hosts: list[str] | pa.Array,

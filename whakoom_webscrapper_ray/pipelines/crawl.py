@@ -20,15 +20,16 @@ former is ~1 TB spread over shards (spillable), the latter is the
 ~100 TB streamed through the object store.
 
 Checkpoint layout per round (the per-partition lineage of the north
-rule): ``rounds/round=R/crawl_order.parquet`` (scheduled URLs = the
-seen-set delta), ``docs/round=R/*.parquet`` (fetched payload),
-``frontier/round=R.pkl`` (pending queues + politeness clocks),
-``manifest.json`` (run_id, next round, global seq, max fetch time,
-per-round counts).  Resume = restore manifest + frontier dump + replay
-crawl_order deltas into the seen shards; doc writes are per-round
-directories so finished rounds are skipped (idempotent, mirroring the
-reference's HTTP-cache + upsert re-run story, settings.py:132,
-queries/lists.sql:1-9).
+rule): ``rounds/round=R/crawl_order-shard=S.parquet`` (scheduled URLs =
+the seen-set delta, one part per frontier shard, written by the shard
+actors in parallel), ``docs/round=R/*.parquet`` (fetched payload, one
+part per fetch task), ``frontier/round=R/shard=S.pkl`` (pending queues
++ politeness clocks), ``manifest.json`` (run_id, next round, global
+seq, max fetch time, per-round counts).  Resume = restore manifest +
+frontier dumps + replay crawl_order deltas into the seen shards; doc
+writes are per-round directories so finished rounds are skipped
+(idempotent, mirroring the reference's HTTP-cache + upsert re-run
+story, settings.py:132, queries/lists.sql:1-9).
 """
 
 from __future__ import annotations
@@ -44,8 +45,12 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from ..functions.canonicalize import canonicalize_batch, canonicalize_table
-from ..functions.robots import RobotsRules, offsite_mask
+from ..functions.canonicalize import (
+    canonicalize_arrow,
+    canonicalize_batch,
+    canonicalize_table,
+)
+from ..functions.robots import RobotsRules, offsite_mask, offsite_mask_arrow
 from ..stages.extract import (
     LIST_RE,
     PROFILE_RE,
@@ -108,52 +113,54 @@ class LinkRouter:
         if idx.size == 0:
             return pa.table(summary)
 
-        hrefs = flat.field("media_ref").take(pa.array(idx)).to_pylist()
-        offsets = flat.field("offset").take(pa.array(idx)).to_numpy(
+        # Arrow-native end-to-end: no per-link Python strings are ever
+        # materialized on the fast path — at 10^7 links/round, object
+        # churn (allocator arena mmap/munmap) costs more in page-fault
+        # kernel time on virtualized hosts than the hashing itself.
+        take_idx = pa.array(idx, pa.int64())
+        hrefs_arr = flat.field("media_ref").take(take_idx)
+        offsets = flat.field("offset").take(take_idx).to_numpy(
             zero_copy_only=False
         )
-        base_urls = batch.column("canon_url").to_pylist()
+        base_col = batch.column("canon_url")
+        if isinstance(base_col, pa.ChunkedArray):
+            base_col = base_col.combine_chunks()
         seqs = batch.column("seq").to_numpy(zero_copy_only=False)
-        bases = [base_urls[p] for p in parent[idx]]
-        parent_seq = seqs[parent[idx]]
+        link_parent = parent[idx]
+        parent_seq = seqs[link_parent]
 
-        cols = canonicalize_batch(hrefs, bases)
+        cols = canonicalize_arrow(
+            hrefs_arr,
+            base_for=lambda j: base_col[int(link_parent[j])].as_py(),
+        )
         ok = (parent_seq.astype(np.int64) << OK_SHIFT) | np.minimum(
             offsets.astype(np.int64), (1 << OK_SHIFT) - 1
         )
 
-        keep = offsite_mask(cols["host"], self.allowed)
-        keep &= self.rules.allowed_mask(cols["host"], cols["canon_url"])
+        keep = offsite_mask_arrow(cols["host"], self.allowed)
+        keep &= self.rules.allowed_mask_arrow(cols["host"], cols["canon"])
 
-        # partial dedup: min-ok per sha within the batch (combiner).
-        # Vectorized first-occurrence: order survivors by ok (stable),
-        # then hash-based duplicate marking over the full 20-byte sha.
-        import pandas as pd
-
+        # partial dedup: min-ok per sha within the batch (combiner);
+        # first occurrence via C sort over the void-20 sha view.
         keep_idx = np.flatnonzero(keep)
         if keep_idx.size == 0:
             return pa.table(summary)
         order = keep_idx[np.argsort(ok[keep_idx], kind="stable")]
-        dup = pd.Series(
-            [cols["url_sha1"][j] for j in order], dtype=object
-        ).duplicated().to_numpy()
-        chosen = np.sort(order[~dup])
-        if chosen.size == 0:
-            return pa.table(summary)
+        _, first = np.unique(cols["sha_void"][order], return_index=True)
+        chosen = np.sort(order[first])
 
         # one Arrow block of survivors, routed per shard via take —
         # columnar end-to-end, no python list marshalling in the RPC
+        sha_full = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(20), len(hrefs_arr),
+            [None, pa.py_buffer(cols["sha_bytes"])],
+        )
+        ci = pa.array(chosen, pa.int64())
         cand_tbl = pa.table(
             {
-                "canon_url": pa.array(
-                    [cols["canon_url"][i] for i in chosen], pa.string()
-                ),
-                "url_sha1": pa.array(
-                    [cols["url_sha1"][i] for i in chosen], pa.binary(20)
-                ),
-                "host": pa.array(
-                    [cols["host"][i] for i in chosen], pa.string()
-                ),
+                "canon_url": cols["canon"].take(ci),
+                "url_sha1": sha_full.take(ci),
+                "host": cols["host"].take(ci),
                 "host_hash": pa.array(
                     cols["host_hash"][chosen], pa.uint64()
                 ),
@@ -163,11 +170,19 @@ class LinkRouter:
                 "ok": pa.array(ok[chosen], pa.int64()),
             }
         )
-        shard_of = route_shard(
-            np.array([cols["host"][i] for i in chosen], dtype=object),
+        # delayed flag per unique host (few), mapped through codes
+        uniq_delayed = np.array(
+            [h in self.delayed for h in cols["uniq_hosts"].to_pylist()],
+            dtype=bool,
+        )
+        is_delayed = (
+            uniq_delayed[cols["host_codes"][chosen]]
+            if chosen.size else np.zeros(0, dtype=bool)
+        )
+        shard_of = route_shard_flags(
+            is_delayed,
             cols["host_hash"][chosen],
             cols["url_hash"][chosen],
-            self.delayed,
             self.num_shards,
         )
         import time as _t
@@ -237,6 +252,17 @@ def _fetch_batch(batch: pa.Table, pages_parts=None) -> pa.Table:
 
 
 _HOST_RE = r"^[a-z][a-z0-9+.-]*://(?P<host>[^/]+)"
+
+
+def route_shard_flags(is_delayed: np.ndarray, host_hash: np.ndarray,
+                      url_hash: np.ndarray, num_shards: int) -> np.ndarray:
+    """Salted routing from a precomputed per-row delayed flag."""
+    if is_delayed.any():
+        base = np.where(is_delayed, host_hash, url_hash)
+    else:
+        base = url_hash
+    return (base.astype(np.uint64)
+            % np.uint64(num_shards)).astype(np.int64)
 
 
 def route_shard(hosts: np.ndarray, host_hash: np.ndarray,
@@ -341,7 +367,9 @@ def _route_batch(batch: pa.Table, engine_key=None, rules_ref=None,
 
         t0 = _t.perf_counter()
         pq.write_table(
-            batch, os.path.join(docs_dir, f"part-{min_seq:010d}.parquet")
+            batch, os.path.join(docs_dir, f"part-{min_seq:010d}.parquet"),
+            compression="lz4", use_dictionary=False,
+            write_statistics=False,
         )
         t1 = _t.perf_counter()
         router = _worker_router(engine_key, rules_ref, allowed, shards)
@@ -356,7 +384,9 @@ def _route_batch(batch: pa.Table, engine_key=None, rules_ref=None,
 
         t0 = _t.perf_counter()
         pq.write_table(
-            batch, os.path.join(docs_dir, f"part-{min_seq:010d}.parquet")
+            batch, os.path.join(docs_dir, f"part-{min_seq:010d}.parquet"),
+            compression="lz4", use_dictionary=False,
+            write_statistics=False,
         )
         t_write = _t.perf_counter() - t0
         router = _worker_router(engine_key, rules_ref, allowed, shards)
@@ -373,7 +403,8 @@ def _route_batch(batch: pa.Table, engine_key=None, rules_ref=None,
             "cumulative").print_stats(8)
         return out
     pq.write_table(
-        batch, os.path.join(docs_dir, f"part-{min_seq:010d}.parquet")
+        batch, os.path.join(docs_dir, f"part-{min_seq:010d}.parquet"),
+        compression="lz4", use_dictionary=False, write_statistics=False,
     )
     router = _worker_router(engine_key, rules_ref, allowed, shards)
     return router(batch)
@@ -608,8 +639,8 @@ class CrawlEngine:
                     f, columns=["url_sha1", "canon_url", "shard"]
                 )
                 self.frontier.restore_seen(
-                    tbl.column("url_sha1").to_pylist(),
-                    tbl.column("canon_url").to_pylist(),
+                    tbl.column("url_sha1"),
+                    tbl.column("canon_url"),
                     tbl.column("shard").to_numpy(zero_copy_only=False),
                 )
         self.next_round = last_round + 1
@@ -664,12 +695,11 @@ class CrawlEngine:
 
     def seen_table(self) -> pa.Table:
         """(url_sha1, canon_url) — the final URL-seen set."""
+        from ..state.seen import void_to_binary20
+
         keys, urls = self.frontier.snapshot_seen()
         return pa.table(
-            {
-                "url_sha1": pa.array(keys, pa.binary(20)),
-                "canon_url": pa.array(urls, pa.string()),
-            }
+            {"url_sha1": void_to_binary20(keys), "canon_url": urls}
         )
 
     def metrics_table(self) -> pa.Table:

@@ -75,7 +75,24 @@ class CuckooFilter:
                 return True
         return False  # table full — caller should have sized capacity
 
-    def insert_batch(self, keys: list[bytes]) -> int:
+    @staticmethod
+    def _raw_u8(keys) -> np.ndarray:
+        """list[bytes] | np.void20 array → (n, 20) uint8 view."""
+        if isinstance(keys, np.ndarray) and keys.dtype.itemsize == 20:
+            return keys.view(np.uint8).reshape(-1, 20)
+        if len(keys) == 0:
+            return np.empty((0, 20), dtype=np.uint8)
+        return np.frombuffer(b"".join(keys), dtype=np.uint8).reshape(-1, 20)
+
+    def insert_void(self, keys: np.ndarray) -> int:
+        """Bulk insert from a numpy void-20 key array (no bytes objects)."""
+        return self.insert_batch(keys)
+
+    def contains_void(self, keys: np.ndarray) -> np.ndarray:
+        """Membership probe from a numpy void-20 key array."""
+        return self.contains_batch(keys)
+
+    def insert_batch(self, keys) -> int:
         """Vectorized bulk insert.
 
         Key carving is one numpy pass; placement runs in rounds — per
@@ -83,12 +100,13 @@ class CuckooFilter:
         the bucket's first empty slot (pure numpy scatter).  Keys whose
         buckets fill (both i1 and i2) fall back to the sequential
         cuckoo-eviction path, which at sane load factors is a tiny
-        minority.  Returns the number inserted.
+        minority.  Accepts list[bytes] or a void-20 numpy array.
+        Returns the number inserted.
         """
         n = len(keys)
         if n == 0:
             return 0
-        raw = np.frombuffer(b"".join(keys), dtype=np.uint8).reshape(n, 20)
+        raw = self._raw_u8(keys)
         fp = (((raw[:, 0].astype(np.uint32) << 8) | raw[:, 1]) | 1).astype(
             np.uint16
         )
@@ -120,7 +138,7 @@ class CuckooFilter:
         ok_count = int(placed.sum())
         # rare leftovers: sequential eviction path
         for j in np.flatnonzero(~placed):
-            if self.insert(keys[j]):
+            if self.insert(raw[j].tobytes()):
                 ok_count += 1
                 self.count -= 1  # insert() already counted it
         self.count += ok_count
@@ -130,12 +148,12 @@ class CuckooFilter:
         fp, i1, i2 = self._parts(key)
         return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
 
-    def contains_batch(self, keys: list[bytes]) -> np.ndarray:
-        """Vectorized membership probe for a batch of SHA-1 keys."""
+    def contains_batch(self, keys) -> np.ndarray:
+        """Vectorized membership probe (list[bytes] or void-20 array)."""
         n = len(keys)
         if n == 0:
             return np.zeros(0, dtype=bool)
-        raw = np.frombuffer(b"".join(keys), dtype=np.uint8).reshape(n, 20)
+        raw = self._raw_u8(keys)
         fp = ((raw[:, 0].astype(np.uint32) << 8) | raw[:, 1]) | 1
         i1 = np.zeros(n, dtype=np.uint64)
         for b in range(4, 12):

@@ -167,16 +167,20 @@ class FrontierShard:
         _t2 = _tm.perf_counter()
 
         # 2. probe the co-located seen state (test-and-mark, local).
+        #    Keys stay a numpy void-20 array and URLs an Arrow column —
+        #    zero per-key Python objects (SURVEY.md perf discipline).
         if cand_idx.size and (self.seen is not None
                               or self.seen_shard is not None):
-            urls = t.column("canon_url").to_numpy(zero_copy_only=False)
-            keys = [v.tobytes() for v in sha_v[cand_idx]]
-            us = urls[cand_idx].tolist()
+            canon_col = t.column("canon_url")
+            if isinstance(canon_col, pa.ChunkedArray):
+                canon_col = canon_col.combine_chunks()
+            kv = np.ascontiguousarray(sha_v[cand_idx])
+            us = canon_col.take(pa.array(cand_idx, pa.int64()))
             if self.seen is not None:
-                new_mask = self.seen.contains_and_add(keys, us)
+                new_mask = self.seen.contains_and_add(kv, us)
             else:
                 new_mask = ray.get(
-                    self.seen_shard.contains_and_add.remote(keys, us)
+                    self.seen_shard.contains_and_add.remote(kv, us)
                 )
             cand_idx = cand_idx[new_mask]
         _t3 = _tm.perf_counter()
@@ -334,7 +338,11 @@ class FrontierShard:
 
     # -- co-located seen state -------------------------------------------
     def seen_snapshot(self):
-        return self.seen.snapshot() if self.seen is not None else ([], [])
+        """Columnar snapshot: (void-20 key array, Arrow url column)."""
+        if self.seen is None:
+            return (np.empty(0, dtype=np.dtype((np.void, 20))),
+                    pa.array([], pa.string()))
+        return self.seen.snapshot_columns()
 
     def seen_restore(self, keys, urls) -> int:
         return self.seen.restore(keys, urls) if self.seen is not None else 0
@@ -438,7 +446,27 @@ class Frontier:
         ok = np.concatenate(
             [k.column("ok").to_numpy(zero_copy_only=False) for k in keys]
         )
-        order = np.lexsort((ok, prio, ft))
+        # Adaptive key collapse: with uniform priority (the common
+        # case) the canonical (fetch_time, priority, ok) order splits at
+        # ft == min(ft): the zero-delay mass sorts by ``ok`` alone (one
+        # argsort — the driver's serial chunk shrinks ~3×) and the few
+        # politeness-delayed rows (ft > min) sort after it by (ft, ok).
+        # ``ok`` is unique per candidate, so ties never matter.
+        uniform_prio = prio.size == 0 or (prio[0] == prio).all()
+        if uniform_prio:
+            ftmin = ft.min()
+            simple = ft == ftmin
+            if simple.all():
+                order = np.argsort(ok)
+            else:
+                si = np.flatnonzero(simple)
+                ci = np.flatnonzero(~simple)
+                order = np.concatenate([
+                    si[np.argsort(ok[si])],
+                    ci[np.lexsort((ok[ci], ft[ci]))],
+                ])
+        else:
+            order = np.lexsort((ok, prio, ft))
         rank = np.empty(n, dtype=np.int64)
         rank[order] = seq_base + np.arange(n, dtype=np.int64)
         bounds = np.r_[0, np.cumsum(sizes)]
@@ -463,26 +491,46 @@ class Frontier:
             s.restore.remote(st) for s, st in zip(self.shards, states)
         ])
 
-    def snapshot_seen(self) -> tuple[list[bytes], list[str]]:
-        """Exact seen keys/urls across all co-located seen states."""
-        keys: list[bytes] = []
-        urls: list[str] = []
-        for pair in ray.get(
-            [s.seen_snapshot.remote() for s in self.shards]
-        ):
-            keys.extend(pair[0])
-            urls.extend(pair[1])
+    def snapshot_seen(self) -> tuple[np.ndarray, pa.Array]:
+        """Exact seen keys/urls across all co-located seen states —
+        columnar: (void-20 key array, Arrow url column)."""
+        pairs = ray.get([s.seen_snapshot.remote() for s in self.shards])
+        keys = (
+            np.concatenate([p[0] for p in pairs if len(p[0])])
+            if any(len(p[0]) for p in pairs)
+            else np.empty(0, dtype=np.dtype((np.void, 20)))
+        )
+        url_parts = [
+            p[1].combine_chunks()
+            if isinstance(p[1], pa.ChunkedArray) else p[1]
+            for p in pairs if len(p[1])
+        ]
+        urls = (
+            pa.concat_arrays(url_parts)
+            if url_parts else pa.array([], pa.string())
+        )
         return keys, urls
 
-    def restore_seen(self, keys: list[bytes], urls: list[str],
-                     shard: np.ndarray) -> None:
+    def restore_seen(self, keys, urls, shard: np.ndarray) -> None:
+        """Replay keys/urls into shards; ``shard`` is the recorded
+        (salted) per-key routing.  Accepts columnar or list inputs."""
+        from .seen import as_void20
+
+        kv = as_void20(keys)
+        if isinstance(urls, list):
+            urls = pa.array(urls, pa.string())
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
         shard = np.asarray(shard, dtype=np.int64)
         futs = []
         for s in range(self.num_shards):
             idx = np.flatnonzero(shard == s)
+            if idx.size == 0:
+                continue
             futs.append(
                 self.shards[s].seen_restore.remote(
-                    [keys[i] for i in idx], [urls[i] for i in idx]
+                    np.ascontiguousarray(kv[idx]),
+                    urls.take(pa.array(idx, pa.int64())),
                 )
             )
         ray.get(futs)
