@@ -1,0 +1,120 @@
+"""Skew-handling conformance and dedup/ANN quality properties.
+
+- MEDIUM fixture: a hot host holds 30% of the corpus (SURVEY.md §4.3
+  skew path) — the salted routing must still reproduce the sequential
+  oracle exactly.
+- Multi-delayed-hosts fixture: several hosts with crawl delays — the
+  politeness clocks and global ordering must match the oracle.
+- MinHash/LSH vs brute-force n-gram Jaccard: verified pairs are exact
+  (precision 1.0 by construction — candidates are re-verified with the
+  true Jaccard) and recall is high.
+- IVF ANN vs brute-force cosine top-k: recall@k above the configured
+  nprobe/n_centroids tradeoff's expected floor.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run_engine(web, tmp_path, **kw):
+    from whakoom_webscrapper_ray.pipelines.crawl import CrawlEngine
+
+    eng = CrawlEngine(
+        web["pages"], web["seeds"], web["robots"],
+        checkpoint_dir=str(tmp_path), **kw,
+    )
+    eng.run()
+    return eng
+
+
+def _assert_matches_oracle(eng, web):
+    from whakoom_webscrapper_ray.oracle import run_oracle
+
+    golden = run_oracle(web["pages"], web["seeds"], web["robots"])
+    got = eng.crawl_order()
+    rows = list(
+        zip(
+            got.column("seq").to_pylist(),
+            got.column("url").to_pylist(),
+            got.column("host").to_pylist(),
+            got.column("round").to_pylist(),
+        )
+    )
+    assert rows == golden.crawl_order
+    seen = dict(
+        zip(
+            eng.seen_table().column("url_sha1").to_pylist(),
+            eng.seen_table().column("canon_url").to_pylist(),
+        )
+    )
+    assert seen == golden.seen
+
+
+def test_hot_host_skew_conformance(ray_session, tmp_path):
+    """30%-hot-host corpus: salted routing reproduces the oracle."""
+    from whakoom_webscrapper_ray.sources.synth import MEDIUM, generate_web
+
+    web = generate_web(MEDIUM)
+    eng = _run_engine(web, tmp_path, num_shards=5)
+    _assert_matches_oracle(eng, web)
+    eng.shutdown()
+
+
+def test_many_delayed_hosts_conformance(ray_session, tmp_path):
+    """Several politeness-delayed hosts: clocks + ordering match."""
+    from whakoom_webscrapper_ray.sources.synth import (
+        SynthConfig,
+        generate_web,
+    )
+
+    cfg = SynthConfig(num_hosts=12, lists_per_profile=3,
+                      titles_per_list=5, delayed_hosts=4)
+    web = generate_web(cfg)
+    eng = _run_engine(web, tmp_path, num_shards=3)
+    _assert_matches_oracle(eng, web)
+    eng.shutdown()
+
+
+@pytest.fixture(scope="module")
+def pairs(ray_session):
+    from whakoom_webscrapper_ray.pipelines import dedup
+
+    mh = dedup.minhash_lsh_pairs(SF).to_pandas()
+    bf = dedup.ngram_jaccard_pairs(SF).to_pandas()
+    return (
+        set(zip(mh.doc_a, mh.doc_b)),
+        set(zip(bf.doc_a, bf.doc_b)),
+    )
+
+
+def test_minhash_precision_exact(pairs):
+    mh, bf = pairs
+    assert mh <= bf  # every emitted pair truly has jaccard >= threshold
+
+
+def test_minhash_recall(pairs):
+    mh, bf = pairs
+    assert len(bf) > 0
+    assert len(mh & bf) / len(bf) >= 0.85
+
+
+def test_ivf_recall(ray_session):
+    from whakoom_webscrapper_ray.pipelines import ann
+
+    tk = ann.ann_topk(SF).to_pandas()
+    iv = ann.ann_ivf(SF).to_pandas()
+    tk_n = collections.defaultdict(set)
+    iv_n = collections.defaultdict(set)
+    for r in tk.itertuples():
+        tk_n[r.query_id].add(r.neighbor_id)
+    for r in iv.itertuples():
+        iv_n[r.query_id].add(r.neighbor_id)
+    recalls = [
+        len(tk_n[q] & iv_n[q]) / len(tk_n[q]) for q in tk_n
+    ]
+    assert sum(recalls) / len(recalls) >= 0.7

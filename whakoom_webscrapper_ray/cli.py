@@ -1,0 +1,154 @@
+"""CLI entry point — usable under ``ray job submit`` (north rule).
+
+    ray job submit -- python -m whakoom_webscrapper_ray.cli crawl \
+        --synth MEDIUM --checkpoint /tmp/ckpt --num-shards 8
+
+Subcommands
+-----------
+``crawl``   run (or resume) a crawl over a synthetic or on-disk web
+            fixture; prints one JSON summary line.
+``export``  write the finalized relational tables + docs of an existing
+            checkpoint as partitioned parquet.
+
+The CLI owns the Ray session (guarded ``ray.init``); the library never
+calls ``ray.init``/``ray.shutdown`` itself.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _load_web(args) -> dict:
+    import pyarrow.parquet as pq
+
+    if args.web_dir:
+        return {
+            n: pq.read_table(os.path.join(args.web_dir, f"{n}.parquet"))
+            for n in ("pages", "seeds", "robots")
+        }
+    from .sources.synth import (
+        MEDIUM,
+        SMALL,
+        SynthConfig,
+        generate_web,
+        generate_web_fast,
+    )
+
+    spec = args.synth.upper()
+    if spec == "SMALL":
+        return generate_web(SMALL)
+    if spec == "MEDIUM":
+        return generate_web(MEDIUM)
+    h, l_, t = (int(x) for x in args.synth.lower().split("x"))
+    return generate_web_fast(
+        SynthConfig(num_hosts=h, lists_per_profile=l_, titles_per_list=t)
+    )
+
+
+def cmd_crawl(args) -> int:
+    import time
+
+    from .pipelines.crawl import CrawlEngine
+
+    _init_ray()
+    web = _load_web(args)
+    eng = CrawlEngine(
+        web["pages"], web["seeds"], web["robots"],
+        checkpoint_dir=args.checkpoint,
+        num_shards=args.num_shards,
+        run_id=args.run_id,
+    )
+    t0 = time.perf_counter()
+    if args.resume:
+        eng.resume()
+        res = eng.run(max_rounds=args.max_rounds, seed=False)
+    else:
+        res = eng.run(max_rounds=args.max_rounds)
+    dt = time.perf_counter() - t0
+    out = {
+        "rounds": res["rounds"],
+        "scheduled": res["scheduled"],
+        "sec": round(dt, 2),
+        "urls_per_sec": round(res["scheduled"] / dt, 1) if dt else None,
+        "checkpoint": args.checkpoint,
+        "stats": res["stats"],
+    }
+    print(json.dumps(out))
+    eng.shutdown()
+    return 0
+
+
+def cmd_export(args) -> int:
+    import pyarrow.parquet as pq
+
+    from .pipelines.crawl import CrawlEngine
+
+    _init_ray()
+    web = _load_web(args)
+    eng = CrawlEngine(
+        web["pages"], web["seeds"], web["robots"],
+        checkpoint_dir=args.checkpoint,
+        num_shards=args.num_shards,
+    )
+    eng.resume()
+    os.makedirs(args.out, exist_ok=True)
+    tables = eng.finalize_tables()
+    for name, tbl in tables.items():
+        pq.write_table(tbl, os.path.join(args.out, f"{name}.parquet"))
+    docs_dir = os.path.join(args.out, "docs")
+    eng.docs_dataset().write_parquet(docs_dir)
+    order_path = os.path.join(args.out, "crawl_order.parquet")
+    pq.write_table(eng.crawl_order(), order_path)
+    print(json.dumps({
+        "out": args.out,
+        "tables": {k: t.num_rows for k, t in tables.items()},
+    }))
+    eng.shutdown()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="whakoom_webscrapper_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--web-dir", default=None,
+                        help="dir with pages/seeds/robots parquet")
+        sp.add_argument("--synth", default="SMALL",
+                        help="SMALL | MEDIUM | <hosts>x<lists>x<titles>")
+        sp.add_argument("--checkpoint", required=True)
+        sp.add_argument("--num-shards", type=int, default=8)
+        sp.add_argument("--run-id", default="run0")
+
+    c = sub.add_parser("crawl", help="run or resume a crawl")
+    common(c)
+    c.add_argument("--resume", action="store_true")
+    c.add_argument("--max-rounds", type=int, default=None)
+    c.set_defaults(fn=cmd_crawl)
+
+    e = sub.add_parser("export", help="export finalized tables")
+    common(e)
+    e.add_argument("--out", required=True)
+    e.set_defaults(fn=cmd_export)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

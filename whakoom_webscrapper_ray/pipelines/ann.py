@@ -149,7 +149,7 @@ def _kmeans(mat: np.ndarray, n_centroids: int, iters: int = 5,
 
 
 def ann_ivf(sf_dir: str, k: int = 10, num_queries: int = 8,
-            n_centroids: int = 16, nprobe: int = 4) -> ray.data.Dataset:
+            n_centroids: int = 16, nprobe: int = 8) -> ray.data.Dataset:
     """IVF top-k: probe only the ``nprobe`` nearest buckets per query.
 
     The bucket assignment is one extra map_batches column; at 100 TB

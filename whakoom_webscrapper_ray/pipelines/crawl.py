@@ -227,7 +227,8 @@ def _worker_fetcher(pages_ref) -> SyntheticWebFetcher:
     return _WORKER_STATE[key]
 
 
-def _fetch_batch(batch: pa.Table, pages_parts=None) -> pa.Table:
+def _fetch_batch(batch: pa.Table, pages_parts=None,
+                 middlewares=None) -> pa.Table:
     """Shard-run fetch: resolve each contiguous host-shard run of the
     batch against that shard's page partition only.
 
@@ -236,19 +237,38 @@ def _fetch_batch(batch: pa.Table, pages_parts=None) -> pa.Table:
     boundaries — each run is resolved with a small per-partition
     ``index_in`` value set instead of the whole web.
     """
+    from ..extensions import (
+        apply_middlewares_post,
+        apply_middlewares_pre,
+    )
+
+    mws = _worker_deref(middlewares) if middlewares is not None else None
+    batch = apply_middlewares_pre(batch, mws)
     shard = batch.column("shard").to_numpy(zero_copy_only=False)
     change = np.flatnonzero(np.r_[True, shard[1:] != shard[:-1]])
     if change.size == 1:
-        return _worker_fetcher(pages_parts[shard[0]])(batch)
-    bounds = np.r_[change, len(shard)]
-    outs = []
-    for b0, b1 in zip(bounds[:-1], bounds[1:]):
-        outs.append(
-            _worker_fetcher(pages_parts[shard[b0]])(
-                batch.slice(b0, b1 - b0)
+        out = _worker_fetcher(pages_parts[shard[0]])(batch)
+    else:
+        bounds = np.r_[change, len(shard)]
+        outs = []
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            outs.append(
+                _worker_fetcher(pages_parts[shard[b0]])(
+                    batch.slice(b0, b1 - b0)
+                )
             )
+        out = pa.concat_tables(outs)
+    return apply_middlewares_post(out, mws)
+
+
+def _worker_deref(ref):
+    """Memoized ray.get of a broadcast object (once per worker)."""
+    key = ("deref", ref.hex() if isinstance(ref, ray.ObjectRef) else id(ref))
+    if key not in _WORKER_STATE:
+        _WORKER_STATE[key] = (
+            ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
         )
-    return pa.concat_tables(outs)
+    return _WORKER_STATE[key]
 
 
 _HOST_RE = r"^[a-z][a-z0-9+.-]*://(?P<host>[^/]+)"
@@ -423,6 +443,8 @@ class CrawlEngine:
         fetcher_concurrency=(1, 4),
         batch_size: int | None = None,
         run_id: str = "run0",
+        extractors=None,
+        fetch_middlewares=None,
     ) -> None:
         self.checkpoint_dir = checkpoint_dir
         os.makedirs(checkpoint_dir, exist_ok=True)
@@ -448,6 +470,11 @@ class CrawlEngine:
         ]
         self.rules_ref = ray.put(self.rules)
 
+        self.extractors = list(extractors or ())
+        self.fetch_middlewares_ref = (
+            ray.put(list(fetch_middlewares))
+            if fetch_middlewares else None
+        )
         self.global_seq = 0
         self.max_fetch_time = 0.0
         self.round_stats: list[dict] = []
@@ -561,7 +588,10 @@ class CrawlEngine:
             ray.data.from_arrow_refs(list(refs))
             .map_batches(
                 _fetch_batch,
-                fn_kwargs={"pages_parts": self.pages_parts},
+                fn_kwargs={
+                    "pages_parts": self.pages_parts,
+                    "middlewares": self.fetch_middlewares_ref,
+                },
                 batch_size=batch_size,
                 batch_format="pyarrow",
             )
@@ -957,9 +987,21 @@ class CrawlEngine:
             }
         )
 
-        return {
+        out = {
             "lists": lists_out,
             "junction": junction_out,
             "titles": titles_out,
             "title_metadata": metadata_out,
         }
+        # user-registered extractors (extension surface X6): each one is
+        # an extra finalized table computed by a map_batches pass.
+        for ext in self.extractors:
+            parts = ray.get(
+                docs.map_batches(
+                    ext.fn, batch_format="pyarrow"
+                ).to_arrow_refs()
+            )
+            out[ext.name] = pa.concat_tables(
+                [p for p in parts if p.num_rows] or parts[:1]
+            )
+        return out
