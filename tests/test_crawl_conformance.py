@@ -137,6 +137,20 @@ def test_title_metadata_equality(engine_run, small_golden):
         assert g["synopsis"] == w["synopsis"]
 
 
+def test_volumes_equality(engine_run, small_golden):
+    """The spec'd volumes table (001_initial_schema.sql:45-58;
+    persistence unimplemented in the reference pipeline)."""
+    eng, _ = engine_run
+    tables = getattr(eng, "_finalized", None) or eng.finalize_tables()
+    got = {r["volume_id"]: r for r in tables["volumes"].to_pylist()}
+    assert set(got) == set(small_golden.volumes_out)
+    for vid, w in small_golden.volumes_out.items():
+        g = got[vid]
+        assert g["title_id"] == w["title_id"]
+        assert g["volume_number"] == w["volume_number"]
+        assert g["year"] == w["year"]
+
+
 def test_robots_disallow_nowhere(engine_run, small_web):
     """Disallowed URLs are in neither seen nor output (FIXTURES.md §3)."""
     eng, _ = engine_run

@@ -50,6 +50,7 @@ class OracleResult:
     junction_out: dict[tuple[int, int], int]               # (lid,tid)->pos
     titles_out: dict[int, dict]                            # title_id -> row
     metadata_out: dict[int, dict]                          # title_id -> row
+    volumes_out: dict[int, dict]                           # volume_id -> row
     close_time: float = 0.0
     fetch_log: list[tuple[str, str]] = field(default_factory=list)
 
@@ -94,6 +95,7 @@ def run_oracle(
     junction: dict[tuple[int, int], int] = {}
     titles_out: dict[int, dict] = {}
     metadata_out: dict[int, dict] = {}
+    volumes_out: dict[int, dict] = {}
     fetch_log: list[tuple[str, str]] = []
 
     # candidates for the current round: (priority, ok, canon, sha, host)
@@ -216,6 +218,22 @@ def run_oracle(
                         elif sp["kind"] == "text" and not row["synopsis"]:
                             row["synopsis"] = sp["text"]
                     metadata_out[tid] = row
+                    vol_re = re.compile(
+                        r"^Volume ([0-9]+) \(([0-9]{4})\)$"
+                    )
+                    for sp in spans:
+                        if sp["kind"] != "text":
+                            continue
+                        m = vol_re.match(sp["text"])
+                        if m:
+                            num = int(m.group(1))
+                            vid = tid * 1000 + num
+                            volumes_out[vid] = {
+                                "volume_id": vid,
+                                "title_id": tid,
+                                "volume_number": num,
+                                "year": int(m.group(2)),
+                            }
 
             # ---- title links on list pages (publications semantics)
             if list_re.match(canon):
@@ -260,6 +278,7 @@ def run_oracle(
         junction_out=junction,
         titles_out=titles_out,
         metadata_out=metadata_out,
+        volumes_out=volumes_out,
         close_time=close_time,
         fetch_log=fetch_log,
     )

@@ -57,6 +57,7 @@ from ..stages.extract import (
     extract_profile_sections,
     extract_title_links,
     extract_title_metadata,
+    extract_volumes,
     ids_from_url_tail,
     rank_positions,
 )
@@ -987,11 +988,31 @@ class CrawlEngine:
             }
         )
 
+        # ---- volumes: title-page volume listings (reference spec
+        # table 001_initial_schema.sql:45-58) — pure map, no shuffle.
+        vol_pdf = (
+            docs.map_batches(extract_volumes, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("volume_id")
+            .reset_index(drop=True)
+        )
+        volumes_out = pa.table(
+            {
+                "volume_id": pa.array(vol_pdf["volume_id"], pa.int64()),
+                "title_id": pa.array(vol_pdf["title_id"], pa.int64()),
+                "volume_number": pa.array(
+                    vol_pdf["volume_number"], pa.int32()
+                ),
+                "year": pa.array(vol_pdf["year"], pa.int32()),
+            }
+        )
+
         out = {
             "lists": lists_out,
             "junction": junction_out,
             "titles": titles_out,
             "title_metadata": metadata_out,
+            "volumes": volumes_out,
         }
         # user-registered extractors (extension surface X6): each one is
         # an extra finalized table computed by a map_batches pass.

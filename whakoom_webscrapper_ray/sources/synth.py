@@ -188,18 +188,29 @@ def generate_web(cfg: SynthConfig) -> dict[str, pa.Table]:
             span("link", title_names[t], title_urls[t])
         add_page(lurl, spans)
 
-    # --- title pages (leaves): a few text/image spans, no out-links
+    # --- title pages (leaves): heading/image/synopsis plus volume
+    #     listing spans (the reference's volumes table data,
+    #     001_initial_schema.sql:45-58) — text spans, so no extra
+    #     crawl level is introduced.
     for t in range(n_unique_titles):
+        tid = int(title_ids[t])
         spans = [
             {"kind": "heading", "text": title_names[t], "media_ref": "",
              "offset": 0},
             {"kind": "image", "text": "",
-             "media_ref": f"https://cdn.example/covers/{title_ids[t]}.jpg",
+             "media_ref": f"https://cdn.example/covers/{tid}.jpg",
              "offset": 1},
             {"kind": "text",
-             "text": f"Synopsis of {title_names[t]} ({title_ids[t]})",
+             "text": f"Synopsis of {title_names[t]} ({tid})",
              "media_ref": "", "offset": 2},
         ]
+        n_volumes = 1 + tid % 4
+        for v in range(1, n_volumes + 1):
+            spans.append(
+                {"kind": "text",
+                 "text": f"Volume {v} ({1990 + (tid + v) % 30})",
+                 "media_ref": "", "offset": len(spans)}
+            )
         add_page(title_urls[t], spans)
 
     pages = pa.Table.from_pydict(

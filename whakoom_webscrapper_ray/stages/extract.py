@@ -271,6 +271,62 @@ def extract_title_metadata(batch: pa.Table) -> pa.Table:
     return out.filter(pc.is_valid(tids))
 
 
+VOLUME_RE = r"^Volume (?P<num>[0-9]+) \((?P<year>[0-9]{4})\)$"
+
+
+def extract_volumes(batch: pa.Table) -> pa.Table:
+    """Volume rows from TITLE pages (reference 001_initial_schema.sql:45-58
+    — spec'd but never persisted by the reference pipeline).
+
+    Volume listings are ``text`` spans ``Volume N (YYYY)`` on title leaf
+    pages; ``volume_id = title_id*1000 + N`` is the stable synthetic
+    key (UNIQUE(title_id, volume_number) analog).  Fully vectorized:
+    one regex extract over the flattened text spans.
+
+    Output: (volume_id, title_id, volume_number, year).
+    """
+    doc_col = batch.column("doc_id")
+    if isinstance(doc_col, pa.ChunkedArray):
+        doc_col = doc_col.combine_chunks()
+    sub = batch.filter(pc.match_substring_regex(doc_col, TITLE_RE))
+    empty = pa.table(
+        {
+            "volume_id": pa.array([], pa.int64()),
+            "title_id": pa.array([], pa.int64()),
+            "volume_number": pa.array([], pa.int32()),
+            "year": pa.array([], pa.int32()),
+        }
+    )
+    if sub.num_rows == 0:
+        return empty
+    parent, f = _flatten_spans(sub)
+    m = pc.extract_regex(f["text"], VOLUME_RE)
+    valid = pc.is_valid(m).to_numpy(zero_copy_only=False)
+    valid &= (f["kind"].to_numpy(zero_copy_only=False) == "text")
+    idx = np.flatnonzero(valid)
+    if idx.size == 0:
+        return empty
+    take = pa.array(idx)
+    nums = pc.struct_field(m, "num").take(take).cast(pa.int32())
+    years = pc.struct_field(m, "year").take(take).cast(pa.int32())
+    sub_doc = sub.column("doc_id")
+    if isinstance(sub_doc, pa.ChunkedArray):
+        sub_doc = sub_doc.combine_chunks()
+    tids = ids_from_url_tail(sub_doc).take(pa.array(parent[idx]))
+    vids = pc.add(
+        pc.multiply(tids, pa.scalar(1000, pa.int64())),
+        nums.cast(pa.int64()),
+    )
+    return pa.table(
+        {
+            "volume_id": vids,
+            "title_id": tids,
+            "volume_number": nums,
+            "year": years,
+        }
+    )
+
+
 def rank_positions(tbl: pa.Table, group_col: str = "list_id",
                    order_col: str = "offset",
                    out_col: str = "position") -> pa.Table:
