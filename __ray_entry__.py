@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts": _do.top_parts,
         "events_hourly": _do.events_hourly,
         "sessionize": _do.sessionize,
+        "events_sliding": _do.events_sliding,
+        "latest_order_before_event": _do.latest_order_before_event,
         "latest_user_state": _do.latest_user_state,
     }
 
@@ -186,5 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "top_parts": _do.ORACLE_TOP_PARTS,
         "events_hourly": _do.ORACLE_EVENTS_HOURLY,
         "sessionize": _do.ORACLE_SESSIONIZE,
+        "events_sliding": _do.ORACLE_EVENTS_SLIDING,
+        "latest_order_before_event": _do.ORACLE_ASOF,
         "latest_user_state": _do.ORACLE_LATEST_USER_STATE,
     }

@@ -38,6 +38,7 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BENCH_QUERIES = [
     "pricing_summary", "junction_min_position", "top_customers",
     "orders_by_month", "events_hourly", "sessionize", "latest_user_state",
+    "events_sliding", "latest_order_before_event",
     "token_stats", "langid", "simhash", "fingerprints", "exact_dedup",
     "minhash_lsh_pairs", "embedding_dups", "ann_topk", "ann_ivf",
     "span_links", "span_kind_counts", "media_features",

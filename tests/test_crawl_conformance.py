@@ -184,3 +184,32 @@ def test_politeness_spacing(engine_run, small_web, small_golden):
         times = sub.column("fetch_time").to_pylist()
         for a, b in zip(times, times[1:]):
             assert b - a >= robots[h] - 1e-9
+
+
+def test_spill_conformance(ray_session, small_web, small_golden,
+                           tmp_path_factory):
+    """A tiny spill threshold forces every enqueue to disk; the crawl
+    must still equal the oracle exactly (memory-bounded queues,
+    SURVEY.md §4.3)."""
+    from whakoom_webscrapper_ray.pipelines.crawl import CrawlEngine
+
+    ckpt = str(tmp_path_factory.mktemp("spill_ckpt"))
+    eng = CrawlEngine(
+        small_web["pages"], small_web["seeds"], small_web["robots"],
+        checkpoint_dir=ckpt, num_shards=3, batch_size=64,
+        spill_threshold_rows=8,
+    )
+    eng.run()
+    stats = eng.frontier.spill_stats()
+    assert sum(s["spills"] for s in stats) > 0
+    got = eng.crawl_order()
+    rows = list(
+        zip(
+            got.column("seq").to_pylist(),
+            got.column("url").to_pylist(),
+            got.column("host").to_pylist(),
+            got.column("round").to_pylist(),
+        )
+    )
+    assert rows == small_golden.crawl_order
+    eng.shutdown()

@@ -446,6 +446,7 @@ class CrawlEngine:
         run_id: str = "run0",
         extractors=None,
         fetch_middlewares=None,
+        spill_threshold_rows: int = 1 << 22,
     ) -> None:
         self.checkpoint_dir = checkpoint_dir
         os.makedirs(checkpoint_dir, exist_ok=True)
@@ -464,7 +465,11 @@ class CrawlEngine:
         self.delayed = frozenset(
             h for h, d in self.rules.delay.items() if d > 0
         )
-        self.frontier = Frontier(num_shards, self.rules.delay)
+        self.frontier = Frontier(
+            num_shards, self.rules.delay,
+            spill_dir=os.path.join(checkpoint_dir, "spill"),
+            spill_threshold_rows=spill_threshold_rows,
+        )
         self.pages_parts = [
             ray.put(p)
             for p in partition_pages(pages, num_shards, self.delayed)

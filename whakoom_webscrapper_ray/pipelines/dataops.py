@@ -446,6 +446,150 @@ GROUP BY user_id, session_id
 """
 
 
+# ------------------------------------------- sliding window (custom op)
+def events_sliding(sf_dir: str) -> ray.data.Dataset:
+    """1-hour windows sliding every 30 min over the event stream.
+
+    Ray Data has no sliding-window primitive; the composition is
+    flat_map (each event → its 2 covering windows, as an integer
+    window-start key) → two-phase aggregate.  Exact-integer keys and
+    cents sums keep the oracle comparison bit-exact.
+    """
+    win_s, slide_s = 3600, 1800
+
+    def expand(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        base = (us // (slide_s * 1_000_000)) * slide_s
+        k = win_s // slide_s
+        starts = np.concatenate(
+            [base - i * slide_s for i in range(k)]
+        )
+        etype = pa.concat_arrays(
+            [b["event_type"].combine_chunks()
+             if isinstance(b["event_type"], pa.ChunkedArray)
+             else b["event_type"]] * k
+        )
+        cents = _floor_cents(b["value"])
+        if isinstance(cents, pa.ChunkedArray):
+            cents = cents.combine_chunks()
+        cents_rep = pa.concat_arrays([cents] * k)
+        return pa.table(
+            {
+                "window_start_s": pa.array(starts, pa.int64()),
+                "event_type": etype,
+                "value_cents": cents_rep,
+            }
+        )
+
+    expanded = read(
+        sf_dir, "events", columns=["ts", "event_type", "value"]
+    ).map_batches(expand, batch_format="pyarrow")
+    return two_phase_agg(expanded, ["window_start_s", "event_type"],
+                         sums={"value_cents": "value_cents_sum"},
+                         count_alias="n_events")
+
+
+ORACLE_EVENTS_SLIDING = """
+WITH w AS (
+  SELECT CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS window_start_s,
+         event_type, value
+  FROM events
+  UNION ALL
+  SELECT CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT),
+         event_type, value
+  FROM events
+)
+SELECT window_start_s, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents_sum
+FROM w
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------- as-of join (custom op)
+def latest_order_before_event(sf_dir: str) -> ray.data.Dataset:
+    """As-of enrichment: each event gets the latest order date of its
+    user at-or-before the event time, plus how many orders preceded it.
+
+    Ray Data has no as-of join; the composition is the standard
+    distributed one: tag-union both sides → one shuffle on the join key
+    → per-key ordered sweep (vectorized ``searchsorted``, not a row
+    loop).  The outputs (max date + count) are deterministic under
+    date ties, so the DuckDB oracle compares exactly.
+    """
+    events = read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def tag_events(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(b["user_id"], pa.int64()),
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "ts": b["ts"],
+                "side": pa.array(
+                    np.zeros(b.num_rows, np.int8), pa.int8()
+                ),
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(b["o_custkey"], pa.int64()),
+                "event_id": pa.array(
+                    np.full(b.num_rows, -1, np.int64), pa.int64()
+                ),
+                "ts": pc.cast(b["o_orderdate"], pa.timestamp("us")),
+                "side": pa.array(np.ones(b.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    both = events.map_batches(tag_events, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["side"] == 0]
+        od = g[g["side"] == 1].sort_values("ts")
+        if ev.empty:
+            return pd.DataFrame(
+                {"event_id": pd.array([], dtype="int64"),
+                 "user_id": pd.array([], dtype="int64"),
+                 "ts": pd.array([], dtype="datetime64[us]"),
+                 "last_order_date": pd.array([], dtype="datetime64[us]"),
+                 "n_orders_before": pd.array([], dtype="int64")}
+            )
+        odt = od["ts"].to_numpy()
+        pos = np.searchsorted(odt, ev["ts"].to_numpy(), side="right")
+        last = np.full(len(ev), np.datetime64("NaT", "us"))
+        nz = pos > 0
+        last[nz] = odt[pos[nz] - 1]
+        return pd.DataFrame(
+            {
+                "event_id": ev["event_id"].to_numpy(),
+                "user_id": ev["key"].to_numpy(),
+                "ts": ev["ts"].to_numpy(),
+                "last_order_date": last,
+                "n_orders_before": pos.astype(np.int64),
+            }
+        )
+
+    return both.groupby("key").map_groups(sweep, batch_format="pandas")
+
+
+ORACLE_ASOF = """
+SELECT e.event_id, e.user_id, e.ts,
+       CAST(max(o.o_orderdate) AS TIMESTAMP) AS last_order_date,
+       count(o.o_orderdate) AS n_orders_before
+FROM events e
+LEFT JOIN orders o
+  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+GROUP BY 1, 2, 3
+"""
+
+
 # ------------------------------------------- last-writer-wins (A2/X5)
 def latest_user_state(sf_dir: str) -> ray.data.Dataset:
     """Per-user last event — the upsert/last-writer-wins merge of the

@@ -82,12 +82,24 @@ class FrontierShard:
 
     def __init__(self, shard_id: int, num_shards: int,
                  robots: dict[str, float] | None = None,
-                 seen_shard=None, local_seen: bool = True) -> None:
+                 seen_shard=None, local_seen: bool = True,
+                 spill_dir: str | None = None,
+                 spill_threshold_rows: int = 1 << 22) -> None:
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.crawl_delay = robots or {}   # host -> delay (seconds, logical)
         self.pending: list[pa.Table] = []  # columnar enqueue blocks
         self.next_time: dict[str, float] = {}
+        # Memory-bounded queues (SURVEY.md §4.3): when the in-memory
+        # pending backlog exceeds the threshold, blocks spill to this
+        # shard's spill dir and are read back at poll — a hot host's
+        # backlog is bounded by disk, not the actor heap.
+        self.spill_dir = spill_dir
+        self.spill_threshold_rows = spill_threshold_rows
+        self._pending_rows = 0
+        self._spill_files: list[str] = []
+        self._spill_seq = 0
+        self.spill_count = 0
         # Co-located seen state (same routing partition): held INSIDE
         # this actor, so the schedule-time dedup probe is a plain
         # method call — no cross-actor RPC, no key-list pickling.
@@ -107,7 +119,49 @@ class FrontierShard:
     def enqueue_block(self, tbl: pa.Table) -> int:
         """O(1): stash the Arrow block; all work happens at poll."""
         self.pending.append(tbl)
+        self._pending_rows += tbl.num_rows
+        if (self.spill_dir is not None
+                and self._pending_rows >= self.spill_threshold_rows):
+            self._spill()
         return tbl.num_rows
+
+    def _spill(self) -> None:
+        import os
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.spill_dir, exist_ok=True)
+        path = os.path.join(
+            self.spill_dir, f"spill-{self._spill_seq:06d}.parquet"
+        )
+        self._spill_seq += 1
+        pq.write_table(
+            pa.concat_tables(self.pending), path, compression="lz4",
+            use_dictionary=False, write_statistics=False,
+        )
+        self._spill_files.append(path)
+        self.spill_count += 1
+        self.pending = []
+        self._pending_rows = 0
+
+    def _unspill(self) -> None:
+        """Read spilled blocks back into the in-memory pending list."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        for path in self._spill_files:
+            self.pending.insert(0, pq.read_table(path))
+            os.unlink(path)
+        self._spill_files = []
+        self._pending_rows = int(
+            sum(b.num_rows for b in self.pending)
+        )
+
+    def spill_stats(self) -> dict:
+        return {"spills": self.spill_count,
+                "spilled_files": len(self._spill_files),
+                "pending_rows": self._pending_rows}
 
     def enqueue(self, canon_url, url_sha1, host, host_hash,
                 priority, ok) -> int:
@@ -143,10 +197,13 @@ class FrontierShard:
         _c0 = _tm.process_time()
         import resource as _rs
         _r0 = _rs.getrusage(_rs.RUSAGE_SELF)
+        if self._spill_files:
+            self._unspill()
         if not self.pending:
             return _empty_poll_table()
         t = pa.concat_tables(self.pending).combine_chunks()
         self.pending = []
+        self._pending_rows = 0
         _t1 = _tm.perf_counter()
 
         # 1. shard-wide dedup by sha, keep first-discovered (min ok):
@@ -306,6 +363,8 @@ class FrontierShard:
 
     # -- checkpoint -------------------------------------------------------
     def dump(self) -> dict:
+        if self._spill_files:
+            self._unspill()
         return {
             "pending": (pa.concat_tables(self.pending)
                         if self.pending else None),
@@ -353,15 +412,27 @@ class Frontier:
 
     def __init__(self, num_shards: int,
                  crawl_delays: dict[str, float] | None = None,
-                 seen_shards: list | None = None) -> None:
+                 seen_shards: list | None = None,
+                 spill_dir: str | None = None,
+                 spill_threshold_rows: int = 1 << 22) -> None:
+        import os
+
         self.num_shards = num_shards
         self.shards = [
             FrontierShard.remote(
                 i, num_shards, crawl_delays,
                 seen_shards[i] if seen_shards else None,
+                spill_dir=(
+                    os.path.join(spill_dir, f"shard={i}")
+                    if spill_dir else None
+                ),
+                spill_threshold_rows=spill_threshold_rows,
             )
             for i in range(num_shards)
         ]
+
+    def spill_stats(self) -> list[dict]:
+        return ray.get([s.spill_stats.remote() for s in self.shards])
 
     def shard_of(self, host_hash: np.ndarray) -> np.ndarray:
         return (np.asarray(host_hash, dtype=np.uint64)
