@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_titles": _crawl_table("titles"),
         "crawl_title_metadata": _crawl_table("title_metadata"),
         "crawl_volumes": _crawl_table("volumes"),
+        "crawl_title_enriched": _crawl_table("title_enriched"),
         "crawl_doc_spans": _crawl_doc_spans,
         "crawl_metrics": lambda sf_dir: _crawl()["engine"].metrics_rollup(),
         "feed_export": _sk.feed_export,

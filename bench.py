@@ -184,7 +184,7 @@ def main() -> None:
             int(x) for x in
             os.environ.get("WKM_SCALING_PAIR", "2,8").split(",")
         )
-        trials = 2
+        trials = int(os.environ.get("WKM_SCALING_TRIALS", "3"))
         results = {}
         for cpus in pair:
             best = None

@@ -213,3 +213,16 @@ def test_spill_conformance(ray_session, small_web, small_golden,
     )
     assert rows == small_golden.crawl_order
     eng.shutdown()
+
+
+def test_title_enriched_equality(engine_run, small_golden):
+    """Derived enrichment table (001_initial_schema.sql:81-95): JSON
+    additional_data computed from volumes."""
+    eng, _ = engine_run
+    tables = getattr(eng, "_finalized", None) or eng.finalize_tables()
+    got = {r["title_id"]: r for r in tables["title_enriched"].to_pylist()}
+    assert set(got) == set(small_golden.enriched_out)
+    for tid, w in small_golden.enriched_out.items():
+        g = got[tid]
+        assert g["rating"] is None
+        assert g["additional_data"] == w["additional_data"]

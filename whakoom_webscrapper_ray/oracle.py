@@ -51,6 +51,7 @@ class OracleResult:
     titles_out: dict[int, dict]                            # title_id -> row
     metadata_out: dict[int, dict]                          # title_id -> row
     volumes_out: dict[int, dict]                           # volume_id -> row
+    enriched_out: dict[int, dict] = None                   # title_id -> row
     close_time: float = 0.0
     fetch_log: list[tuple[str, str]] = field(default_factory=list)
 
@@ -264,6 +265,25 @@ def run_oracle(
         cands = next_cands
         rnd += 1
 
+    # title_enriched: derived from volumes (n_volumes, first_year)
+    import json as _json
+
+    enriched_out: dict[int, dict] = {}
+    for row in volumes_out.values():
+        tid = row["title_id"]
+        e = enriched_out.setdefault(
+            tid, {"title_id": tid, "rating": None,
+                  "n_volumes": 0, "first_year": 10**9}
+        )
+        e["n_volumes"] += 1
+        e["first_year"] = min(e["first_year"], row["year"])
+    for e in enriched_out.values():
+        e["additional_data"] = _json.dumps(
+            {"n_volumes": e.pop("n_volumes"),
+             "first_year": e.pop("first_year")},
+            sort_keys=True,
+        )
+
     # close sweep: pending → completed at the logical close time
     close_time = float(int(max_time) + 1)
     for row in lists_out.values():
@@ -279,6 +299,7 @@ def run_oracle(
         titles_out=titles_out,
         metadata_out=metadata_out,
         volumes_out=volumes_out,
+        enriched_out=enriched_out,
         close_time=close_time,
         fetch_log=fetch_log,
     )

@@ -1012,12 +1012,39 @@ class CrawlEngine:
             }
         )
 
+        # ---- title_enriched: derived enrichment (reference
+        # 001_initial_schema.sql:81-95 — rating left NULL, computed
+        # aggregates in the free-form additional_data JSON column,
+        # README.md:140).  Built from the already-small volumes table.
+        vg = vol_pdf.groupby("title_id")
+        agg = vg.agg(
+            n_volumes=("volume_number", "size"),
+            first_year=("year", "min"),
+        ).reset_index().sort_values("title_id")
+        enriched_out = pa.table(
+            {
+                "title_id": pa.array(agg["title_id"], pa.int64()),
+                "rating": pa.array([None] * len(agg), pa.float64()),
+                "additional_data": pa.array(
+                    [
+                        json.dumps(
+                            {"n_volumes": int(n), "first_year": int(y)},
+                            sort_keys=True,
+                        )
+                        for n, y in zip(agg["n_volumes"], agg["first_year"])
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
         out = {
             "lists": lists_out,
             "junction": junction_out,
             "titles": titles_out,
             "title_metadata": metadata_out,
             "volumes": volumes_out,
+            "title_enriched": enriched_out,
         }
         # user-registered extractors (extension surface X6): each one is
         # an extra finalized table computed by a map_batches pass.

@@ -522,6 +522,26 @@ def latest_order_before_event(sf_dir: str) -> ray.data.Dataset:
     events = read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
     orders = read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
 
+    # Semi-join pushdown: only orders of users that actually have
+    # events enter the shuffle (the user-id set is tiny — broadcast it
+    # rather than shipping every customer's orders into singleton
+    # groups that pay per-group Python overhead for nothing).
+    user_ids = frozenset(events.unique("user_id"))
+    uid_ref = ray.put(user_ids)
+
+    def keep_evented(b: pa.Table, uids=None) -> pa.Table:
+        uids = deref(uids)
+        return b.filter(
+            pc.is_in(
+                b["o_custkey"],
+                value_set=pa.array(sorted(uids), b["o_custkey"].type),
+            )
+        )
+
+    orders = orders.map_batches(
+        keep_evented, fn_kwargs={"uids": uid_ref}, batch_format="pyarrow"
+    )
+
     def tag_events(b: pa.Table) -> pa.Table:
         return pa.table(
             {
