@@ -120,3 +120,33 @@ def test_canonicalize_table():
     assert out.column("canon_url").to_pylist() == ["http://a.b/x"] * 2
     assert out.column("url_sha1")[0].as_py() == out.column("url_sha1")[1].as_py()
     assert out.column("host").to_pylist() == ["a.b", "a.b"]
+
+
+def test_arrow_hostless_and_portful_hosts():
+    """Regression (ADVICE r1): canonicalize_arrow must (a) not crash on
+    hostless schemes (mailto:, javascript:, tel:) — host becomes "" so
+    the offsite mask drops them — and (b) strip userinfo/port from the
+    host so host_hash matches canonicalize_batch/host_of exactly."""
+    from whakoom_webscrapper_ray.functions.canonicalize import (
+        canonicalize_arrow,
+        host_of,
+    )
+
+    urls = [
+        "mailto:someone@example.com",
+        "javascript:void(0)",
+        "tel:+15551234567",
+        "http://a.example:8080/x",
+        "http://user@a.example/x",
+        "http://user:pw@a.example:8080/x",
+        "https://host0.example/u/lists",
+    ]
+    cols = canonicalize_arrow(pa.array(urls, pa.string()))
+    canon = cols["canon"].to_pylist()
+    hosts = cols["host"].to_pylist()
+    assert hosts == [host_of(c) for c in canon]
+    # parity with the scalar batch path on every column
+    ref = canonicalize_batch(urls)
+    assert canon == ref["canon_url"]
+    assert hosts == ref["host"]
+    assert cols["host_hash"].tolist() == ref["host_hash"].tolist()

@@ -304,7 +304,11 @@ _RE2_FAST_PARTS = {
     "bad_dotseg": r"/\.\.?(/|$)",
 }
 
-_HOST_EXTRACT_RE = r"^[a-z][a-z0-9+.-]*://(?P<host>[^/]+)"
+# Strip userinfo ("user:pass@") and stop at ":" so ports never leak into
+# the host — must match host_of()/urlsplit().hostname semantics exactly,
+# else the same host routes to different frontier shards (politeness /
+# robots lookups keyed by bare host would miss).
+_HOST_EXTRACT_RE = r"^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?(?P<host>[^/:]+)"
 
 
 def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, memoryview]:
@@ -401,6 +405,10 @@ def canonicalize_arrow(
     )
     if isinstance(host, pa.ChunkedArray):
         host = host.combine_chunks()
+    # Hostless schemes (mailto:, javascript:, tel:) yield a null match;
+    # give them host "" (canonicalize_batch parity) so they hash cleanly
+    # and are dropped by the offsite mask instead of crashing the round.
+    host = pc.fill_null(host, "")
 
     sha_bytes = sha1_column(canon)
     sha_u8 = np.frombuffer(sha_bytes, dtype=np.uint8).reshape(n, 20)

@@ -1054,7 +1054,21 @@ class CrawlEngine:
                     ext.fn, batch_format="pyarrow"
                 ).to_arrow_refs()
             )
-            out[ext.name] = pa.concat_tables(
-                [p for p in parts if p.num_rows] or parts[:1]
-            )
+            nonempty = [p for p in parts if p.num_rows]
+            if nonempty:
+                out[ext.name] = pa.concat_tables(nonempty)
+            elif parts:
+                out[ext.name] = parts[0]
+            else:
+                # zero blocks (empty docs dataset): emit the extractor's
+                # declared schema so downstream consumers see a table.
+                out[ext.name] = ext.fn(
+                    pa.table({"doc_id": pa.array([], pa.string()),
+                              "seq": pa.array([], pa.int64()),
+                              "spans": pa.array([], pa.list_(pa.struct(
+                                  [("kind", pa.string()),
+                                   ("text", pa.string()),
+                                   ("media_ref", pa.string()),
+                                   ("offset", pa.int32())])))})
+                )
         return out

@@ -90,10 +90,16 @@ class FrontierShard:
         self.crawl_delay = robots or {}   # host -> delay (seconds, logical)
         self.pending: list[pa.Table] = []  # columnar enqueue blocks
         self.next_time: dict[str, float] = {}
-        # Memory-bounded queues (SURVEY.md §4.3): when the in-memory
+        # Memory-bounded ENQUEUE (SURVEY.md §4.3): when the in-memory
         # pending backlog exceeds the threshold, blocks spill to this
-        # shard's spill dir and are read back at poll — a hot host's
-        # backlog is bounded by disk, not the actor heap.
+        # shard's spill dir.  The bound applies between polls (the
+        # enqueue-time accumulation window); poll_round rehydrates the
+        # full backlog because round-level dedup keeps the min-ok
+        # occurrence per SHA, which needs the whole round's candidates
+        # in view.  The per-round working set is already bounded by the
+        # fetch stage's round budget, so this is an accepted peak — a
+        # streaming min-ok merge over ok-sorted spill runs is the
+        # upgrade path if round backlogs ever exceed the actor heap.
         self.spill_dir = spill_dir
         self.spill_threshold_rows = spill_threshold_rows
         self._pending_rows = 0
@@ -522,18 +528,19 @@ class Frontier:
         # ft == min(ft): the zero-delay mass sorts by ``ok`` alone (one
         # argsort — the driver's serial chunk shrinks ~3×) and the few
         # politeness-delayed rows (ft > min) sort after it by (ft, ok).
-        # ``ok`` is unique per candidate, so ties never matter.
+        # ``ok`` collides when span offsets clamp at 2^20-1, so the sort
+        # must be stable (lexsort parity) for a deterministic tie order.
         uniform_prio = prio.size == 0 or (prio[0] == prio).all()
         if uniform_prio:
             ftmin = ft.min()
             simple = ft == ftmin
             if simple.all():
-                order = np.argsort(ok)
+                order = np.argsort(ok, kind="stable")
             else:
                 si = np.flatnonzero(simple)
                 ci = np.flatnonzero(~simple)
                 order = np.concatenate([
-                    si[np.argsort(ok[si])],
+                    si[np.argsort(ok[si], kind="stable")],
                     ci[np.lexsort((ok[ci], ft[ci]))],
                 ])
         else:
