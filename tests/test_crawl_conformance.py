@@ -226,3 +226,72 @@ def test_title_enriched_equality(engine_run, small_golden):
         g = got[tid]
         assert g["rating"] is None
         assert g["additional_data"] == w["additional_data"]
+
+
+def test_kill_resume_conformance(ray_session, small_web, small_golden,
+                                 tmp_path_factory):
+    """Kill after round 0, resume from checkpoint, finish: final state
+    must be byte-equal to the uninterrupted run AND the oracle
+    (SURVEY.md §5.2.3; the reference's idempotent re-run story —
+    HTTP cache settings.py:132 + upsert queries/lists.sql:1-9 — and the
+    north rule's checkpoint/per-partition-lineage claim)."""
+    from whakoom_webscrapper_ray.pipelines.crawl import CrawlEngine
+
+    ckpt = str(tmp_path_factory.mktemp("resume_ckpt"))
+
+    def mk():
+        return CrawlEngine(
+            small_web["pages"], small_web["seeds"], small_web["robots"],
+            checkpoint_dir=ckpt, num_shards=3, fetcher_concurrency=2,
+            batch_size=64,
+        )
+
+    eng1 = mk()
+    eng1.run(max_rounds=1)          # seed + round 0, then "crash"
+    assert eng1.next_round == 1
+    eng1.shutdown()                  # kill the frontier/seen actors
+
+    eng2 = mk()                      # fresh process analog
+    assert eng2.resume() == 1
+    eng2.run(seed=False)
+
+    # crawl order byte-equal to the sequential oracle
+    got = eng2.crawl_order()
+    rows = list(zip(got.column("seq").to_pylist(),
+                    got.column("url").to_pylist(),
+                    got.column("host").to_pylist(),
+                    got.column("round").to_pylist()))
+    assert rows == small_golden.crawl_order
+
+    # seen set equal (replayed from crawl_order lineage + new rounds)
+    seen = eng2.seen_table()
+    pairs = dict(zip(seen.column("url_sha1").to_pylist(),
+                     seen.column("canon_url").to_pylist()))
+    assert pairs == small_golden.seen
+
+    # fetched docs: per-row span sequences equal (round-0 docs come
+    # from the pre-kill checkpoint — no re-fetch — later rounds fresh)
+    docs = eng2.docs_dataset().to_pandas()
+    got_docs = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                      for s in r["spans"]]
+        for _, r in docs.iterrows()
+    }
+    want_docs = {
+        d: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in sp]
+        for d, sp in small_golden.docs_out.items()
+    }
+    assert got_docs == want_docs
+
+    # finalized tables equal to the oracle
+    tables = eng2.finalize_tables()
+    got_lists = {r["list_id"]: r for r in tables["lists"].to_pylist()}
+    for lid, w in small_golden.lists_out.items():
+        g = got_lists[lid]
+        assert (g["title"], g["url"], g["user_profile"]) == (
+            w["title"], w["url"], w["user_profile"])
+    assert len(got_lists) == len(small_golden.lists_out)
+    got_j = {(r["list_id"], r["title_id"]): r["position"]
+             for r in tables["junction"].to_pylist()}
+    assert got_j == small_golden.junction_out
+    eng2.shutdown()
