@@ -39,12 +39,25 @@ _CRAWL_CACHE: dict[str, Any] = {}
 
 
 def _crawl():
-    """Run the SMALL-fixture crawl once per process; memoize outputs."""
-    if "r" not in _CRAWL_CACHE:
-        from whakoom_webscrapper_ray.pipelines.crawl import CrawlEngine
-        from whakoom_webscrapper_ray.sources.synth import SMALL, generate_web
+    """Run the SMALL-fixture crawl once per process; memoize outputs.
 
-        web = generate_web(SMALL)
+    The fixture is read from the persisted parquet dir (bit-identical
+    to generate_web(SMALL)) so the Ray queries and the DuckDB oracles
+    in pipelines/crawl_oracle_sql.py consume the SAME files.
+    """
+    if "r" not in _CRAWL_CACHE:
+        import pyarrow.parquet as pq
+
+        from whakoom_webscrapper_ray.pipelines.crawl import CrawlEngine
+        from whakoom_webscrapper_ray.pipelines.crawl_oracle_sql import (
+            fixture_dir,
+        )
+
+        fx = fixture_dir()
+        web = {
+            n: pq.read_table(f"{fx}/{n}.parquet")
+            for n in ("pages", "seeds", "robots")
+        }
         ckpt = tempfile.mkdtemp(prefix="wkm_entry_crawl_")
         eng = CrawlEngine(
             web["pages"], web["seeds"], web["robots"], checkpoint_dir=ckpt
@@ -64,19 +77,23 @@ def _crawl_order(sf_dir: str) -> pa.Table:
 
 
 def _crawl_seen(sf_dir: str) -> pa.Table:
+    """The final URL-seen set (canonical URLs, sorted).
+
+    The SHA-1 fingerprint column is a pure function of canon_url —
+    unit-tested against RFC vectors in tests/test_canonicalize.py and
+    checked pairwise in test_crawl_conformance.py — and DuckDB 1.0 has
+    no sha1(), so the driver-compared surface is the URL set itself.
+    """
     t = _crawl()["seen"]
-    hexes = [s.hex() for s in t.column("url_sha1").to_pylist()]
-    return pa.table(
-        {
-            "url_sha1_hex": pa.array(hexes, pa.string()),
-            "canon_url": t.column("canon_url"),
-        }
-    ).sort_by("url_sha1_hex")
+    return pa.table({"canon_url": t.column("canon_url")}).sort_by(
+        "canon_url"
+    )
 
 
-def _crawl_table(name: str):
+def _crawl_table(name: str, columns: list[str] | None = None):
     def q(sf_dir: str) -> pa.Table:
-        return _crawl()["tables"][name]
+        t = _crawl()["tables"][name]
+        return t.select(columns) if columns else t
 
     return q
 
@@ -124,7 +141,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- crawl engine (conformance oracle = pytest simulator)
         "crawl_order": _crawl_order,
         "crawl_seen_set": _crawl_seen,
-        "crawl_lists": _crawl_table("lists"),
+        # scraped_at (a close-of-crawl logical timestamp) is a function
+        # of the politeness clock, not of the data — the oracle-compared
+        # surface is the deterministic columns.
+        "crawl_lists": _crawl_table(
+            "lists",
+            ["list_id", "title", "url", "user_profile", "scrape_status"],
+        ),
         "crawl_junction": _crawl_table("junction"),
         "crawl_titles": _crawl_table("titles"),
         "crawl_title_metadata": _crawl_table("title_metadata"),
@@ -170,8 +193,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB equivalents (same column names as the Ray results)."""
+    """DuckDB equivalents (same column names as the Ray results).
+
+    Crawl tables are re-derived by a recursive-CTE reachability oracle
+    over the persisted fixture parquet (crawl_oracle_sql.py).  Still
+    intentionally oracle-free: crawl_order (politeness-clock
+    simulation — sequential oracle in pytest), crawl_metrics rollup
+    semantics beyond counts, feed_export (sink manifest), minhash/ann
+    approximate families (LSH/IVF candidate sets are not relational),
+    with pytest oracles instead — see each docstring.
+    """
+    from whakoom_webscrapper_ray.pipelines.crawl_oracle_sql import (
+        crawl_oracles,
+    )
+
     return {
+        **crawl_oracles(),
         "span_links": _il.ORACLE_SPAN_LINKS,
         "span_kind_counts": _il.ORACLE_SPAN_KIND_COUNTS,
         "token_stats": _tx.ORACLE_TOKEN_STATS,

@@ -1,0 +1,296 @@
+"""DuckDB oracles for the crawl-derived tables (driver correctness gate).
+
+The crawl fixture (pages/seeds/robots, synth.py SMALL, seed=42) is a
+pure function of nothing — bit-identical on every call — so it can be
+persisted to parquet once and every crawl table re-derived in ANSI-ish
+SQL: a recursive CTE computes the scheduled set (reachability over the
+link graph under the offsite + robots filters, exactly the engine's
+schedule-time semantics), and window/aggregate SQL reproduces each
+extraction rule (reference spiders/lists.py:39-55,
+spiders/publications.py:96-102, migrations/001_initial_schema.sql).
+
+Not SQL-expressible (and why):
+
+- ``crawl_order`` — the global order interleaves per-host politeness
+  clocks (fetch_time = next_time[host] + i*crawl_delay) across BFS
+  rounds; that simulation is the sequential oracle in oracle.py,
+  exercised by tests/test_crawl_conformance.py.  A recursive CTE can
+  express reachability but not the clock-carrying priority queue.
+- ``feed_export`` — a side-effecting sink; its manifest (file count,
+  byte sizes) depends on parquet/json encoders, not on data semantics.
+
+URL canonicalization in SQL covers exactly the fixture's URL shapes
+(scheme/host case-folding, default-port drop, absolute-path relative
+refs); the full RFC 3986 machinery is unit-tested against vectors in
+tests/test_canonicalize.py.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+_FIXTURE_DIRNAME = "wkm_oracle_fixture_small_v1"
+
+# regexes shared by the SQL below (DuckDB RE2 syntax)
+_HOST = "'://(?:[^/@]*@)?([^/:]+)'"
+_PATH = "'^[A-Za-z][A-Za-z0-9+.-]*://[^/]+(/.*)$'"
+PROFILE_SQL_RE = "'^https?://[^/]+/[^/]+/lists/?$'"
+LIST_SQL_RE = "'^https?://[^/]+/[^/]+/lists/.+_[0-9]+/?$'"
+TITLE_SQL_RE = "'^https?://[^/]+/comics/.+_[0-9]+/?$'"
+INT_TAIL = "'_([0-9]+)/?$'"
+
+
+def fixture_dir() -> str:
+    """Persist the SMALL fixture to parquet once; return the directory.
+
+    Written atomically (tmp dir + rename) so concurrent processes —
+    the driver runs queries and oracles side by side — never read a
+    half-written file.  Content is deterministic (seed=42), so an
+    existing directory is always valid.
+    """
+    base = os.path.join(tempfile.gettempdir(), _FIXTURE_DIRNAME)
+    if os.path.isdir(base) and os.path.exists(
+        os.path.join(base, "robots.parquet")
+    ):
+        return base
+    from ..sources.synth import SMALL, generate_web, write_web
+
+    tmp = tempfile.mkdtemp(prefix=_FIXTURE_DIRNAME + ".")
+    write_web(generate_web(SMALL), tmp)
+    try:
+        os.rename(tmp, base)
+    except OSError:
+        # lost the race — another process landed it; theirs is identical
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return base
+
+
+def _prefix(fx: str) -> str:
+    """Shared CTE prelude: fixture tables, filters, reachability.
+
+    ``reach`` = the scheduled URL set (engine seen set): canonical
+    seed URLs that pass offsite+robots, then transitively every link
+    on a FETCHED page (scheduled AND present in ``pages``) that passes
+    the same filters.  Schedule-time dedup = the recursive UNION.
+    """
+    return f"""
+WITH RECURSIVE
+pages AS (SELECT * FROM read_parquet('{fx}/pages.parquet')),
+dis AS (SELECT host, unnest(disallow) AS prefix
+        FROM read_parquet('{fx}/robots.parquet')),
+seed_canon AS (
+  SELECT DISTINCT
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+    CASE WHEN regexp_extract(
+            url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?[^/:]+:([0-9]+)', 1
+         ) IN ('80', '443')
+         THEN lower(regexp_extract(
+            url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:]+)', 1))
+         ELSE lower(regexp_extract(
+            url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:]+(?::[0-9]+)?)', 1))
+    END ||
+    coalesce(nullif(regexp_extract(url, {_PATH}, 1), ''), '/') AS url
+  FROM read_parquet('{fx}/seeds.parquet')
+),
+allowed AS (
+  SELECT DISTINCT lower(regexp_extract(url, {_HOST}, 1)) AS host
+  FROM read_parquet('{fx}/seeds.parquet')
+),
+links AS (
+  SELECT doc_id AS src,
+         CASE WHEN s.media_ref LIKE '/%'
+              THEN regexp_extract(doc_id, '^(https?://[^/]+)', 1)
+                   || s.media_ref
+              ELSE s.media_ref END AS url
+  FROM (SELECT doc_id, unnest(spans) AS s FROM pages)
+  WHERE s.kind = 'link'
+),
+ok_links AS (
+  SELECT l.src, l.url
+  FROM links l
+  WHERE regexp_extract(l.url, {_HOST}, 1) IN (SELECT host FROM allowed)
+    AND NOT EXISTS (
+      SELECT 1 FROM dis d
+      WHERE d.host = regexp_extract(l.url, {_HOST}, 1)
+        AND coalesce(regexp_extract(l.url, {_PATH}, 1), '/')
+            LIKE d.prefix || '%')
+),
+seed_ok AS (
+  SELECT url FROM seed_canon s
+  WHERE regexp_extract(s.url, {_HOST}, 1) IN (SELECT host FROM allowed)
+    AND NOT EXISTS (
+      SELECT 1 FROM dis d
+      WHERE d.host = regexp_extract(s.url, {_HOST}, 1)
+        AND coalesce(regexp_extract(s.url, {_PATH}, 1), '/')
+            LIKE d.prefix || '%')
+),
+reach AS (
+  SELECT url FROM seed_ok
+  UNION
+  SELECT o.url FROM ok_links o JOIN reach r ON o.src = r.url
+),
+fetched AS (
+  SELECT p.* FROM pages p JOIN reach r ON p.doc_id = r.url
+)
+"""
+
+
+def crawl_oracles() -> dict[str, str]:
+    """SQL for every oracle-checkable crawl query (same column names
+    and dtypes as the Ray results)."""
+    fx = fixture_dir()
+    P = _prefix(fx)
+
+    seen = P + """
+SELECT url AS canon_url FROM reach ORDER BY canon_url
+"""
+
+    doc_spans = P + """
+SELECT doc_id, s.kind, s.text, s.media_ref, s."offset"
+FROM (SELECT doc_id, unnest(spans) AS s FROM fetched)
+"""
+
+    # ListSpider semantics (lists.py:39-55): per heading-opened section
+    # on a fetched PROFILE page, sections with >=2 links emit the
+    # SECOND link: title = trimmed anchor text, url = href verbatim
+    # (relative, stored raw like the reference), list_id = numeric tail.
+    lists = P + f""",
+prof_spans AS (
+  SELECT doc_id, s.kind, s.text, s.media_ref, s."offset"
+  FROM (SELECT doc_id, unnest(spans) AS s FROM fetched
+        WHERE regexp_matches(doc_id, {PROFILE_SQL_RE}))
+),
+sec AS (
+  SELECT *, count(*) FILTER (WHERE kind = 'heading')
+            OVER (PARTITION BY doc_id ORDER BY "offset") AS sec_id
+  FROM prof_spans
+),
+sec_links AS (
+  SELECT doc_id, sec_id, text, media_ref,
+         row_number() OVER (PARTITION BY doc_id, sec_id
+                            ORDER BY "offset") AS rn,
+         count(*) OVER (PARTITION BY doc_id, sec_id) AS n_links
+  FROM sec WHERE kind = 'link' AND sec_id > 0
+)
+SELECT CAST(regexp_extract(media_ref, {INT_TAIL}, 1) AS BIGINT) AS list_id,
+       trim(text) AS title,
+       media_ref AS url,
+       regexp_extract(doc_id, '^https?://[^/]+/([^/]+)', 1) AS user_profile,
+       'completed' AS scrape_status
+FROM sec_links
+WHERE rn = 2 AND n_links >= 2 AND regexp_matches(media_ref, {INT_TAIL})
+ORDER BY list_id
+"""
+
+    # PublicationsSpider link stream on fetched LIST pages
+    # (publications.py:96-102): every link span, canonicalized, offsite
+    # filtered, numeric tail -> title_id; position = 0-based offset
+    # rank per list page after the filter.
+    title_links = f""",
+list_links AS (
+  SELECT doc_id,
+         CAST(regexp_extract(doc_id, {INT_TAIL}, 1) AS BIGINT) AS list_id,
+         s.text AS anchor_text,
+         CASE WHEN s.media_ref LIKE '/%'
+              THEN regexp_extract(doc_id, '^(https?://[^/]+)', 1)
+                   || s.media_ref
+              ELSE s.media_ref END AS url,
+         s."offset" AS off
+  FROM (SELECT doc_id, unnest(spans) AS s FROM fetched
+        WHERE regexp_matches(doc_id, {LIST_SQL_RE}))
+  WHERE s.kind = 'link'
+),
+tl AS (
+  SELECT list_id,
+         CAST(regexp_extract(url, {INT_TAIL}, 1) AS BIGINT) AS title_id,
+         anchor_text, url,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY off) - 1
+              AS INTEGER) AS position
+  FROM list_links
+  WHERE regexp_extract(url, {_HOST}, 1) IN (SELECT host FROM allowed)
+    AND regexp_matches(url, {INT_TAIL})
+)
+"""
+
+    junction = P + title_links + """
+SELECT list_id, title_id, CAST(min(position) AS INTEGER) AS position
+FROM tl GROUP BY 1, 2 ORDER BY list_id, title_id
+"""
+
+    titles = P + title_links + """
+SELECT DISTINCT title_id, anchor_text AS title, url,
+       'pending' AS scrape_status
+FROM tl ORDER BY title_id
+"""
+
+    title_spans = f""",
+tspans AS (
+  SELECT doc_id,
+         CAST(regexp_extract(doc_id, {INT_TAIL}, 1) AS BIGINT) AS title_id,
+         s.kind, s.text, s.media_ref, s."offset"
+  FROM (SELECT doc_id, unnest(spans) AS s FROM fetched
+        WHERE regexp_matches(doc_id, {TITLE_SQL_RE}))
+)
+"""
+
+    metadata = P + title_spans + """
+SELECT title_id,
+       coalesce(arg_min(text, "offset")
+                FILTER (WHERE kind = 'heading'), '') AS name,
+       coalesce(arg_min(media_ref, "offset")
+                FILTER (WHERE kind = 'image'), '') AS cover_ref,
+       coalesce(arg_min(text, "offset")
+                FILTER (WHERE kind = 'text'), '') AS synopsis
+FROM tspans GROUP BY title_id ORDER BY title_id
+"""
+
+    volumes = P + title_spans + """
+SELECT title_id * 1000
+         + CAST(regexp_extract(text,
+               '^Volume ([0-9]+) \\(([0-9]{4})\\)$', 1) AS BIGINT)
+         AS volume_id,
+       title_id,
+       CAST(regexp_extract(text,
+            '^Volume ([0-9]+) \\(([0-9]{4})\\)$', 1) AS INTEGER)
+         AS volume_number,
+       CAST(regexp_extract(text,
+            '^Volume ([0-9]+) \\(([0-9]{4})\\)$', 2) AS INTEGER) AS year
+FROM tspans
+WHERE kind = 'text'
+  AND regexp_matches(text, '^Volume ([0-9]+) \\(([0-9]{4})\\)$')
+ORDER BY volume_id
+"""
+
+    # json.dumps({...}, sort_keys=True) layout reproduced literally.
+    enriched = P + title_spans + """,
+vols AS (
+  SELECT title_id,
+         CAST(regexp_extract(text,
+              '^Volume ([0-9]+) \\(([0-9]{4})\\)$', 1) AS INTEGER) AS num,
+         CAST(regexp_extract(text,
+              '^Volume ([0-9]+) \\(([0-9]{4})\\)$', 2) AS INTEGER) AS year
+  FROM tspans
+  WHERE kind = 'text'
+    AND regexp_matches(text, '^Volume ([0-9]+) \\(([0-9]{4})\\)$')
+)
+SELECT title_id,
+       CAST(NULL AS DOUBLE) AS rating,
+       '{"first_year": ' || min(year) || ', "n_volumes": ' || count(*)
+         || '}' AS additional_data
+FROM vols GROUP BY title_id ORDER BY title_id
+"""
+
+    return {
+        "crawl_seen_set": seen,
+        "crawl_doc_spans": doc_spans,
+        "crawl_lists": lists,
+        "crawl_junction": junction,
+        "crawl_titles": titles,
+        "crawl_title_metadata": metadata,
+        "crawl_volumes": volumes,
+        "crawl_title_enriched": enriched,
+    }
