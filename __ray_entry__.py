@@ -213,6 +213,7 @@ def oracle_sql() -> dict[str, str]:
         "span_kind_counts": _il.ORACLE_SPAN_KIND_COUNTS,
         "token_stats": _tx.ORACLE_TOKEN_STATS,
         "quality_score": _tx.ORACLE_QUALITY_SCORE,
+        "langid": _tx.langid_oracle_sql(),
         "exact_dedup": _dd.ORACLE_EXACT_DEDUP,
         "embedding_dups": _dd.ORACLE_EMBEDDING_DUPS,
         "ann_topk": _ann.oracle_ann_topk(),

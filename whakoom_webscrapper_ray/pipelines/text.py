@@ -21,23 +21,63 @@ from .common import read
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
 
-def _token_stats_batch(batch: pa.Table) -> pa.Table:
+def _token_profile(batch: pa.Table) -> dict[str, np.ndarray]:
+    """Vectorized per-doc token statistics over the flattened stream.
+
+    One Arrow split + one ``dictionary_encode`` + one ``np.unique`` over
+    a combined (doc, token-code) key for the whole batch (shared by
+    token_stats and quality_score): n_tokens, n_chars, n_unique, n_stop,
+    max_rep — no per-row Python loop, no Python-object materialization.
+    """
     words = pc.split_pattern(batch["text"], " ")
-    n_tokens = pc.cast(pc.list_value_length(words), pa.int64())
-    n_chars = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
-    wlists = words.to_pylist()
-    uniq = pa.array([len(set(ws)) for ws in wlists], pa.int64())
-    stop_set = set(STOPWORDS)
-    n_stop = pa.array(
-        [sum(1 for w in ws if w in stop_set) for ws in wlists], pa.int64()
-    )
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = pc.list_flatten(words)
+    parent = pc.list_parent_indices(words).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    n_tokens = pc.list_value_length(words).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    n_chars = pc.utf8_length(batch["text"]).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    n_rows = batch.num_rows
+
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_vocab = max(len(enc.dictionary), 1)
+    # (doc, token) pair counts via one sort-based unique on a fused key
+    uk, counts = np.unique(parent * n_vocab + codes, return_counts=True)
+    doc_of = uk // n_vocab
+    n_unique = np.bincount(doc_of, minlength=n_rows).astype(np.int64)
+    max_rep = np.zeros(n_rows, dtype=np.int64)
+    np.maximum.at(max_rep, doc_of, counts)
+
+    is_stop = pc.is_in(
+        flat, value_set=pa.array(STOPWORDS, pa.string())
+    ).to_numpy(zero_copy_only=False)
+    n_stop = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(n_stop, parent[is_stop], 1)
+
+    return {
+        "n_tokens": n_tokens,
+        "n_chars": n_chars,
+        "n_unique": n_unique,
+        "n_stop": n_stop,
+        "max_rep": max_rep,
+    }
+
+
+def _token_stats_batch(batch: pa.Table) -> pa.Table:
+    prof = _token_profile(batch)
     return pa.table(
         {
             "doc_id": batch["doc_id"],
-            "n_chars": n_chars,
-            "n_tokens": n_tokens,
-            "n_unique_tokens": uniq,
-            "n_stopwords": n_stop,
+            "n_chars": pa.array(prof["n_chars"], pa.int64()),
+            "n_tokens": pa.array(prof["n_tokens"], pa.int64()),
+            "n_unique_tokens": pa.array(prof["n_unique"], pa.int64()),
+            "n_stopwords": pa.array(prof["n_stop"], pa.int64()),
         }
     )
 
@@ -74,36 +114,12 @@ def _quality_batch(batch: pa.Table) -> pa.Table:
     All outputs are exact integers (pct = floor(100·num/den)) so the
     DuckDB oracle compares bit-for-bit — no float tolerance games.
     """
-    import pandas as pd
-
-    words = pc.split_pattern(batch["text"], " ")
-    if isinstance(words, pa.ChunkedArray):
-        words = words.combine_chunks()
-    flat = pc.list_flatten(words)
-    parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
-    n_tokens = pc.list_value_length(words).to_numpy(
-        zero_copy_only=False
-    ).astype(np.int64)
-    n_chars = pc.utf8_length(batch["text"]).to_numpy(
-        zero_copy_only=False
-    ).astype(np.int64)
-
-    toks = pd.Series(flat.to_pylist(), dtype=object)
-    codes, _ = pd.factorize(toks)
-    df = pd.DataFrame({"p": parent, "t": codes})
-    per_tok = df.groupby(["p", "t"], sort=False).size()
-    by_doc = per_tok.groupby(level=0)
-    n_rows = batch.num_rows
-    n_unique = np.zeros(n_rows, dtype=np.int64)
-    max_rep = np.zeros(n_rows, dtype=np.int64)
-    sizes = by_doc.size()
-    n_unique[sizes.index.to_numpy()] = sizes.to_numpy()
-    mx = by_doc.max()
-    max_rep[mx.index.to_numpy()] = mx.to_numpy()
-
-    is_stop = toks.isin(STOPWORDS).to_numpy()
-    n_stop = np.zeros(n_rows, dtype=np.int64)
-    np.add.at(n_stop, parent[is_stop], 1)
+    prof = _token_profile(batch)
+    n_tokens = prof["n_tokens"]
+    n_chars = prof["n_chars"]
+    n_unique = prof["n_unique"]
+    n_stop = prof["n_stop"]
+    max_rep = prof["max_rep"]
 
     den = np.maximum(n_tokens, 1)
     stop_pct = 100 * n_stop // den
@@ -204,7 +220,7 @@ class LangIdModel:
 
     def __init__(self) -> None:
         self.langs = sorted(self.SEEDS)
-        self.profiles = []
+        profiles: list[set[str]] = []
         for lang in self.langs:
             grams: set[str] = set()
             for w in self.SEEDS[lang].split():
@@ -212,16 +228,72 @@ class LangIdModel:
                 grams.update(
                     padded[i:i + 3] for i in range(len(padded) - 2)
                 )
-            self.profiles.append(grams)
+            profiles.append(grams)
+        self.profiles = profiles
+        # Flatten profiles to a sorted uint32 byte-trigram code table plus
+        # a (code, lang) 0/1 membership matrix — the batch path scores via
+        # searchsorted + one np.add.at, no per-row set intersection.
+        # Trigram semantics are UTF-8 *bytes*; identical to the char-based
+        # definition for ASCII text (all seeds and fixtures are ASCII).
+        code_of: dict[int, np.ndarray] = {}
+        for li, grams in enumerate(profiles):
+            for g in grams:
+                b = g.encode("utf-8")
+                if len(b) != 3:  # non-ASCII seed gram: skip byte path
+                    continue
+                c = (b[0] << 16) | (b[1] << 8) | b[2]
+                code_of.setdefault(c, np.zeros(len(self.langs), np.int64))
+                code_of[c][li] = 1
+        self.codes = np.array(sorted(code_of), dtype=np.uint32)
+        self.member = np.stack(
+            [code_of[c] for c in self.codes]
+        ) if len(code_of) else np.zeros((0, len(self.langs)), np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        preds = []
-        for t in texts:
-            padded = f" {t} ".replace(" ", "  ")
-            grams = {padded[i:i + 3] for i in range(len(padded) - 2)}
-            scores = [len(grams & p) for p in self.profiles]
-            preds.append(self.langs[int(np.argmax(scores))])
+        # " " || text || " " then every space doubled — word-boundary
+        # grams like " wo" / "rd " survive while cross-word grams don't.
+        padded = pc.replace_substring(
+            pc.binary_join_element_wise(
+                pa.scalar(" "), batch["text"], pa.scalar(" "), ""
+            ),
+            pattern=" ", replacement="  ",
+        )
+        arr = pc.cast(padded, pa.large_utf8())
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+            arr.offset: arr.offset + len(arr) + 1
+        ]
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        n = len(arr)
+
+        lens = np.diff(offs)
+        tl = np.maximum(lens - 2, 0)  # trigrams per doc
+        tot = int(tl.sum())
+        parent = np.repeat(np.arange(n, dtype=np.int64), tl)
+        within = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.cumsum(tl) - tl, tl
+        )
+        pos = offs[:-1][parent] + within
+        c = data.astype(np.uint32)
+        tri_all = (
+            (c[:-2] << np.uint32(16)) | (c[1:-1] << np.uint32(8)) | c[2:]
+        ) if data.size >= 3 else np.empty(0, np.uint32)
+        tri = tri_all[pos]
+
+        # distinct (doc, gram) pairs, then profile-membership scoring
+        uk = np.unique(parent * np.int64(1 << 24) + tri)
+        doc_of = (uk >> np.int64(24)).astype(np.int64)
+        gram = (uk & np.int64((1 << 24) - 1)).astype(np.uint32)
+        idx = np.searchsorted(self.codes, gram)
+        idx_c = np.minimum(idx, max(len(self.codes) - 1, 0))
+        hit = (self.codes[idx_c] == gram) if len(self.codes) else \
+            np.zeros(len(gram), dtype=bool)
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        np.add.at(scores, doc_of[hit], self.member[idx_c[hit]])
+        preds = np.asarray(self.langs, dtype=object)[
+            np.argmax(scores, axis=1)
+        ]
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -236,6 +308,53 @@ def langid(sf_dir: str) -> ray.data.Dataset:
     return read(sf_dir, "documents", columns=["doc_id", "text", "lang"]
                 ).map_batches(LangIdModel, concurrency=(1, 4),
                               batch_format="pyarrow")
+
+
+def langid_oracle_sql() -> str:
+    """DuckDB SQL reproducing the trigram-profile classifier exactly.
+
+    Expressible because the "model" is a fixed gram→lang membership table
+    (inlined as VALUES) and the score is COUNT(DISTINCT matching grams);
+    char-based substr equals the byte-trigram batch path on ASCII text.
+    Ties and zero-score docs resolve to the alphabetically first language,
+    matching ``np.argmax`` over the sorted lang axis.
+    """
+    m = LangIdModel()
+    rows = ", ".join(
+        f"('{lang}', '{g}')"
+        for lang, grams in zip(m.langs, m.profiles)
+        for g in sorted(grams)
+    )
+    first_lang = m.langs[0]
+    return f"""
+WITH profile(lang, g) AS (VALUES {rows}),
+padded AS (
+  SELECT doc_id, replace(' ' || text || ' ', ' ', '  ') AS p
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, substr(p, CAST(i AS INT), 3) AS g
+  FROM (
+    SELECT doc_id, p, unnest(range(1, length(p) - 1)) AS i FROM padded
+  )
+),
+scores AS (
+  SELECT gr.doc_id, pr.lang, count(*) AS s
+  FROM grams gr JOIN profile pr ON gr.g = pr.g
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, lang ASC) AS rn
+  FROM scores
+)
+SELECT d.doc_id,
+       coalesce(b.lang, '{first_lang}') AS pred_lang,
+       d.lang
+FROM documents d
+LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b USING (doc_id)
+"""
 
 
 # --------------------------------------------------------- fingerprint
