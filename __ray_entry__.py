@@ -215,6 +215,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _tx.ORACLE_QUALITY_SCORE,
         "langid": _tx.langid_oracle_sql(),
         "exact_dedup": _dd.ORACLE_EXACT_DEDUP,
+        "minhash_lsh_pairs": _dd.ORACLE_JACCARD_PAIRS,
+        "ngram_jaccard_pairs": _dd.ORACLE_JACCARD_PAIRS,
         "embedding_dups": _dd.ORACLE_EMBEDDING_DUPS,
         "ann_topk": _ann.oracle_ann_topk(),
         "docs_filter_project": _do.ORACLE_DOCS_FILTER,

@@ -366,6 +366,10 @@ def partition_pages(pages: pa.Table, num_shards: int,
 
 
 def _worker_router(engine_key, rules_ref, allowed, shards) -> "LinkRouter":
+    # engine_key includes a per-engine-INSTANCE nonce, not just the
+    # checkpoint dir: a resumed engine on the same checkpoint spins up
+    # fresh shard actors, and a worker that memoized the previous
+    # engine's router would keep enqueueing into killed actors.
     key = ("router", engine_key)
     if key not in _WORKER_STATE:
         _WORKER_STATE[key] = LinkRouter(rules_ref, allowed, shards)
@@ -485,6 +489,11 @@ class CrawlEngine:
         self.max_fetch_time = 0.0
         self.round_stats: list[dict] = []
         self.next_round = 0
+        # distinguishes this instance's routers from a prior engine on
+        # the SAME checkpoint dir (resume path) in worker memo caches
+        import uuid as _uuid
+
+        self._engine_id = _uuid.uuid4().hex
 
     def shutdown(self) -> None:
         """Kill the long-lived frontier actors (they outlive Datasets
@@ -604,7 +613,7 @@ class CrawlEngine:
             .map_batches(
                 _route_batch,
                 fn_kwargs={
-                    "engine_key": self.checkpoint_dir,
+                    "engine_key": f"{self.checkpoint_dir}#{self._engine_id}",
                     "rules_ref": self.rules_ref,
                     "allowed": self.allowed,
                     "shards": self.frontier.shards,

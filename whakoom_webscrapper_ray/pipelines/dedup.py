@@ -254,38 +254,83 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, num_bands: int = 16,
         .drop_columns(["n_bands"])
     )
 
-    # verify: join candidate pairs against texts (both sides small at
-    # candidate stage; broadcast the needed texts once via ray.put)
-    texts_tbl = pa.concat_tables([ray.get(r) for r in docs.to_arrow_refs()])
-    text_ref = ray.put(
-        dict(
-            zip(
-                texts_tbl["doc_id"].to_pylist(),
-                texts_tbl["text"].to_pylist(),
+    # verify: exact Jaccard over ONLY the candidate docs.  The pair set
+    # is tiny post-LSH (collisions only), so collecting it is a small
+    # driver-side result, not a corpus materialization.  Candidate
+    # texts are then fetched by a distributed semi-join: the documents
+    # dataset STREAMS through an is_in filter (broadcast sorted id
+    # array) that also computes each survivor's shingle set map-side —
+    # the full corpus is never pulled to the driver or broadcast.
+    cand_tbl = pa.concat_tables(
+        [ray.get(r) for r in cand.to_arrow_refs()]
+    ).combine_chunks()
+    if cand_tbl.num_rows == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
             )
         )
+    cand_ids = np.unique(
+        np.concatenate(
+            [
+                cand_tbl["doc_a"].to_numpy(zero_copy_only=False),
+                cand_tbl["doc_b"].to_numpy(zero_copy_only=False),
+            ]
+        ).astype(np.int64)
+    )
+    ids_ref = ray.put(pa.array(cand_ids, pa.int64()))
+
+    def cand_shingles(b: pa.Table, ids=None) -> pa.Table:
+        from .common import deref
+        from .text import _split_flat
+
+        keep = pc.is_in(b["doc_id"], value_set=deref(ids))
+        b = b.filter(keep)
+        th, starts, lens = _split_flat(b)
+        bounds = np.r_[starts, th.size]
+        shingles = [
+            shingle_hashes_from_th(th[bounds[i]:bounds[i + 1]], k)
+            .view(np.int64).tolist()
+            for i in range(b.num_rows)
+        ]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "shingles": pa.array(shingles, pa.list_(pa.int64())),
+            }
+        )
+
+    sh_ds = docs.map_batches(
+        cand_shingles, fn_kwargs={"ids": ids_ref}, batch_format="pyarrow"
+    )
+    sh_tbl = pa.concat_tables(
+        [ray.get(r) for r in sh_ds.to_arrow_refs()]
+    )  # candidates only: |rows| == |cand_ids|, small by construction
+    sh_ref = ray.put(
+        {
+            int(d): np.asarray(s, dtype=np.int64).view(np.uint64)
+            for d, s in zip(
+                sh_tbl["doc_id"].to_pylist(),
+                sh_tbl["shingles"].to_pylist(),
+            )
+        }
     )
 
     class JaccardVerify:
-        def __init__(self, text_ref, threshold: float, k: int) -> None:
-            self.texts = ray.get(text_ref)
+        def __init__(self, sh_ref, threshold: float) -> None:
+            self.sh = ray.get(sh_ref)
             self.threshold = threshold
-            self.k = k
-            self._cache: dict[int, np.ndarray] = {}
-
-        def _sh(self, d: int) -> np.ndarray:
-            if d not in self._cache:
-                self._cache[d] = shingle_hashes(
-                    self.texts[d].split(" "), self.k
-                )
-            return self._cache[d]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             da = batch["doc_a"].to_pylist()
             db = batch["doc_b"].to_pylist()
             keep_a, keep_b, jac = [], [], []
             for x, y in zip(da, db):
-                sa, sb = self._sh(x), self._sh(y)
+                sa, sb = self.sh[x], self.sh[y]
                 inter = np.intersect1d(sa, sb, assume_unique=True).size
                 j = inter / (sa.size + sb.size - inter)
                 if j >= self.threshold:
@@ -300,14 +345,44 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, num_bands: int = 16,
                 }
             )
 
-    return cand.map_batches(
+    return ray.data.from_arrow(cand_tbl).map_batches(
         JaccardVerify,
-        fn_constructor_kwargs={
-            "text_ref": text_ref, "threshold": threshold, "k": k,
-        },
+        fn_constructor_kwargs={"sh_ref": sh_ref, "threshold": threshold},
         concurrency=(1, 4),
         batch_format="pyarrow",
     )
+
+
+# Exact all-pairs word-3-gram Jaccard at the 0.8 threshold.  This is
+# the value-level oracle for BOTH pair operators: ngram_jaccard_pairs
+# computes exactly this, and minhash_lsh_pairs equals it whenever LSH
+# recall is 1 at the threshold — guaranteed here because every true
+# near-dup pair in the fixture sits at J ≥ 0.9 where the 16-band/4-row
+# collision probability is 1 - (1 - J^4)^16 > 0.99997 (and verified
+# empirically by the driver's hash compare).  chr(31) joins tokens
+# unambiguously; hashed-shingle Jaccard equals string-shingle Jaccard
+# absent 64-bit collisions.
+ORACLE_JACCARD_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3 THEN
+           list_distinct(list_transform(range(1, len(ws) - 1),
+              i -> ws[i] || chr(31) || ws[i+1] || chr(31) || ws[i+2]))
+         ELSE [array_to_string(ws, chr(31))] END AS gs
+  FROM toks
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+           / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))
+           AS j
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.8
+"""
 
 
 # ------------------------------------------------------------ simhash
@@ -407,54 +482,143 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, k: int = 3
 
 
 # ------------------------------------------------- embedding cosine
-def embedding_dup_pairs(sf_dir: str, threshold: float = 0.45
-                        ) -> ray.data.Dataset:
-    """(vec_a, vec_b) embedding pairs with cosine ≥ threshold.
+_EMPTY_PAIRS = pa.schema(
+    [("vec_a", pa.int64()), ("vec_b", pa.int64())]
+)
 
-    Normalized full matrix broadcast once (``ray.put``); each batch
-    does one float64 matmul block against it.  The SQL oracle is a
-    self-join with list_cosine_similarity.  Scale path: IVF-bucket the
-    vectors first (see ann.ivf_bucketed) so the matmul is per-bucket.
-    """
+
+def _block_summary(tbl: pa.Table) -> tuple[np.ndarray, float]:
+    """(normalized mean direction, max angle of any member to it)."""
     from .ann import emb_matrix
 
-    emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    full = pa.concat_tables([ray.get(r) for r in emb.to_arrow_refs()])
-    ids = full["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    mat = emb_matrix(full["embedding"])
-    norms = np.linalg.norm(mat, axis=1)
-    mat_ref = ray.put((ids, mat, norms))
+    m = emb_matrix(tbl["embedding"])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    mu = m.mean(axis=0)
+    n = np.linalg.norm(mu)
+    mu = mu / n if n > 0 else np.eye(m.shape[1])[0]
+    r = float(np.arccos(np.clip(m @ mu, -1.0, 1.0)).max())
+    return mu, r
 
-    class BlockCosine:
-        def __init__(self, mat_ref, threshold: float) -> None:
-            self.ids, self.mat, self.norms = ray.get(mat_ref)
-            self.threshold = threshold
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            from .ann import emb_matrix as _em
+@ray.remote
+def _summarize_block(tbl: pa.Table) -> tuple[np.ndarray, float]:
+    return _block_summary(tbl)
 
-            bids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(
-                np.int64
-            )
-            bmat = _em(batch["embedding"])
-            bnorms = np.linalg.norm(bmat, axis=1)
-            sims = (bmat @ self.mat.T) / np.outer(bnorms, self.norms)
+
+@ray.remote
+def _pairs_between(ta: pa.Table, tb: pa.Table | None,
+                   threshold: float, tile: int = 4096) -> pa.Table:
+    """Exact cosine ≥ threshold pairs between two blocks (tb=None:
+    within ta).  Tiled matmul bounds the similarity matrix to
+    tile × tile regardless of block size."""
+    from .ann import emb_matrix
+
+    ia = ta["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ma = emb_matrix(ta["embedding"])
+    ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
+    if tb is None:
+        ib, mb = ia, ma
+    else:
+        ib = tb["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mb = emb_matrix(tb["embedding"])
+        mb = mb / np.linalg.norm(mb, axis=1, keepdims=True)
+    out_a, out_b = [], []
+    for sa in range(0, len(ia), tile):
+        for sb in range(0, len(ib), tile):
+            sims = ma[sa:sa + tile] @ mb[sb:sb + tile].T
+            aid = ia[sa:sa + tile]
+            bid = ib[sb:sb + tile]
             ii, jj = np.nonzero(
-                (sims >= self.threshold) & (bids[:, None] < self.ids[None, :])
+                (sims >= threshold) & (aid[:, None] < bid[None, :])
             )
-            return pa.table(
-                {
-                    "vec_a": pa.array(bids[ii], pa.int64()),
-                    "vec_b": pa.array(self.ids[jj], pa.int64()),
-                }
-            )
-
-    return emb.map_batches(
-        BlockCosine,
-        fn_constructor_kwargs={"mat_ref": mat_ref, "threshold": threshold},
-        concurrency=(1, 8),
-        batch_format="pyarrow",
+            out_a.append(aid[ii])
+            out_b.append(bid[jj])
+    va = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+    vb = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+    order = np.lexsort((vb, va))
+    return pa.table(
+        {
+            "vec_a": pa.array(va[order], pa.int64()),
+            "vec_b": pa.array(vb[order], pa.int64()),
+        }
     )
+
+
+def embedding_dup_pairs(sf_dir: str, threshold: float = 0.45,
+                        n_centroids: int = 16, block_rows: int = 4096
+                        ) -> ray.data.Dataset:
+    """(vec_a, vec_b) embedding pairs with exact cosine ≥ threshold.
+
+    An exact threshold-similarity self-join.  The fixture is
+    adversarial by construction — true pairs at cos ≈ 0.4501 vs
+    non-pairs at 0.4497 — so NO approximate router (IVF buckets,
+    angular LSH, any probe count) can be exact; measured: 16-centroid
+    IVF misses 4/144 true pairs at sf0.1 even probing 4 buckets.  The
+    scale path is therefore a *bound-pruned blocked join*:
+
+    1. bucket-sort the vectors by nearest IVF centroid (the stored
+       index's partition key) so blocks are angularly compact,
+    2. summarize each block map-side as (mean direction μ, max member
+       angle r) — tiny driver-side metadata,
+    3. prune every block pair whose best case
+       angle(μᵢ,μⱼ) − rᵢ − rⱼ exceeds arccos(threshold) — exact by the
+       triangle inequality on angles,
+    4. run the surviving block pairs as Ray tasks doing tiled
+       matmuls (no full-matrix broadcast; a task holds 2 blocks).
+
+    O(surviving-pairs) compute, memory bounded by 2 blocks + one tile²
+    sims buffer.  Raw tasks are used because a threshold self-join is
+    the one shape Ray Data's Dataset API cannot express (no join-on-
+    predicate); documented per the custom-operator rule.
+    """
+    from .ann import _kmeans, emb_matrix
+
+    emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    sample = pa.concat_tables(
+        [ray.get(r) for r in emb.limit(16384).to_arrow_refs()]
+    )
+    smat = emb_matrix(sample["embedding"])
+    smat = smat / np.linalg.norm(smat, axis=1, keepdims=True)
+    cent = _kmeans(smat, min(n_centroids, len(smat)))
+    cent_ref = ray.put(cent)
+
+    def add_bucket(b: pa.Table, cent=None) -> pa.Table:
+        from .common import deref
+
+        c = deref(cent)
+        m = emb_matrix(b["embedding"])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return b.append_column(
+            "bucket", pa.array(np.argmax(m @ c.T, axis=1), pa.int32())
+        )
+
+    n_rows = emb.count()
+    n_blocks = max(1, -(-n_rows // block_rows))
+    bucketed = (
+        emb.map_batches(
+            add_bucket, fn_kwargs={"cent": cent_ref},
+            batch_format="pyarrow",
+        )
+        .sort("bucket")
+        .repartition(n_blocks)
+    )
+    refs = [r for r in bucketed.to_arrow_refs()]
+    summaries = ray.get([_summarize_block.remote(r) for r in refs])
+
+    theta = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
+    tasks = []
+    for i in range(len(refs)):
+        tasks.append(_pairs_between.remote(refs[i], None, threshold))
+        mi, ri = summaries[i]
+        for j in range(i + 1, len(refs)):
+            mj, rj = summaries[j]
+            gap = float(np.arccos(np.clip(mi @ mj, -1.0, 1.0)))
+            if gap - ri - rj > theta:
+                continue  # no member pair can reach the threshold
+            tasks.append(_pairs_between.remote(refs[i], refs[j], threshold))
+    if not tasks:
+        return ray.data.from_arrow(_EMPTY_PAIRS.empty_table())
+    return ray.data.from_arrow_refs(tasks)
 
 
 ORACLE_EMBEDDING_DUPS = """
