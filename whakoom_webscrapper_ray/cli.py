@@ -107,16 +107,20 @@ def cmd_export(args) -> int:
     )
     eng.resume()
     os.makedirs(args.out, exist_ok=True)
-    tables = eng.finalize_tables()
-    for name, tbl in tables.items():
-        pq.write_table(tbl, os.path.join(args.out, f"{name}.parquet"))
+    # streaming partitioned write: one directory of worker-written
+    # parquet parts per table — nothing collected on the driver.
+    import pyarrow.dataset as pads
+
+    paths = eng.write_tables(args.out)
     docs_dir = os.path.join(args.out, "docs")
     eng.docs_dataset().write_parquet(docs_dir)
     order_path = os.path.join(args.out, "crawl_order.parquet")
     pq.write_table(eng.crawl_order(), order_path)
     print(json.dumps({
         "out": args.out,
-        "tables": {k: t.num_rows for k, t in tables.items()},
+        "tables": {
+            k: pads.dataset(p).count_rows() for k, p in paths.items()
+        },
     }))
     eng.shutdown()
     return 0

@@ -435,6 +435,78 @@ def _route_batch(batch: pa.Table, engine_key=None, rules_ref=None,
     return router(batch)
 
 
+_EMPTY_DOCS_BATCH = pa.table(
+    {
+        "doc_id": pa.array([], pa.string()),
+        "seq": pa.array([], pa.int64()),
+        "spans": pa.array(
+            [],
+            pa.list_(
+                pa.struct(
+                    [
+                        ("kind", pa.string()),
+                        ("text", pa.string()),
+                        ("media_ref", pa.string()),
+                        ("offset", pa.int32()),
+                    ]
+                )
+            ),
+        ),
+    }
+)
+
+_EMPTY_FINAL = {
+    "lists": pa.table(
+        {
+            "list_id": pa.array([], pa.int64()),
+            "title": pa.array([], pa.string()),
+            "url": pa.array([], pa.string()),
+            "user_profile": pa.array([], pa.string()),
+            "scrape_status": pa.array([], pa.string()),
+            "scraped_at": pa.array([], pa.timestamp("us")),
+        }
+    ),
+    "junction": pa.table(
+        {
+            "list_id": pa.array([], pa.int64()),
+            "title_id": pa.array([], pa.int64()),
+            "position": pa.array([], pa.int32()),
+        }
+    ),
+    "titles": pa.table(
+        {
+            "title_id": pa.array([], pa.int64()),
+            "title": pa.array([], pa.string()),
+            "url": pa.array([], pa.string()),
+            "scrape_status": pa.array([], pa.string()),
+        }
+    ),
+    "title_metadata": pa.table(
+        {
+            "title_id": pa.array([], pa.int64()),
+            "name": pa.array([], pa.string()),
+            "cover_ref": pa.array([], pa.string()),
+            "synopsis": pa.array([], pa.string()),
+        }
+    ),
+    "volumes": pa.table(
+        {
+            "volume_id": pa.array([], pa.int64()),
+            "title_id": pa.array([], pa.int64()),
+            "volume_number": pa.array([], pa.int32()),
+            "year": pa.array([], pa.int32()),
+        }
+    ),
+    "title_enriched": pa.table(
+        {
+            "title_id": pa.array([], pa.int64()),
+            "rating": pa.array([], pa.float64()),
+            "additional_data": pa.array([], pa.string()),
+        }
+    ),
+}
+
+
 class CrawlEngine:
     """Driver-side orchestrator; owns the actor pools and the round loop."""
 
@@ -816,12 +888,16 @@ class CrawlEngine:
 
         return ds.map_batches(_project, batch_format="pyarrow")
 
-    def finalize_tables(self) -> dict[str, pa.Table]:
-        """Build the relational outputs from checkpointed docs.
+    def finalize_datasets(self) -> dict[str, ray.data.Dataset]:
+        """Build the relational outputs from checkpointed docs as LAZY
+        Datasets — nothing corpus-proportional touches the driver.
 
         Ray-Data jobs: extraction = map_batches; upsert/dedup = keyed
         groupby (the A1/A2/J1 shuffles of SURVEY.md §2.5, keys per
-        §7.4); all results are small relative to the doc payload.
+        §7.4).  Consume with :meth:`write_tables` (streaming partitioned
+        parquet, the S4 sink shape) at scale, or
+        :meth:`finalize_tables` (driver Arrow tables) for
+        conformance-scale runs.
         """
         docs = self.docs_dataset()
         close_us = int(self.close_time * 1_000_000)
@@ -864,28 +940,31 @@ class CrawlEngine:
         def last_writer(g: pd.DataFrame) -> pd.DataFrame:
             return g.sort_values("seq").tail(1)
 
-        lists_tbl = (
+        def lists_final(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table(
+                {
+                    "list_id": pc.cast(t["list_id"], pa.int64()),
+                    "title": pc.cast(t["title"], pa.string()),
+                    "url": pc.cast(t["url"], pa.string()),
+                    "user_profile": pc.cast(
+                        t["user_profile"], pa.string()
+                    ),
+                    "scrape_status": pa.array(
+                        ["completed"] * n, pa.string()
+                    ),
+                    "scraped_at": pa.array(
+                        np.full(n, close_us, dtype=np.int64),
+                        pa.timestamp("us"),
+                    ),
+                }
+            )
+
+        lists_ds = (
             docs.map_batches(lists_stage, batch_format="pyarrow")
             .groupby("list_id")
             .map_groups(last_writer, batch_format="pandas")
-            .to_pandas()
-        )
-        lists_tbl = lists_tbl.sort_values("list_id").reset_index(drop=True)
-        lists_out = pa.table(
-            {
-                "list_id": pa.array(lists_tbl["list_id"], pa.int64()),
-                "title": pa.array(lists_tbl["title"], pa.string()),
-                "url": pa.array(lists_tbl["url"], pa.string()),
-                "user_profile": pa.array(
-                    lists_tbl["user_profile"], pa.string()
-                ),
-                "scrape_status": pa.array(
-                    ["completed"] * len(lists_tbl), pa.string()
-                ),
-                "scraped_at": pa.array(
-                    [close_us] * len(lists_tbl), pa.timestamp("us")
-                ),
-            }
+            .map_batches(lists_final, batch_format="pyarrow")
         )
 
         # ---- junction + titles: list-page title links in document order
@@ -943,141 +1022,188 @@ class CrawlEngine:
                 }
             )
 
+        # materialized once: two consumers (junction + titles) would
+        # otherwise re-run extraction + canonicalization.  The rows are
+        # the pruned link columns (ids + title + url), a small fraction
+        # of the doc payload, held in the object store with spill.
         tl = docs.map_batches(title_links_stage, batch_format="pyarrow")
         tl_mat = tl.materialize()
 
-        from ray.data.aggregate import Min
+        from ray.data.aggregate import Count, Min
 
-        junction_pdf = (
+        def junction_final(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "list_id": pc.cast(t["list_id"], pa.int64()),
+                    "title_id": pc.cast(t["title_id"], pa.int64()),
+                    "position": pc.cast(t["position"], pa.int32()),
+                }
+            )
+
+        junction_ds = (
             tl_mat.groupby(["list_id", "title_id"])
             .aggregate(Min("position", alias_name="position"))
-            .to_pandas()
-            .sort_values(["list_id", "title_id"])
-            .reset_index(drop=True)
-        )
-        junction_out = pa.table(
-            {
-                "list_id": pa.array(junction_pdf["list_id"], pa.int64()),
-                "title_id": pa.array(junction_pdf["title_id"], pa.int64()),
-                "position": pa.array(junction_pdf["position"], pa.int32()),
-            }
+            .map_batches(junction_final, batch_format="pyarrow")
         )
 
         def first_seen(g: pd.DataFrame) -> pd.DataFrame:
             return g.sort_values("ok").head(1)
 
-        titles_pdf = (
+        def titles_final(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "title_id": pc.cast(t["title_id"], pa.int64()),
+                    "title": pc.cast(t["title"], pa.string()),
+                    "url": pc.cast(t["url"], pa.string()),
+                    "scrape_status": pa.array(
+                        ["pending"] * t.num_rows, pa.string()
+                    ),
+                }
+            )
+
+        titles_ds = (
             tl_mat.groupby("title_id")
             .map_groups(first_seen, batch_format="pandas")
-            .to_pandas()
-            .sort_values("title_id")
-            .reset_index(drop=True)
-        )
-        titles_out = pa.table(
-            {
-                "title_id": pa.array(titles_pdf["title_id"], pa.int64()),
-                "title": pa.array(titles_pdf["title"], pa.string()),
-                "url": pa.array(titles_pdf["url"], pa.string()),
-                "scrape_status": pa.array(
-                    ["pending"] * len(titles_pdf), pa.string()
-                ),
-            }
+            .map_batches(titles_final, batch_format="pyarrow")
         )
 
         # ---- title_metadata: leaf-page spec extraction (each title page
         # is fetched exactly once — dedup guaranteed upstream — so this
-        # is a pure map, no shuffle; sort only for stable output).
-        meta_pdf = (
-            docs.map_batches(extract_title_metadata, batch_format="pyarrow")
-            .to_pandas()
-            .sort_values("title_id")
-            .reset_index(drop=True)
-        )
-        metadata_out = pa.table(
-            {
-                "title_id": pa.array(meta_pdf["title_id"], pa.int64()),
-                "name": pa.array(meta_pdf["name"], pa.string()),
-                "cover_ref": pa.array(meta_pdf["cover_ref"], pa.string()),
-                "synopsis": pa.array(meta_pdf["synopsis"], pa.string()),
-            }
-        )
+        # is a pure map, no shuffle).
+        def metadata_final(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "title_id": pc.cast(t["title_id"], pa.int64()),
+                    "name": pc.cast(t["name"], pa.string()),
+                    "cover_ref": pc.cast(t["cover_ref"], pa.string()),
+                    "synopsis": pc.cast(t["synopsis"], pa.string()),
+                }
+            )
+
+        metadata_ds = docs.map_batches(
+            extract_title_metadata, batch_format="pyarrow"
+        ).map_batches(metadata_final, batch_format="pyarrow")
 
         # ---- volumes: title-page volume listings (reference spec
         # table 001_initial_schema.sql:45-58) — pure map, no shuffle.
-        vol_pdf = (
-            docs.map_batches(extract_volumes, batch_format="pyarrow")
-            .to_pandas()
-            .sort_values("volume_id")
-            .reset_index(drop=True)
-        )
-        volumes_out = pa.table(
-            {
-                "volume_id": pa.array(vol_pdf["volume_id"], pa.int64()),
-                "title_id": pa.array(vol_pdf["title_id"], pa.int64()),
-                "volume_number": pa.array(
-                    vol_pdf["volume_number"], pa.int32()
-                ),
-                "year": pa.array(vol_pdf["year"], pa.int32()),
-            }
-        )
+        def volumes_final(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "volume_id": pc.cast(t["volume_id"], pa.int64()),
+                    "title_id": pc.cast(t["title_id"], pa.int64()),
+                    "volume_number": pc.cast(
+                        t["volume_number"], pa.int32()
+                    ),
+                    "year": pc.cast(t["year"], pa.int32()),
+                }
+            )
+
+        volumes_ds = docs.map_batches(
+            extract_volumes, batch_format="pyarrow"
+        ).map_batches(volumes_final, batch_format="pyarrow")
 
         # ---- title_enriched: derived enrichment (reference
         # 001_initial_schema.sql:81-95 — rating left NULL, computed
         # aggregates in the free-form additional_data JSON column,
-        # README.md:140).  Built from the already-small volumes table.
-        vg = vol_pdf.groupby("title_id")
-        agg = vg.agg(
-            n_volumes=("volume_number", "size"),
-            first_year=("year", "min"),
-        ).reset_index().sort_values("title_id")
-        enriched_out = pa.table(
-            {
-                "title_id": pa.array(agg["title_id"], pa.int64()),
-                "rating": pa.array([None] * len(agg), pa.float64()),
-                "additional_data": pa.array(
-                    [
-                        json.dumps(
-                            {"n_volumes": int(n), "first_year": int(y)},
-                            sort_keys=True,
-                        )
-                        for n, y in zip(agg["n_volumes"], agg["first_year"])
-                    ],
-                    pa.string(),
-                ),
-            }
+        # README.md:140).  A keyed aggregate over the volumes stream.
+        def enriched_final(t: pa.Table) -> pa.Table:
+            blobs = [
+                json.dumps(
+                    {"n_volumes": int(n), "first_year": int(y)},
+                    sort_keys=True,
+                )
+                for n, y in zip(
+                    t.column("n_volumes").to_pylist(),
+                    t.column("first_year").to_pylist(),
+                )
+            ]
+            return pa.table(
+                {
+                    "title_id": pc.cast(t["title_id"], pa.int64()),
+                    "rating": pa.array([None] * t.num_rows, pa.float64()),
+                    "additional_data": pa.array(blobs, pa.string()),
+                }
+            )
+
+        enriched_ds = (
+            volumes_ds.groupby("title_id")
+            .aggregate(
+                Count(alias_name="n_volumes"),
+                Min("year", alias_name="first_year"),
+            )
+            .map_batches(enriched_final, batch_format="pyarrow")
         )
 
         out = {
-            "lists": lists_out,
-            "junction": junction_out,
-            "titles": titles_out,
-            "title_metadata": metadata_out,
-            "volumes": volumes_out,
-            "title_enriched": enriched_out,
+            "lists": lists_ds,
+            "junction": junction_ds,
+            "titles": titles_ds,
+            "title_metadata": metadata_ds,
+            "volumes": volumes_ds,
+            "title_enriched": enriched_ds,
         }
         # user-registered extractors (extension surface X6): each one is
         # an extra finalized table computed by a map_batches pass.
         for ext in self.extractors:
-            parts = ray.get(
-                docs.map_batches(
-                    ext.fn, batch_format="pyarrow"
-                ).to_arrow_refs()
+            out[ext.name] = docs.map_batches(
+                ext.fn, batch_format="pyarrow"
             )
+        return out
+
+    # Deterministic output order per table (conformance convenience; the
+    # streamed parquet sink is order-free and relies on keys instead).
+    _TABLE_SORT = {
+        "lists": ["list_id"],
+        "junction": ["list_id", "title_id"],
+        "titles": ["title_id"],
+        "title_metadata": ["title_id"],
+        "volumes": ["volume_id"],
+        "title_enriched": ["title_id"],
+    }
+
+    def write_tables(self, out_dir: str) -> dict[str, str]:
+        """Stream every finalized table to partitioned parquet — one
+        directory per table, written by the workers (the S4 upsert-sink
+        shape; resumable because each table directory is replaced
+        atomically per run and re-derivable from the docs checkpoint).
+        Nothing is collected on the driver.
+        """
+        paths = {}
+        for name, ds in self.finalize_datasets().items():
+            path = os.path.join(out_dir, name)
+            os.makedirs(path, exist_ok=True)
+            ds.write_parquet(path)
+            paths[name] = path
+        return paths
+
+    def finalize_tables(self) -> dict[str, pa.Table]:
+        """Conformance-scale collector: each finalized Dataset as ONE
+        driver-side Arrow table, deterministically sorted.
+
+        Only for tests/oracles on small fixtures — at production scale
+        use :meth:`write_tables`, which never materializes a
+        corpus-proportional table on the driver.
+        """
+        out = {}
+        for name, ds in self.finalize_datasets().items():
+            parts = ray.get(ds.to_arrow_refs())
             nonempty = [p for p in parts if p.num_rows]
             if nonempty:
-                out[ext.name] = pa.concat_tables(nonempty)
+                tbl = pa.concat_tables(nonempty)
             elif parts:
-                out[ext.name] = parts[0]
+                tbl = parts[0]
             else:
-                # zero blocks (empty docs dataset): emit the extractor's
-                # declared schema so downstream consumers see a table.
-                out[ext.name] = ext.fn(
-                    pa.table({"doc_id": pa.array([], pa.string()),
-                              "seq": pa.array([], pa.int64()),
-                              "spans": pa.array([], pa.list_(pa.struct(
-                                  [("kind", pa.string()),
-                                   ("text", pa.string()),
-                                   ("media_ref", pa.string()),
-                                   ("offset", pa.int32())])))})
-                )
+                # zero blocks (empty docs dataset): emit the declared
+                # schema so downstream consumers see a table.
+                if name in self._TABLE_SORT:
+                    tbl = _EMPTY_FINAL[name]
+                else:
+                    ext = next(
+                        e for e in self.extractors if e.name == name
+                    )
+                    tbl = ext.fn(_EMPTY_DOCS_BATCH)
+            sort = self._TABLE_SORT.get(name)
+            out[name] = tbl.sort_by(
+                [(c, "ascending") for c in sort]
+            ) if sort else tbl
         return out
