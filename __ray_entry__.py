@@ -98,6 +98,18 @@ def _crawl_table(name: str, columns: list[str] | None = None):
     return q
 
 
+def _crawl_entity_metrics(sf_dir: str) -> pa.Table:
+    """S5 per-entity scraping log.  ``seq`` (crawl-order position) is
+    politeness-clock-dependent and therefore not SQL-expressible — the
+    oracle-compared surface is the deterministic per-entity columns;
+    seq itself is conformance-tested in tests/test_crawl_metrics.py."""
+    t = _crawl()["engine"].entity_metrics_table()
+    return t.select(
+        ["entity_id", "operation", "status", "error", "n_links",
+         "n_candidates"]
+    ).sort_by("entity_id")
+
+
 def _crawl_doc_spans(sf_dir: str) -> pa.Table:
     """Fetched docs flattened to one row per span (document order)."""
     eng = _crawl()["engine"]
@@ -154,7 +166,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_volumes": _crawl_table("volumes"),
         "crawl_title_enriched": _crawl_table("title_enriched"),
         "crawl_doc_spans": _crawl_doc_spans,
-        "crawl_metrics": lambda sf_dir: _crawl()["engine"].metrics_rollup(),
+        "crawl_metrics": _crawl_entity_metrics,
+        "crawl_metrics_rollup": (
+            lambda sf_dir: _crawl()["engine"].metrics_rollup()
+        ),
         "feed_export": _sk.feed_export,
         # ---- interleaved-documents span operators (SQL-oracled)
         "span_links": _il.span_links,
@@ -195,13 +210,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents (same column names as the Ray results).
 
-    Crawl tables are re-derived by a recursive-CTE reachability oracle
-    over the persisted fixture parquet (crawl_oracle_sql.py).  Still
+    Crawl tables (including the per-entity scraping log and its A4
+    rollup) are re-derived by a recursive-CTE reachability oracle over
+    the persisted fixture parquet (crawl_oracle_sql.py).  Still
     intentionally oracle-free: crawl_order (politeness-clock
-    simulation — sequential oracle in pytest), crawl_metrics rollup
-    semantics beyond counts, feed_export (sink manifest), minhash/ann
-    approximate families (LSH/IVF candidate sets are not relational),
-    with pytest oracles instead — see each docstring.
+    simulation — sequential oracle in pytest), feed_export (sink
+    manifest), with pytest oracles instead — see each docstring.
     """
     from whakoom_webscrapper_ray.pipelines.crawl_oracle_sql import (
         crawl_oracles,

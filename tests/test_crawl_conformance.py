@@ -228,6 +228,86 @@ def test_title_enriched_equality(engine_run, small_golden):
         assert g["additional_data"] == w["additional_data"]
 
 
+def _expected_entity_metrics(small_web, small_golden):
+    """Golden per-entity scraping-log rows derived from the fixture:
+    status from page existence, n_links = raw link spans, n_candidates
+    = links surviving offsite+robots pre-dedup (the route stage's keep
+    mask, crawl.py:176-177)."""
+    from urllib.parse import urlsplit
+
+    from whakoom_webscrapper_ray.functions.canonicalize import (
+        canonicalize_url,
+        host_of,
+    )
+    from whakoom_webscrapper_ray.functions.robots import RobotsRules
+
+    pages = small_web["pages"]
+    page_spans = dict(
+        zip(
+            pages.column("doc_id").to_pylist(),
+            pages.column("spans").to_pylist(),
+        )
+    )
+    rules = RobotsRules.from_table(small_web["robots"])
+    allowed = frozenset(
+        host_of(canonicalize_url(u))
+        for u in small_web["seeds"].column("url").to_pylist()
+    )
+
+    def domain_ok(h):
+        return h in allowed or any(h.endswith("." + d) for d in allowed)
+
+    status = dict(small_golden.fetch_log)
+    rows = {}
+    for seq, url, host, rnd in small_golden.crawl_order:
+        if status[url] != "fetched":
+            rows[url] = (seq, "fetch", "failed", "page_not_found", 0, 0)
+            continue
+        links = [s for s in page_spans[url] if s["kind"] == "link"]
+        ncand = 0
+        for s in links:
+            child = canonicalize_url(s["media_ref"], base=url)
+            ch = host_of(child)
+            if domain_ok(ch) and rules.allowed(ch, urlsplit(child).path):
+                ncand += 1
+        rows[url] = (seq, "fetch", "completed", "", len(links), ncand)
+    return rows
+
+
+def test_entity_metrics_equality(engine_run, small_web, small_golden):
+    """S5: one scraping_log row per scheduled URL with status/error and
+    deterministic link counts (reference sqlmanager.py:266-302)."""
+    eng, _ = engine_run
+    want = _expected_entity_metrics(small_web, small_golden)
+    got_t = eng.entity_metrics_table()
+    got = {
+        r["entity_id"]: (r["seq"], r["operation"], r["status"],
+                         r["error"], r["n_links"], r["n_candidates"])
+        for r in got_t.to_pylist()
+    }
+    assert got_t.num_rows == len(want)  # exactly one row per entity
+    assert got == want
+
+
+def test_metrics_rollup_equality(engine_run, small_web, small_golden):
+    """A4: GROUP BY (operation, status) over the per-entity log."""
+    eng, _ = engine_run
+    want_rows = _expected_entity_metrics(small_web, small_golden)
+    agg: dict[tuple, list] = {}
+    for _, op, st, _, nl, nc in want_rows.values():
+        a = agg.setdefault((op, st), [0, 0, 0])
+        a[0] += 1
+        a[1] += nl
+        a[2] += nc
+    got = {
+        (r["operation"], r["status"]): [
+            r["n_entities"], r["total_links"], r["total_candidates"]
+        ]
+        for r in eng.metrics_rollup().to_pylist()
+    }
+    assert got == agg
+
+
 def test_kill_resume_conformance(ray_session, small_web, small_golden,
                                  tmp_path_factory):
     """Kill after round 0, resume from checkpoint, finish: final state
@@ -294,4 +374,15 @@ def test_kill_resume_conformance(ray_session, small_web, small_golden,
     got_j = {(r["list_id"], r["title_id"]): r["position"]
              for r in tables["junction"].to_pylist()}
     assert got_j == small_golden.junction_out
+
+    # per-entity scraping log survives the resume without duplicates
+    # (idempotent per-batch partitions, like the docs side-write)
+    want_m = _expected_entity_metrics(small_web, small_golden)
+    got_m = {
+        r["entity_id"]: (r["seq"], r["operation"], r["status"],
+                         r["error"], r["n_links"], r["n_candidates"])
+        for r in eng2.entity_metrics_table().to_pylist()
+    }
+    assert got_m == want_m
+    assert eng2.entity_metrics_table().num_rows == len(want_m)
     eng2.shutdown()

@@ -25,6 +25,34 @@ def read(sf_dir: str, name: str, columns: list[str] | None = None,
     )
 
 
+def collect_small(ds: ray.data.Dataset, schema: pa.Schema) -> pa.Table:
+    """Materialize a SMALL (post-aggregation/candidate-set) dataset
+    driver-side as one Arrow table with the given schema.
+
+    ``to_arrow_refs`` hands back whatever block format the last
+    operator produced — ``map_groups(batch_format="pandas")`` leaves
+    pandas blocks, and EMPTY pandas blocks carry no column schema at
+    all — so each block is normalized (pandas→arrow, empties dropped,
+    columns reordered, cast) before the concat.  Only for results that
+    are small by construction; never a corpus materialization.
+    """
+    import ray as _ray
+
+    parts = []
+    for r in ds.to_arrow_refs():
+        b = _ray.get(r)
+        if not isinstance(b, pa.Table):
+            if len(b) == 0:
+                continue
+            b = pa.Table.from_pandas(b, preserve_index=False)
+        if b.num_rows == 0:
+            continue
+        parts.append(b.select(schema.names).cast(schema))
+    if not parts:
+        return schema.empty_table()
+    return pa.concat_tables(parts).combine_chunks()
+
+
 _DEREF_CACHE: dict = {}
 
 

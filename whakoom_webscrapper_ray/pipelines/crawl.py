@@ -89,7 +89,45 @@ class LinkRouter:
             h for h, d in self.rules.delay.items() if d > 0
         )
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _write_metrics(self, batch: pa.Table, n_links_row: np.ndarray,
+                       n_cand_row: np.ndarray, path: str) -> None:
+        """Per-ENTITY scraping-log rows (reference sqlmanager.py:266-302,
+        001_initial_schema.sql:97-106): one row per fetched URL with
+        operation/status/error plus the deterministic per-page link
+        counts.  Written as a side parquet per batch, named by seq range
+        (idempotent under resume, like the docs partition)."""
+        ok = pc.equal(batch["fetch_status"], "fetched")
+        status = pc.if_else(ok, "completed", "failed")
+        # error text per failure mode (reference stores the exception
+        # string; here the two semantic failures are 404 and retry
+        # exhaustion — fetch.py:84,103)
+        error = pc.if_else(
+            ok,
+            "",
+            pc.if_else(
+                pc.equal(batch["fetch_status"], "missing"),
+                "page_not_found",
+                "max_retries_exceeded",
+            ),
+        )
+        tbl = pa.table(
+            {
+                "entity_id": batch["canon_url"],
+                "seq": batch["seq"],
+                "operation": pa.array(
+                    ["fetch"] * batch.num_rows, pa.string()
+                ),
+                "status": status,
+                "error": error,
+                "n_links": pa.array(n_links_row, pa.int64()),
+                "n_candidates": pa.array(n_cand_row, pa.int64()),
+            }
+        )
+        pq.write_table(tbl, path, compression="lz4",
+                       use_dictionary=False, write_statistics=False)
+
+    def __call__(self, batch: pa.Table,
+                 metrics_path: str | None = None) -> pa.Table:
         n_fetched = int(
             pc.sum(
                 pc.equal(batch["fetch_status"], "fetched").cast(pa.int32())
@@ -111,7 +149,15 @@ class LinkRouter:
             "fetched": [n_fetched],
             "missing": [int(batch.num_rows - n_fetched)],
         }
+        n_links_row = np.bincount(
+            parent[idx], minlength=batch.num_rows
+        ).astype(np.int64)
         if idx.size == 0:
+            if metrics_path:
+                self._write_metrics(
+                    batch, n_links_row,
+                    np.zeros(batch.num_rows, np.int64), metrics_path,
+                )
             return pa.table(summary)
 
         # Arrow-native end-to-end: no per-link Python strings are ever
@@ -144,6 +190,14 @@ class LinkRouter:
         # partial dedup: min-ok per sha within the batch (combiner);
         # first occurrence via C sort over the void-20 sha view.
         keep_idx = np.flatnonzero(keep)
+        if metrics_path:
+            self._write_metrics(
+                batch, n_links_row,
+                np.bincount(
+                    link_parent[keep_idx], minlength=batch.num_rows
+                ).astype(np.int64),
+                metrics_path,
+            )
         if keep_idx.size == 0:
             return pa.table(summary)
         order = keep_idx[np.argsort(ok[keep_idx], kind="stable")]
@@ -377,15 +431,21 @@ def _worker_router(engine_key, rules_ref, allowed, shards) -> "LinkRouter":
 
 
 def _route_batch(batch: pa.Table, engine_key=None, rules_ref=None,
-                 allowed=None, shards=None, docs_dir=None) -> pa.Table:
+                 allowed=None, shards=None, docs_dir=None,
+                 metrics_dir=None) -> pa.Table:
     """Side-write the fetched docs partition, then extract + route.
 
     The docs parquet is written per batch, named by the batch's seq
     range — deterministic and idempotent, so a resumed round simply
     overwrites the same files (the reference's HTTP-cache re-run
-    story, settings.py:132).
+    story, settings.py:132).  The per-entity metrics log is written
+    the same way.
     """
     min_seq = int(pc.min(batch["seq"]).as_py())
+    mp = (
+        os.path.join(metrics_dir, f"part-{min_seq:010d}.parquet")
+        if metrics_dir else None
+    )
     if os.environ.get("WKM_PROF") == "time":
         import sys
         import time as _t
@@ -398,7 +458,7 @@ def _route_batch(batch: pa.Table, engine_key=None, rules_ref=None,
         )
         t1 = _t.perf_counter()
         router = _worker_router(engine_key, rules_ref, allowed, shards)
-        out = router(batch)
+        out = router(batch, metrics_path=mp)
         print(f"[rb] rows={batch.num_rows} write={t1 - t0:.2f} "
               f"route={_t.perf_counter() - t1:.2f}",
               file=sys.stderr, flush=True)
@@ -417,7 +477,7 @@ def _route_batch(batch: pa.Table, engine_key=None, rules_ref=None,
         router = _worker_router(engine_key, rules_ref, allowed, shards)
         prof = cProfile.Profile()
         prof.enable()
-        out = router(batch)
+        out = router(batch, metrics_path=mp)
         prof.disable()
         import pstats
         import sys
@@ -432,7 +492,7 @@ def _route_batch(batch: pa.Table, engine_key=None, rules_ref=None,
         compression="lz4", use_dictionary=False, write_statistics=False,
     )
     router = _worker_router(engine_key, rules_ref, allowed, shards)
-    return router(batch)
+    return router(batch, metrics_path=mp)
 
 
 _EMPTY_DOCS_BATCH = pa.table(
@@ -580,6 +640,11 @@ class CrawlEngine:
     def _docs_dir(self, rnd: int) -> str:
         return os.path.join(self.checkpoint_dir, "docs", f"round={rnd}")
 
+    def _metrics_dir(self, rnd: int) -> str:
+        return os.path.join(
+            self.checkpoint_dir, "metrics", f"round={rnd}"
+        )
+
     def _manifest_path(self) -> str:
         return os.path.join(self.checkpoint_dir, "manifest.json")
 
@@ -669,6 +734,8 @@ class CrawlEngine:
         # not once per small batch.
         docs_dir = self._docs_dir(rnd)
         os.makedirs(docs_dir, exist_ok=True)
+        metrics_dir = self._metrics_dir(rnd)
+        os.makedirs(metrics_dir, exist_ok=True)
         batch_size = self.batch_size or None
         _t1 = _time.perf_counter()
         ds = (
@@ -690,6 +757,7 @@ class CrawlEngine:
                     "allowed": self.allowed,
                     "shards": self.frontier.shards,
                     "docs_dir": docs_dir,
+                    "metrics_dir": metrics_dir,
                 },
                 batch_size=batch_size,
                 batch_format="pyarrow",
@@ -820,10 +888,10 @@ class CrawlEngine:
         )
 
     def metrics_table(self) -> pa.Table:
-        """Per-round metrics rows — the S5 append-only ``scraping_log``
-        analog (reference sqlmanager.py:266-302), one row per
-        (round, stage-counter) with durations; feeds the A4 rollup
-        (``GROUP BY stage`` over counts/durations)."""
+        """Per-ROUND stage counters (scheduled/fetched/links/... per
+        round with wall seconds) — the engine-health side of the log.
+        The per-ENTITY ``scraping_log`` analog is
+        :meth:`entity_metrics_dataset`."""
         rows: list[dict] = []
         for st in self.round_stats:
             for stage in ("scheduled", "fetched", "missing", "links",
@@ -847,9 +915,9 @@ class CrawlEngine:
             )
         return pa.Table.from_pylist(rows)
 
-    def metrics_rollup(self) -> pa.Table:
-        """A4: metrics grouped by stage → total count + mean round sec
-        (a Ray Data groupby over the metrics side-channel)."""
+    def round_metrics_rollup(self) -> pa.Table:
+        """Per-round counters grouped by stage → total count + mean
+        round sec (engine health; not the reference scraping_log)."""
         ds = ray.data.from_arrow(self.metrics_table())
         from ray.data.aggregate import Mean, Sum
 
@@ -859,6 +927,73 @@ class CrawlEngine:
                        Mean("round_sec", alias_name="mean_round_sec"))
             .to_pandas()
             .sort_values("stage")
+            .reset_index(drop=True)
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    _ENTITY_METRICS_SCHEMA = pa.schema(
+        [
+            ("entity_id", pa.string()),
+            ("seq", pa.int64()),
+            ("operation", pa.string()),
+            ("status", pa.string()),
+            ("error", pa.string()),
+            ("n_links", pa.int64()),
+            ("n_candidates", pa.int64()),
+        ]
+    )
+
+    def entity_metrics_dataset(self) -> ray.data.Dataset:
+        """S5: the per-ENTITY append-only scraping log as a streaming
+        Dataset — one row per scheduled URL with
+        (operation, status, error, n_links, n_candidates), written by
+        the route stage as idempotent per-batch partitions (reference
+        sqlmanager.py:266-302, 001_initial_schema.sql:97-106)."""
+        import glob
+
+        files = [
+            f
+            for r in range(self.next_round)
+            if os.path.isdir(self._metrics_dir(r))
+            for f in sorted(
+                glob.glob(os.path.join(self._metrics_dir(r), "*.parquet"))
+            )
+        ]
+        if not files:
+            return ray.data.from_arrow(
+                self._ENTITY_METRICS_SCHEMA.empty_table()
+            )
+        return ray.data.read_parquet(files)
+
+    def entity_metrics_table(self) -> pa.Table:
+        """Small-fixture materialization of the per-entity log, in
+        crawl order (conformance/test surface only)."""
+        return pa.concat_tables(
+            [
+                ray.get(r)
+                for r in self.entity_metrics_dataset().to_arrow_refs()
+            ]
+            or [self._ENTITY_METRICS_SCHEMA.empty_table()],
+            promote_options="default",
+        ).sort_by("seq")
+
+    def metrics_rollup(self) -> pa.Table:
+        """A4: the scraping_log rolled up ``GROUP BY operation,
+        status`` → entity count + link totals (reference
+        sqlmanager.py:296-302 reporting queries), computed as a Ray
+        Data groupby over the streamed per-entity log."""
+        from ray.data.aggregate import Count, Sum
+
+        out = (
+            self.entity_metrics_dataset()
+            .groupby(["operation", "status"])
+            .aggregate(
+                Count(alias_name="n_entities"),
+                Sum("n_links", alias_name="total_links"),
+                Sum("n_candidates", alias_name="total_candidates"),
+            )
+            .to_pandas()
+            .sort_values(["operation", "status"])
             .reset_index(drop=True)
         )
         return pa.Table.from_pandas(out, preserve_index=False)

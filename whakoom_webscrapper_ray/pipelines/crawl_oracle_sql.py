@@ -284,8 +284,50 @@ SELECT title_id,
 FROM vols GROUP BY title_id ORDER BY title_id
 """
 
+    # Per-entity scraping log (S5, sqlmanager.py:266-302): one row per
+    # SCHEDULED url.  status/error from page existence; n_links = raw
+    # link spans on the fetched page; n_candidates = links surviving
+    # offsite+robots (pre-dedup — the engine's keep mask, crawl.py:176).
+    metrics = P + """,
+link_counts AS (
+  SELECT doc_id, count(*) AS n FROM
+    (SELECT doc_id, unnest(spans) AS s FROM pages)
+  WHERE s.kind = 'link' GROUP BY doc_id
+),
+cand_counts AS (
+  SELECT src AS doc_id, count(*) AS n FROM ok_links GROUP BY src
+)
+SELECT r.url AS entity_id,
+       'fetch' AS operation,
+       CASE WHEN p.doc_id IS NOT NULL
+            THEN 'completed' ELSE 'failed' END AS status,
+       CASE WHEN p.doc_id IS NOT NULL
+            THEN '' ELSE 'page_not_found' END AS error,
+       CAST(CASE WHEN p.doc_id IS NOT NULL
+                 THEN coalesce(lc.n, 0) ELSE 0 END AS BIGINT) AS n_links,
+       CAST(CASE WHEN p.doc_id IS NOT NULL
+                 THEN coalesce(cc.n, 0) ELSE 0 END AS BIGINT)
+         AS n_candidates
+FROM reach r
+LEFT JOIN pages p ON p.doc_id = r.url
+LEFT JOIN link_counts lc ON lc.doc_id = r.url
+LEFT JOIN cand_counts cc ON cc.doc_id = r.url
+ORDER BY entity_id
+"""
+
+    metrics_rollup = f"""
+WITH em AS ({metrics})
+SELECT operation, status,
+       CAST(count(*) AS BIGINT) AS n_entities,
+       CAST(sum(n_links) AS BIGINT) AS total_links,
+       CAST(sum(n_candidates) AS BIGINT) AS total_candidates
+FROM em GROUP BY operation, status ORDER BY operation, status
+"""
+
     return {
         "crawl_seen_set": seen,
+        "crawl_metrics": metrics,
+        "crawl_metrics_rollup": metrics_rollup,
         "crawl_doc_spans": doc_spans,
         "crawl_lists": lists,
         "crawl_junction": junction,

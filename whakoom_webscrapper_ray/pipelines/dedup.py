@@ -261,9 +261,12 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, num_bands: int = 16,
     # dataset STREAMS through an is_in filter (broadcast sorted id
     # array) that also computes each survivor's shingle set map-side —
     # the full corpus is never pulled to the driver or broadcast.
-    cand_tbl = pa.concat_tables(
-        [ray.get(r) for r in cand.to_arrow_refs()]
-    ).combine_chunks()
+    from .common import collect_small
+
+    cand_tbl = collect_small(
+        cand,
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
+    )
     if cand_tbl.num_rows == 0:
         return ray.data.from_arrow(
             pa.table(
