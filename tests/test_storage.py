@@ -1,0 +1,134 @@
+"""Storage seam: fragment contracts + merge_insert-shaped upsert
+(reference persistence semantics: INSERT ... ON CONFLICT DO UPDATE,
+/root/reference/whakoom_webscrapper/queries/lists.sql:1-9)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from whakoom_webscrapper_ray.storage import ParquetBackend, backend
+
+
+def _read_all(bk, d: str) -> dict[int, tuple]:
+    rows = {}
+    for f in bk.list_fragments(d):
+        for r in bk.read_fragment(f).to_pylist():
+            assert r["k"] not in rows, "duplicate key across fragments"
+            rows[r["k"]] = (r["v"], r["w"])
+    return rows
+
+
+def test_fragment_roundtrip(tmp_path):
+    bk = ParquetBackend()
+    t = pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    p = bk.fragment_path(str(tmp_path), "part-0")
+    bk.write_fragment(t, p)
+    assert bk.read_fragment(p).equals(t)
+    assert bk.read_fragment(p, columns=["b"]).column_names == ["b"]
+    assert bk.list_fragments(str(tmp_path)) == [p]
+    bk.delete_fragment(p)
+    assert bk.list_fragments(str(tmp_path)) == []
+
+
+def test_upsert_lww(tmp_path):
+    """when_matched_update_all + when_not_matched_insert_all: the
+    incoming row wins on key conflict; unmatched rows persist."""
+    bk = ParquetBackend()
+    d = str(tmp_path / "t")
+    bk.upsert(pa.table({"k": [1, 2, 3], "v": ["a", "b", "c"],
+                        "w": [10, 20, 30]}), d, ["k"])
+    bk.upsert(pa.table({"k": [3, 4], "v": ["C", "d"],
+                        "w": [33, 40]}), d, ["k"])
+    assert _read_all(bk, d) == {
+        1: ("a", 10), 2: ("b", 20), 3: ("C", 33), 4: ("d", 40)
+    }
+    # idempotent re-run (the resume story): same batch, same result
+    bk.upsert(pa.table({"k": [3, 4], "v": ["C", "d"],
+                        "w": [33, 40]}), d, ["k"])
+    assert _read_all(bk, d) == {
+        1: ("a", 10), 2: ("b", 20), 3: ("C", 33), 4: ("d", 40)
+    }
+
+
+def test_upsert_copy_on_write(tmp_path):
+    """Fragments with no matched key are byte-untouched (Lance
+    merge_insert's copy-on-write contract)."""
+    bk = ParquetBackend()
+    d = str(tmp_path / "t")
+    bk.upsert(pa.table({"k": [1, 2], "v": ["a", "b"], "w": [1, 2]}),
+              d, ["k"])
+    first = bk.list_fragments(d)[0]
+    mtime = os.stat(first).st_mtime_ns
+    bk.upsert(pa.table({"k": [9], "v": ["z"], "w": [9]}), d, ["k"])
+    assert os.stat(first).st_mtime_ns == mtime
+    assert len(bk.list_fragments(d)) == 2
+
+
+def test_upsert_composite_key(tmp_path):
+    """Junction-style (list_id, title_id) composite primary key."""
+    bk = ParquetBackend()
+    d = str(tmp_path / "j")
+    bk.upsert(
+        pa.table({"list_id": [1, 1, 2], "title_id": [7, 8, 7],
+                  "position": [0, 1, 0]}),
+        d, ["list_id", "title_id"],
+    )
+    bk.upsert(
+        pa.table({"list_id": [1, 2], "title_id": [8, 9],
+                  "position": [5, 2]}),
+        d, ["list_id", "title_id"],
+    )
+    got = {
+        (r["list_id"], r["title_id"]): r["position"]
+        for f in bk.list_fragments(d)
+        for r in bk.read_fragment(f).to_pylist()
+    }
+    assert got == {(1, 7): 0, (1, 8): 5, (2, 7): 0, (2, 9): 2}
+
+
+def test_compact(tmp_path):
+    bk = ParquetBackend()
+    d = str(tmp_path / "t")
+    bk.upsert(pa.table({"k": [1], "v": ["a"], "w": [1]}), d, ["k"])
+    bk.upsert(pa.table({"k": [2], "v": ["b"], "w": [2]}), d, ["k"])
+    assert len(bk.list_fragments(d)) == 2
+    bk.compact(d)
+    assert len(bk.list_fragments(d)) == 1
+    assert _read_all(bk, d) == {1: ("a", 1), 2: ("b", 2)}
+
+
+def test_backend_selection():
+    assert backend("parquet").name == "parquet"
+    try:
+        import lance  # noqa: F401
+
+        assert backend("lance").name == "lance"
+        assert backend().name == "lance"
+    except ImportError:
+        with pytest.raises(ImportError):
+            backend("lance")
+        assert backend().name == "parquet"
+
+
+def test_read_dataset_streaming(ray_session, tmp_path):
+    """read_dataset returns a streaming Ray Dataset over fragments."""
+    bk = ParquetBackend()
+    for i in range(3):
+        bk.write_fragment(
+            pa.table({"k": [i], "v": [str(i)]}),
+            bk.fragment_path(str(tmp_path), f"part-{i}"),
+        )
+    ds = bk.read_dataset(bk.list_fragments(str(tmp_path)), columns=["k"])
+    assert sorted(r["k"] for r in ds.take_all()) == [0, 1, 2]
+
+
+def test_write_dataset(ray_session, tmp_path):
+    import ray.data
+
+    bk = ParquetBackend()
+    d = str(tmp_path / "out")
+    bk.write_dataset(ray.data.range(100), d)
+    assert bk.read_dataset(d).count() == 100

@@ -51,6 +51,7 @@ from ..functions.canonicalize import (
     canonicalize_table,
 )
 from ..functions.robots import RobotsRules, offsite_mask, offsite_mask_arrow
+from ..storage import backend as storage_backend
 from ..stages.extract import (
     LIST_RE,
     PROFILE_RE,
@@ -123,8 +124,7 @@ class LinkRouter:
                 "n_candidates": pa.array(n_cand_row, pa.int64()),
             }
         )
-        pq.write_table(tbl, path, compression="lz4",
-                       use_dictionary=False, write_statistics=False)
+        storage_backend().write_fragment(tbl, path)
 
     def __call__(self, batch: pa.Table,
                  metrics_path: str | None = None) -> pa.Table:
@@ -442,8 +442,10 @@ def _route_batch(batch: pa.Table, engine_key=None, rules_ref=None,
     the same way.
     """
     min_seq = int(pc.min(batch["seq"]).as_py())
+    bk = storage_backend()
+    dp = bk.fragment_path(docs_dir, f"part-{min_seq:010d}")
     mp = (
-        os.path.join(metrics_dir, f"part-{min_seq:010d}.parquet")
+        bk.fragment_path(metrics_dir, f"part-{min_seq:010d}")
         if metrics_dir else None
     )
     if os.environ.get("WKM_PROF") == "time":
@@ -451,11 +453,7 @@ def _route_batch(batch: pa.Table, engine_key=None, rules_ref=None,
         import time as _t
 
         t0 = _t.perf_counter()
-        pq.write_table(
-            batch, os.path.join(docs_dir, f"part-{min_seq:010d}.parquet"),
-            compression="lz4", use_dictionary=False,
-            write_statistics=False,
-        )
+        bk.write_fragment(batch, dp)
         t1 = _t.perf_counter()
         router = _worker_router(engine_key, rules_ref, allowed, shards)
         out = router(batch, metrics_path=mp)
@@ -468,11 +466,7 @@ def _route_batch(batch: pa.Table, engine_key=None, rules_ref=None,
         import time as _t
 
         t0 = _t.perf_counter()
-        pq.write_table(
-            batch, os.path.join(docs_dir, f"part-{min_seq:010d}.parquet"),
-            compression="lz4", use_dictionary=False,
-            write_statistics=False,
-        )
+        bk.write_fragment(batch, dp)
         t_write = _t.perf_counter() - t0
         router = _worker_router(engine_key, rules_ref, allowed, shards)
         prof = cProfile.Profile()
@@ -487,10 +481,7 @@ def _route_batch(batch: pa.Table, engine_key=None, rules_ref=None,
         pstats.Stats(prof, stream=sys.stderr).sort_stats(
             "cumulative").print_stats(8)
         return out
-    pq.write_table(
-        batch, os.path.join(docs_dir, f"part-{min_seq:010d}.parquet"),
-        compression="lz4", use_dictionary=False, write_statistics=False,
-    )
+    bk.write_fragment(batch, dp)
     router = _worker_router(engine_key, rules_ref, allowed, shards)
     return router(batch, metrics_path=mp)
 
@@ -649,12 +640,15 @@ class CrawlEngine:
         return os.path.join(self.checkpoint_dir, "manifest.json")
 
     def _order_files(self, rnd: int) -> list[str]:
-        """Crawl-order parquet parts for a round (per-shard files)."""
+        """Crawl-order checkpoint fragments for a round (per shard)."""
         import glob
 
+        bk = storage_backend()
         return sorted(
             glob.glob(
-                os.path.join(self._round_dir(rnd), "crawl_order*.parquet")
+                os.path.join(
+                    self._round_dir(rnd), "crawl_order*" + bk.fragment_ext
+                )
             )
         )
 
@@ -662,7 +656,8 @@ class CrawlEngine:
         files = self._order_files(rnd)
         if not files:
             return None
-        return pa.concat_tables(pq.read_table(f) for f in files)
+        bk = storage_backend()
+        return pa.concat_tables(bk.read_fragment(f) for f in files)
 
     # -------------------------------------------------------------- seed
     def seed(self) -> int:
@@ -820,7 +815,7 @@ class CrawlEngine:
         # logs; the recorded (salted) routing shard keys the replay.
         for r in range(last_round + 1):
             for f in self._order_files(r):
-                tbl = pq.read_table(
+                tbl = storage_backend().read_fragment(
                     f, columns=["url_sha1", "canon_url", "shard"]
                 )
                 self.frontier.restore_seen(
@@ -949,21 +944,18 @@ class CrawlEngine:
         (operation, status, error, n_links, n_candidates), written by
         the route stage as idempotent per-batch partitions (reference
         sqlmanager.py:266-302, 001_initial_schema.sql:97-106)."""
-        import glob
-
+        bk = storage_backend()
         files = [
             f
             for r in range(self.next_round)
             if os.path.isdir(self._metrics_dir(r))
-            for f in sorted(
-                glob.glob(os.path.join(self._metrics_dir(r), "*.parquet"))
-            )
+            for f in bk.list_fragments(self._metrics_dir(r))
         ]
         if not files:
             return ray.data.from_arrow(
                 self._ENTITY_METRICS_SCHEMA.empty_table()
             )
-        return ray.data.read_parquet(files)
+        return bk.read_dataset(files)
 
     def entity_metrics_table(self) -> pa.Table:
         """Small-fixture materialization of the per-entity log, in
@@ -1000,17 +992,14 @@ class CrawlEngine:
 
     def docs_dataset(self) -> ray.data.Dataset:
         """All fetched docs as a streaming Dataset (doc_id, spans, seq)."""
-        import glob
-
+        bk = storage_backend()
         files = [
             f
             for r in range(self.next_round)
             if os.path.isdir(self._docs_dir(r))
-            for f in sorted(
-                glob.glob(os.path.join(self._docs_dir(r), "*.parquet"))
-            )
+            for f in bk.list_fragments(self._docs_dir(r))
         ]
-        ds = ray.data.read_parquet(
+        ds = bk.read_dataset(
             files, columns=["canon_url", "seq", "spans", "fetch_status"]
         )
 
@@ -1296,18 +1285,48 @@ class CrawlEngine:
         "title_enriched": ["title_id"],
     }
 
-    def write_tables(self, out_dir: str) -> dict[str, str]:
-        """Stream every finalized table to partitioned parquet — one
-        directory per table, written by the workers (the S4 upsert-sink
-        shape; resumable because each table directory is replaced
-        atomically per run and re-derivable from the docs checkpoint).
-        Nothing is collected on the driver.
+    # primary key per finalized table — drives the upsert sink (the
+    # reference's ON CONFLICT targets, queries/lists.sql:1-9,
+    # 001_initial_schema.sql)
+    _TABLE_KEYS = {
+        "lists": ["list_id"],
+        "junction": ["list_id", "title_id"],
+        "titles": ["title_id"],
+        "title_metadata": ["title_id"],
+        "volumes": ["volume_id"],
+        "title_enriched": ["title_id"],
+    }
+
+    def write_tables(self, out_dir: str,
+                     mode: str = "overwrite") -> dict[str, str]:
+        """Stream every finalized table to the storage backend — one
+        table directory per name, fragments written by the workers.
+        Nothing corpus-proportional is collected on the driver.
+
+        ``mode="overwrite"``: fresh partitioned write (each run's
+        directory re-derivable from the docs checkpoint).
+        ``mode="upsert"``: S4 — merge this run's rows into an EXISTING
+        table by primary key, incoming row winning (the reference's
+        ``INSERT ... ON CONFLICT DO UPDATE`` re-run story,
+        queries/lists.sql:1-9).  Batches stream through the driver
+        sequentially because upsert commits are serialized — the same
+        single-writer commit protocol Lance's merge_insert uses;
+        per-batch memory stays bounded.
         """
+        bk = storage_backend()
         paths = {}
         for name, ds in self.finalize_datasets().items():
             path = os.path.join(out_dir, name)
-            os.makedirs(path, exist_ok=True)
-            ds.write_parquet(path)
+            keys = self._TABLE_KEYS.get(name)
+            if mode == "upsert" and keys:
+                for b in ds.iter_batches(
+                    batch_format="pyarrow", batch_size=8192
+                ):
+                    if b.num_rows:
+                        bk.upsert(b, path, keys)
+            else:
+                os.makedirs(path, exist_ok=True)
+                bk.write_dataset(ds, path)
             paths[name] = path
         return paths
 

@@ -134,17 +134,15 @@ class FrontierShard:
     def _spill(self) -> None:
         import os
 
-        import pyarrow.parquet as pq
+        from ..storage import backend as storage_backend
 
+        bk = storage_backend()
         os.makedirs(self.spill_dir, exist_ok=True)
-        path = os.path.join(
-            self.spill_dir, f"spill-{self._spill_seq:06d}.parquet"
+        path = bk.fragment_path(
+            self.spill_dir, f"spill-{self._spill_seq:06d}"
         )
         self._spill_seq += 1
-        pq.write_table(
-            pa.concat_tables(self.pending), path, compression="lz4",
-            use_dictionary=False, write_statistics=False,
-        )
+        bk.write_fragment(pa.concat_tables(self.pending), path)
         self._spill_files.append(path)
         self.spill_count += 1
         self.pending = []
@@ -152,13 +150,12 @@ class FrontierShard:
 
     def _unspill(self) -> None:
         """Read spilled blocks back into the in-memory pending list."""
-        import os
+        from ..storage import backend as storage_backend
 
-        import pyarrow.parquet as pq
-
+        bk = storage_backend()
         for path in self._spill_files:
-            self.pending.insert(0, pq.read_table(path))
-            os.unlink(path)
+            self.pending.insert(0, bk.read_fragment(path))
+            bk.delete_fragment(path)
         self._spill_files = []
         self._pending_rows = int(
             sum(b.num_rows for b in self.pending)
@@ -353,15 +350,15 @@ class FrontierShard:
             ),
         )
         if order_dir is not None and t.num_rows:
-            import os
+            from ..storage import backend as storage_backend
 
-            import pyarrow.parquet as pq
-
-            path = os.path.join(
-                order_dir, f"crawl_order-shard={self.shard_id}.parquet"
+            bk = storage_backend()
+            bk.write_fragment_atomic(
+                t,
+                bk.fragment_path(
+                    order_dir, f"crawl_order-shard={self.shard_id}"
+                ),
             )
-            pq.write_table(t, path + ".tmp")
-            os.replace(path + ".tmp", path)
         return t
 
     def pending_count(self) -> int:

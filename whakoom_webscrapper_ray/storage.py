@@ -1,0 +1,259 @@
+"""Storage backend seam: Lance tables when importable, parquet fallback.
+
+Every durable write the engine performs — docs/metrics side-writes,
+crawl-order checkpoint parts, frontier queue spill, finalized table
+sinks, the keyed upsert — goes through one backend object so the
+storage substrate is swappable without touching pipeline code.  The
+reference persists to SQLite with ``INSERT ... ON CONFLICT DO UPDATE``
+(/root/reference/whakoom_webscrapper/database/sqlmanager.py:96-160,
+queries/lists.sql:1-9); the scale substrate named by the north rule is
+Lance.  This sandbox has no ``lance`` wheel, so the parquet backend is
+the tested default and :class:`LanceBackend` carries the documented
+1:1 mapping, import-gated:
+
+========================  =============================================
+seam call                 Lance equivalent
+========================  =============================================
+``write_fragment``        ``lance.write_dataset(tbl, uri, mode="append")``
+                          (or ``LanceFragment.create`` + commit)
+``read_fragment``         ``lance.dataset(uri).to_table(columns=...)``
+``read_dataset``          ``ray.data.read_lance(uri, columns=...)``
+``write_dataset``         ``ds.write_lance(uri)`` (Ray Data sink)
+``upsert``                ``lance.dataset(uri).merge_insert(on=keys)
+                          .when_matched_update_all()
+                          .when_not_matched_insert_all().execute(tbl)``
+========================  =============================================
+
+The parquet backend reproduces the same observable contracts:
+
+- a *table* is a directory of fragment files; a *fragment* is one
+  parquet file named by the caller — deterministic names make
+  re-writes idempotent, which is the engine's resume/lineage story;
+- ``upsert`` is copy-on-write merge_insert: only fragments containing
+  a matched key are rewritten (atomically), the incoming batch lands
+  as a new fragment, and the incoming row wins on key conflict
+  (``when_matched_update_all`` / last-writer-wins, A2).  Upsert
+  commits are serialized by the caller, matching Lance's
+  single-writer commit protocol.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+# Hot-path parquet knobs: lz4 + no dictionary + no statistics measured
+# fastest for the write-once read-once checkpoint fragments (round-1
+# profiling; statistics/dictionary build cost dominates at small row
+# groups and nothing prunes on these files).
+_FAST = {"compression": "lz4", "use_dictionary": False,
+         "write_statistics": False}
+
+
+def _key_array(t: pa.Table, keys: list[str]) -> pa.Array:
+    """One comparable key column: the column itself, or for composite
+    keys a \\x1f-joined string encoding (exact for the engine's
+    integer/string key columns — no separator collisions)."""
+    if len(keys) == 1:
+        col = t.column(keys[0])
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+    parts = [pc.cast(t.column(k), pa.string()) for k in keys]
+    joined = pc.binary_join_element_wise(*parts, "\x1f")
+    return joined.combine_chunks() if isinstance(joined, pa.ChunkedArray) \
+        else joined
+
+
+class ParquetBackend:
+    """Directory-of-fragments tables on any POSIX path (the in-sandbox
+    default; see module docstring for the Lance mapping)."""
+
+    name = "parquet"
+    fragment_ext = ".parquet"
+
+    # -- fragments --------------------------------------------------------
+    def fragment_path(self, table_dir: str, stem: str) -> str:
+        return os.path.join(table_dir, stem + self.fragment_ext)
+
+    def write_fragment(self, table: pa.Table, path: str,
+                       fast: bool = True) -> None:
+        """One fragment file; caller-chosen deterministic name makes
+        the write idempotent (resume overwrites the same file)."""
+        pq.write_table(table, path, **(_FAST if fast else {}))
+
+    def write_fragment_atomic(self, table: pa.Table, path: str) -> None:
+        """tmp + rename so concurrent readers never see a torn file."""
+        pq.write_table(table, path + ".tmp", **_FAST)
+        os.replace(path + ".tmp", path)
+
+    def read_fragment(self, path: str,
+                      columns: list[str] | None = None) -> pa.Table:
+        return pq.read_table(path, columns=columns)
+
+    def delete_fragment(self, path: str) -> None:
+        os.unlink(path)
+
+    def list_fragments(self, table_dir: str) -> list[str]:
+        return sorted(
+            glob.glob(os.path.join(table_dir, "*" + self.fragment_ext))
+        )
+
+    # -- datasets ---------------------------------------------------------
+    def read_dataset(self, paths, columns: list[str] | None = None):
+        """Streaming Ray Data scan over fragment files/dirs."""
+        import ray.data
+
+        return ray.data.read_parquet(paths, columns=columns)
+
+    def write_dataset(self, ds, table_dir: str) -> None:
+        """Streaming partitioned sink: workers write their own
+        fragments; nothing is collected on the driver."""
+        os.makedirs(table_dir, exist_ok=True)
+        ds.write_parquet(table_dir)
+
+    # -- keyed upsert (merge_insert shape) --------------------------------
+    def upsert(self, table: pa.Table, table_dir: str,
+               keys: list[str]) -> None:
+        """LWW merge of ``table`` into the stored table by ``keys``.
+
+        Copy-on-write like Lance's merge_insert: fragments with no
+        matched key are untouched; matched fragments are rewritten
+        atomically without the superseded rows; the incoming batch is
+        appended as one new fragment.  Caller serializes commits.
+        """
+        os.makedirs(table_dir, exist_ok=True)
+        incoming = _key_array(table, keys)
+        n_frag = 0
+        for f in self.list_fragments(table_dir):
+            n_frag += 1
+            old = pq.read_table(f)
+            stale = pc.is_in(_key_array(old, keys), value_set=incoming)
+            n_stale = int(pc.sum(pc.cast(stale, pa.int64())).as_py() or 0)
+            if n_stale == 0:
+                continue
+            kept = old.filter(pc.invert(stale))
+            if kept.num_rows:
+                self.write_fragment_atomic(kept, f)
+            else:
+                os.unlink(f)
+        self.write_fragment_atomic(
+            table,
+            self.fragment_path(table_dir, f"upsert-{n_frag:06d}"),
+        )
+
+    def compact(self, table_dir: str) -> None:
+        """Rewrite all fragments as one (Lance: ``optimize.compact_files``).
+        Small tables only — reads the table into memory."""
+        frags = self.list_fragments(table_dir)
+        if len(frags) <= 1:
+            return
+        full = pa.concat_tables(pq.read_table(f) for f in frags)
+        self.write_fragment_atomic(
+            full, self.fragment_path(table_dir, "compact-000000")
+        )
+        for f in frags:
+            os.unlink(f)
+
+
+class LanceBackend:
+    """Lance implementation of the seam (import-gated; untestable in
+    this sandbox — no ``lance`` wheel — so every call maps 1:1 to the
+    public lance API per the module docstring and the parquet backend
+    is the conformance-tested reference behavior)."""
+
+    name = "lance"
+    fragment_ext = ".lance"
+
+    def __init__(self) -> None:
+        import lance  # raises ImportError when the wheel is absent
+
+        self._lance = lance
+
+    def fragment_path(self, table_dir: str, stem: str) -> str:
+        return os.path.join(table_dir, stem + self.fragment_ext)
+
+    def write_fragment(self, table: pa.Table, path: str,
+                       fast: bool = True) -> None:
+        self._lance.write_dataset(table, path, mode="overwrite")
+
+    def write_fragment_atomic(self, table: pa.Table, path: str) -> None:
+        # lance commits are atomic (manifest swap) by construction
+        self._lance.write_dataset(table, path, mode="overwrite")
+
+    def read_fragment(self, path: str,
+                      columns: list[str] | None = None) -> pa.Table:
+        return self._lance.dataset(path).to_table(columns=columns)
+
+    def delete_fragment(self, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
+    def list_fragments(self, table_dir: str) -> list[str]:
+        return sorted(
+            glob.glob(os.path.join(table_dir, "*" + self.fragment_ext))
+        )
+
+    def read_dataset(self, paths, columns: list[str] | None = None):
+        import ray.data
+
+        if isinstance(paths, str):
+            return ray.data.read_lance(paths, columns=columns)
+        # per-fragment lance datasets: union of scans
+        sets = [ray.data.read_lance(p, columns=columns) for p in paths]
+        out = sets[0]
+        for s in sets[1:]:
+            out = out.union(s)
+        return out
+
+    def write_dataset(self, ds, table_dir: str) -> None:
+        ds.write_lance(table_dir)
+
+    def upsert(self, table: pa.Table, table_dir: str,
+               keys: list[str]) -> None:
+        if not os.path.exists(table_dir):
+            self._lance.write_dataset(table, table_dir, mode="create")
+            return
+        on = keys[0] if len(keys) == 1 else keys
+        (
+            self._lance.dataset(table_dir)
+            .merge_insert(on)
+            .when_matched_update_all()
+            .when_not_matched_insert_all()
+            .execute(table)
+        )
+
+    def compact(self, table_dir: str) -> None:
+        self._lance.dataset(table_dir).optimize.compact_files()
+
+
+_BACKEND = None
+
+
+def backend(name: str | None = None):
+    """The process-wide storage backend.
+
+    Selection: explicit ``name`` arg > ``WKM_STORAGE_BACKEND`` env >
+    lance-if-importable > parquet.  Memoized so hot-path callers
+    (route batches, frontier actors) pay a dict lookup.
+    """
+    global _BACKEND
+    if name is None and _BACKEND is not None:
+        return _BACKEND
+    choice = name or os.environ.get("WKM_STORAGE_BACKEND")
+    if choice == "parquet":
+        bk = ParquetBackend()
+    elif choice == "lance":
+        bk = LanceBackend()
+    else:
+        try:
+            bk = LanceBackend()
+        except ImportError:
+            bk = ParquetBackend()
+    if name is None:
+        _BACKEND = bk
+    return bk
