@@ -386,3 +386,64 @@ def test_kill_resume_conformance(ray_session, small_web, small_golden,
     assert got_m == want_m
     assert eng2.entity_metrics_table().num_rows == len(want_m)
     eng2.shutdown()
+
+
+def test_max_pages_budget_conformance(ray_session, small_web,
+                                      tmp_path_factory):
+    """O4 per-host pagination budget (the reference's "Load more" loop
+    bound, publications.py:74-89): with ``max_pages_per_host`` set, the
+    engine's crawl order equals the budgeted oracle's, across shard
+    counts, and no host exceeds its budget.  Also exercises the
+    budget's checkpoint/resume path (pages_sched counters restored)."""
+    from collections import Counter
+
+    from whakoom_webscrapper_ray.oracle import run_oracle
+    from whakoom_webscrapper_ray.pipelines.crawl import CrawlEngine
+
+    budget = 7
+    golden = run_oracle(small_web["pages"], small_web["seeds"],
+                        small_web["robots"], max_pages_per_host=budget)
+    full = run_oracle(small_web["pages"], small_web["seeds"],
+                      small_web["robots"])
+    # the budget must actually bind on this fixture
+    assert len(golden.crawl_order) < len(full.crawl_order)
+    per_host = Counter(h for _, _, h, _ in golden.crawl_order)
+    assert max(per_host.values()) <= budget
+
+    def order_rows(eng):
+        got = eng.crawl_order()
+        return list(zip(got.column("seq").to_pylist(),
+                        got.column("url").to_pylist(),
+                        got.column("host").to_pylist(),
+                        got.column("round").to_pylist()))
+
+    for shards in (1, 3):
+        ckpt = str(tmp_path_factory.mktemp(f"budget_ckpt{shards}"))
+        eng = CrawlEngine(
+            small_web["pages"], small_web["seeds"], small_web["robots"],
+            checkpoint_dir=ckpt, num_shards=shards, fetcher_concurrency=2,
+            batch_size=64, max_pages_per_host=budget,
+        )
+        eng.run()
+        assert order_rows(eng) == golden.crawl_order
+        eng.shutdown()
+
+    # kill after round 0 → resume: budget counters restore from the
+    # frontier checkpoint, so the completed crawl is still byte-equal
+    ckpt = str(tmp_path_factory.mktemp("budget_resume"))
+
+    def mk():
+        return CrawlEngine(
+            small_web["pages"], small_web["seeds"], small_web["robots"],
+            checkpoint_dir=ckpt, num_shards=3, fetcher_concurrency=2,
+            batch_size=64, max_pages_per_host=budget,
+        )
+
+    eng1 = mk()
+    eng1.run(max_rounds=1)
+    eng1.shutdown()
+    eng2 = mk()
+    assert eng2.resume() == 1
+    eng2.run(seed=False)
+    assert order_rows(eng2) == golden.crawl_order
+    eng2.shutdown()

@@ -132,3 +132,39 @@ def test_write_dataset(ray_session, tmp_path):
     d = str(tmp_path / "out")
     bk.write_dataset(ray.data.range(100), d)
     assert bk.read_dataset(d).count() == 100
+
+
+def test_point_lookup(tmp_path):
+    """J2 FK point lookup (reference GET_LIST_BY_ID,
+    queries/lists.sql:42-52): exact row(s) by key, empty on miss."""
+    bk = ParquetBackend()
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    bk.write_fragment(
+        pa.table({"list_id": [1, 2], "title": ["a", "b"]}),
+        bk.fragment_path(d, "p0"), fast=False,
+    )
+    bk.write_fragment(
+        pa.table({"list_id": [3, 4], "title": ["c", "d"]}),
+        bk.fragment_path(d, "p1"), fast=False,
+    )
+    hit = bk.point_lookup(d, "list_id", 3)
+    assert hit.to_pylist() == [{"list_id": 3, "title": "c"}]
+    assert bk.point_lookup(d, "list_id", 99).num_rows == 0
+
+
+def test_get_by_id_over_finalized_table(ray_session, tmp_path):
+    """get_by_id infers the primary key from the table directory name
+    and returns the matching finalized row."""
+    import ray.data
+
+    from whakoom_webscrapper_ray.pipelines.crawl import get_by_id
+
+    d = str(tmp_path / "lists")
+    os.makedirs(d)
+    ray.data.from_arrow(
+        pa.table({"list_id": [7, 8], "title": ["x", "y"]})
+    ).write_parquet(d)
+    assert get_by_id(d, 8).to_pylist() == [{"list_id": 8, "title": "y"}]
+    with pytest.raises(ValueError):
+        get_by_id(str(tmp_path / "unknown_table"), 1)

@@ -72,6 +72,7 @@ def cmd_crawl(args) -> int:
         checkpoint_dir=args.checkpoint,
         num_shards=args.num_shards,
         run_id=args.run_id,
+        max_pages_per_host=args.max_pages_per_host,
     )
     t0 = time.perf_counter()
     if args.resume:
@@ -126,6 +127,14 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_get(args) -> int:
+    from .pipelines.crawl import get_by_id
+
+    tbl = get_by_id(args.table_dir, args.id, key_col=args.key_col)
+    print(json.dumps(tbl.to_pylist(), default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="whakoom_webscrapper_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -143,12 +152,22 @@ def main(argv: list[str] | None = None) -> int:
     common(c)
     c.add_argument("--resume", action="store_true")
     c.add_argument("--max-rounds", type=int, default=None)
+    c.add_argument("--max-pages-per-host", type=int, default=None,
+                   help="O4 pagination budget: cap total pages "
+                        "scheduled per host across all rounds")
     c.set_defaults(fn=cmd_crawl)
 
     e = sub.add_parser("export", help="export finalized tables")
     common(e)
     e.add_argument("--out", required=True)
     e.set_defaults(fn=cmd_export)
+
+    g = sub.add_parser("get", help="J2 point lookup over an exported "
+                                   "table (GET_LIST_BY_ID analog)")
+    g.add_argument("--table-dir", required=True)
+    g.add_argument("--id", required=True, type=int)
+    g.add_argument("--key-col", default=None)
+    g.set_defaults(fn=cmd_get)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -61,8 +61,16 @@ def run_oracle(
     seeds: pa.Table,
     robots: pa.Table,
     max_rounds: int | None = None,
+    max_pages_per_host: int | None = None,
 ) -> OracleResult:
-    """Run the sequential crawl; return all golden outputs."""
+    """Run the sequential crawl; return all golden outputs.
+
+    ``max_pages_per_host`` caps the TOTAL pages scheduled per host
+    across all rounds (the reference's pagination loop bound —
+    publications.py:74-89 stops requesting more pages of one site).
+    Candidates beyond the budget are dropped at schedule time after
+    being marked seen, exactly like the engine (state/frontier.py).
+    """
     page_spans = {
         d: s
         for d, s in zip(
@@ -90,6 +98,7 @@ def run_oracle(
 
     seen: dict[bytes, str] = {}
     next_time: dict[str, float] = {}
+    pages_budget: dict[str, int] = {}
     crawl_order: list[tuple[int, str, str, int]] = []
     docs_out: dict[str, list[dict]] = {}
     lists_out: dict[int, dict] = {}
@@ -132,6 +141,10 @@ def run_oracle(
         timed = []  # (fetch_time, priority, ok, canon, host)
         for h, items in by_host.items():
             items.sort(key=lambda c: (c[0], c[1]))
+            if max_pages_per_host is not None:
+                used = pages_budget.get(h, 0)
+                items = items[:max(0, max_pages_per_host - used)]
+                pages_budget[h] = used + len(items)
             delay = rules.delay.get(h, 0.0)
             t0 = next_time.get(h, 0.0)
             for i, c in enumerate(items):

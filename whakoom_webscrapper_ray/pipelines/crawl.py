@@ -78,7 +78,8 @@ class LinkRouter:
     frontier shards by ``host_hash % P`` and returns one summary row.
     """
 
-    def __init__(self, rules_ref, allowed_domains, frontier_shards):
+    def __init__(self, rules_ref, allowed_domains, frontier_shards,
+                 route_by_host: bool = False):
         self.rules: RobotsRules = (
             ray.get(rules_ref) if isinstance(rules_ref, ray.ObjectRef)
             else rules_ref
@@ -86,6 +87,7 @@ class LinkRouter:
         self.allowed = frozenset(allowed_domains)
         self.shards = frontier_shards
         self.num_shards = len(frontier_shards)
+        self.route_by_host = route_by_host
         self.delayed = frozenset(
             h for h, d in self.rules.delay.items() if d > 0
         )
@@ -234,6 +236,9 @@ class LinkRouter:
             uniq_delayed[cols["host_codes"][chosen]]
             if chosen.size else np.zeros(0, dtype=bool)
         )
+        if self.route_by_host:
+            # budgeted crawl: every host routes to its home shard
+            is_delayed = np.ones(chosen.size, dtype=bool)
         shard_of = route_shard_flags(
             is_delayed,
             cols["host_hash"][chosen],
@@ -342,7 +347,8 @@ def route_shard_flags(is_delayed: np.ndarray, host_hash: np.ndarray,
 
 def route_shard(hosts: np.ndarray, host_hash: np.ndarray,
                 url_hash: np.ndarray, delayed: frozenset,
-                num_shards: int) -> np.ndarray:
+                num_shards: int,
+                route_by_host: bool = False) -> np.ndarray:
     """Salted shard routing — the engine's explicit skew mitigation.
 
     Zero-delay hosts route by **url hash** (their URLs spread evenly
@@ -354,10 +360,16 @@ def route_shard(hosts: np.ndarray, host_hash: np.ndarray,
     (fetch_time is a constant per round regardless of which shard
     assigns it) — crawl-order conformance is preserved by
     construction (SURVEY.md §4.3 "salted splits").
+
+    ``route_by_host`` forces host-hash routing for EVERY host — the
+    per-host pagination budget (O4) counts scheduled pages on the
+    host's home shard, so budgeted crawls cannot salt.
     """
     import pandas as pd
 
-    if delayed:
+    if route_by_host:
+        base = host_hash
+    elif delayed:
         is_delayed = pd.Index(hosts).isin(list(delayed))
         base = np.where(is_delayed, host_hash, url_hash)
     else:
@@ -380,7 +392,8 @@ def _sha_u64_chunk(urls: list[str]) -> np.ndarray:
 
 
 def partition_pages(pages: pa.Table, num_shards: int,
-                    delayed: frozenset = frozenset()) -> list[pa.Table]:
+                    delayed: frozenset = frozenset(),
+                    route_by_host: bool = False) -> list[pa.Table]:
     """Split the page store by the engine's (salted) routing key — the
     same rule as :func:`route_shard`, so every shard-pure fetch batch
     finds its docs in exactly one partition.  Host extraction is one C
@@ -413,24 +426,29 @@ def partition_pages(pages: pa.Table, num_shards: int,
         ])
     ) if ids else np.empty(0, dtype=np.uint64)
 
-    shard = route_shard(host_np, host_hash, url_hash, delayed, num_shards)
+    shard = route_shard(host_np, host_hash, url_hash, delayed,
+                        num_shards, route_by_host=route_by_host)
     return [
         pages.filter(pa.array(shard == s)) for s in range(num_shards)
     ]
 
 
-def _worker_router(engine_key, rules_ref, allowed, shards) -> "LinkRouter":
+def _worker_router(engine_key, rules_ref, allowed, shards,
+                   route_by_host=False) -> "LinkRouter":
     # engine_key includes a per-engine-INSTANCE nonce, not just the
     # checkpoint dir: a resumed engine on the same checkpoint spins up
     # fresh shard actors, and a worker that memoized the previous
     # engine's router would keep enqueueing into killed actors.
     key = ("router", engine_key)
     if key not in _WORKER_STATE:
-        _WORKER_STATE[key] = LinkRouter(rules_ref, allowed, shards)
+        _WORKER_STATE[key] = LinkRouter(
+            rules_ref, allowed, shards, route_by_host=route_by_host
+        )
     return _WORKER_STATE[key]
 
 
 def _route_batch(batch: pa.Table, engine_key=None, rules_ref=None,
+                 route_by_host=False,
                  allowed=None, shards=None, docs_dir=None,
                  metrics_dir=None) -> pa.Table:
     """Side-write the fetched docs partition, then extract + route.
@@ -455,7 +473,8 @@ def _route_batch(batch: pa.Table, engine_key=None, rules_ref=None,
         t0 = _t.perf_counter()
         bk.write_fragment(batch, dp)
         t1 = _t.perf_counter()
-        router = _worker_router(engine_key, rules_ref, allowed, shards)
+        router = _worker_router(engine_key, rules_ref, allowed, shards,
+                                route_by_host=route_by_host)
         out = router(batch, metrics_path=mp)
         print(f"[rb] rows={batch.num_rows} write={t1 - t0:.2f} "
               f"route={_t.perf_counter() - t1:.2f}",
@@ -468,7 +487,8 @@ def _route_batch(batch: pa.Table, engine_key=None, rules_ref=None,
         t0 = _t.perf_counter()
         bk.write_fragment(batch, dp)
         t_write = _t.perf_counter() - t0
-        router = _worker_router(engine_key, rules_ref, allowed, shards)
+        router = _worker_router(engine_key, rules_ref, allowed, shards,
+                                route_by_host=route_by_host)
         prof = cProfile.Profile()
         prof.enable()
         out = router(batch, metrics_path=mp)
@@ -482,7 +502,8 @@ def _route_batch(batch: pa.Table, engine_key=None, rules_ref=None,
             "cumulative").print_stats(8)
         return out
     bk.write_fragment(batch, dp)
-    router = _worker_router(engine_key, rules_ref, allowed, shards)
+    router = _worker_router(engine_key, rules_ref, allowed, shards,
+                                route_by_host=route_by_host)
     return router(batch, metrics_path=mp)
 
 
@@ -574,6 +595,7 @@ class CrawlEngine:
         extractors=None,
         fetch_middlewares=None,
         spill_threshold_rows: int = 1 << 22,
+        max_pages_per_host: int | None = None,
     ) -> None:
         self.checkpoint_dir = checkpoint_dir
         os.makedirs(checkpoint_dir, exist_ok=True)
@@ -592,14 +614,21 @@ class CrawlEngine:
         self.delayed = frozenset(
             h for h, d in self.rules.delay.items() if d > 0
         )
+        # O4 pagination budget: counting scheduled pages per host needs
+        # each host on ONE shard, so budgeted crawls route strictly by
+        # host hash (no url-hash salting of zero-delay hosts).
+        self.max_pages_per_host = max_pages_per_host
+        self._route_by_host = max_pages_per_host is not None
         self.frontier = Frontier(
             num_shards, self.rules.delay,
             spill_dir=os.path.join(checkpoint_dir, "spill"),
             spill_threshold_rows=spill_threshold_rows,
+            max_pages_per_host=max_pages_per_host,
         )
         self.pages_parts = [
             ray.put(p)
-            for p in partition_pages(pages, num_shards, self.delayed)
+            for p in partition_pages(pages, num_shards, self.delayed,
+                                     route_by_host=self._route_by_host)
         ]
         self.rules_ref = ray.put(self.rules)
 
@@ -692,6 +721,7 @@ class CrawlEngine:
             cols["url_hash"][idx],
             self.delayed,
             self.num_shards,
+            route_by_host=self._route_by_host,
         )
         return self.frontier.enqueue_table(tbl, shard=shard)
 
@@ -753,6 +783,7 @@ class CrawlEngine:
                     "shards": self.frontier.shards,
                     "docs_dir": docs_dir,
                     "metrics_dir": metrics_dir,
+                    "route_by_host": self._route_by_host,
                 },
                 batch_size=batch_size,
                 batch_format="pyarrow",
@@ -1361,3 +1392,26 @@ class CrawlEngine:
                 [(c, "ascending") for c in sort]
             ) if sort else tbl
         return out
+
+
+def get_by_id(table_dir: str, value, key_col: str | None = None) -> pa.Table:
+    """J2 FK point lookup over a finalized table directory (reference
+    ``GET_LIST_BY_ID``, queries/lists.sql:42-52).
+
+    ``key_col`` defaults to the table's primary key when the directory
+    is named like a finalized table (``.../lists`` → ``list_id``).
+    Delegates to the storage backend's predicate-pushdown scan: only
+    row groups whose statistics may contain the key are read — at the
+    100-TB design point this is O(footers) + one row group, never a
+    table scan.
+    """
+    if key_col is None:
+        name = os.path.basename(os.path.normpath(table_dir))
+        keys = CrawlEngine._TABLE_KEYS.get(name)
+        if keys is None or len(keys) != 1:
+            raise ValueError(
+                f"key_col required for table {name!r} "
+                f"(no single-column primary key known)"
+            )
+        key_col = keys[0]
+    return storage_backend().point_lookup(table_dir, key_col, value)

@@ -84,12 +84,21 @@ class FrontierShard:
                  robots: dict[str, float] | None = None,
                  seen_shard=None, local_seen: bool = True,
                  spill_dir: str | None = None,
-                 spill_threshold_rows: int = 1 << 22) -> None:
+                 spill_threshold_rows: int = 1 << 22,
+                 max_pages_per_host: int | None = None) -> None:
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.crawl_delay = robots or {}   # host -> delay (seconds, logical)
         self.pending: list[pa.Table] = []  # columnar enqueue blocks
         self.next_time: dict[str, float] = {}
+        # O4 per-host pagination budget (the reference's "Load more"
+        # loop bound, publications.py:74-89): total pages scheduled per
+        # host across all rounds is capped; over-budget candidates are
+        # dropped AFTER seen-marking (never rescheduled).  Requires
+        # host-hash routing (the engine disables url-hash salting when
+        # a budget is set) so each host's counter lives on one shard.
+        self.max_pages_per_host = max_pages_per_host
+        self.pages_sched: dict[str, int] = {}
         # Memory-bounded ENQUEUE (SURVEY.md §4.3): when the in-memory
         # pending backlog exceeds the threshold, blocks spill to this
         # shard's spill dir.  The bound applies between polls (the
@@ -270,14 +279,37 @@ class FrontierShard:
         uniq_hosts = [
             host_col[int(i)].as_py() for i in first_pos
         ]
+        first_codes = c_sorted[grp_start_pos]
+        eff_len = grp_len
+        if self.max_pages_per_host is not None:
+            # O4: cap each host's schedule at its remaining budget —
+            # the first `rem` candidates in (priority, ok) order win;
+            # the rest stay seen-marked and are never rescheduled.
+            used = np.array(
+                [self.pages_sched.get(h, 0) for h in uniq_hosts],
+                dtype=np.int64,
+            )
+            rem = np.maximum(self.max_pages_per_host - used, 0)
+            eff_len = np.minimum(grp_len, rem[first_codes])
+            for gc, kl in zip(first_codes, eff_len):
+                if kl:
+                    h = uniq_hosts[gc]
+                    self.pages_sched[h] = (
+                        self.pages_sched.get(h, 0) + int(kl)
+                    )
+            keep = rank < rem[c_sorted]
+            order2 = order2[keep]
+            c_sorted = c_sorted[keep]
+            rank = rank[keep]
+            if order2.size == 0:
+                return _empty_poll_table()
         delays = np.array(
             [float(self.crawl_delay.get(h, 0.0)) for h in uniq_hosts]
         )
         t0s = np.array([self.next_time.get(h, 0.0) for h in uniq_hosts])
         fetch_time = t0s[c_sorted] + rank * delays[c_sorted]
         # advance clocks for delayed hosts (slots consumed this round)
-        first_codes = c_sorted[grp_start_pos]
-        for gc, gl in zip(first_codes, grp_len):
+        for gc, gl in zip(first_codes, eff_len):
             if delays[gc] > 0:
                 self.next_time[uniq_hosts[gc]] = t0s[gc] + gl * delays[gc]
 
@@ -372,6 +404,7 @@ class FrontierShard:
             "pending": (pa.concat_tables(self.pending)
                         if self.pending else None),
             "next_time": dict(self.next_time),
+            "pages_sched": dict(self.pages_sched),
         }
 
     def restore(self, state: dict) -> None:
@@ -379,6 +412,7 @@ class FrontierShard:
             [state["pending"]] if state.get("pending") is not None else []
         )
         self.next_time = dict(state["next_time"])
+        self.pages_sched = dict(state.get("pages_sched") or {})
 
     def dump_to(self, path: str) -> None:
         """Write this shard's state to its own file — checkpointing is
@@ -416,6 +450,7 @@ class Frontier:
     def __init__(self, num_shards: int,
                  crawl_delays: dict[str, float] | None = None,
                  seen_shards: list | None = None,
+                 max_pages_per_host: int | None = None,
                  spill_dir: str | None = None,
                  spill_threshold_rows: int = 1 << 22) -> None:
         import os
@@ -430,6 +465,7 @@ class Frontier:
                     if spill_dir else None
                 ),
                 spill_threshold_rows=spill_threshold_rows,
+                max_pages_per_host=max_pages_per_host,
             )
             for i in range(num_shards)
         ]

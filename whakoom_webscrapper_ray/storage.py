@@ -145,6 +145,19 @@ class ParquetBackend:
             self.fragment_path(table_dir, f"upsert-{n_frag:06d}"),
         )
 
+    def point_lookup(self, table_dir: str, key_col: str,
+                     value) -> pa.Table:
+        """J2 FK point lookup (reference GET_LIST_BY_ID,
+        queries/lists.sql:42-52): predicate-pushdown scan of the stored
+        table — parquet row groups whose statistics exclude the key are
+        never read, so the lookup touches O(fragments) footers plus the
+        matching row group(s), not the table."""
+        import pyarrow.dataset as pds
+
+        return pds.dataset(table_dir, format="parquet").to_table(
+            filter=pc.field(key_col) == value
+        )
+
     def compact(self, table_dir: str) -> None:
         """Rewrite all fragments as one (Lance: ``optimize.compact_files``).
         Small tables only — reads the table into memory."""
@@ -225,6 +238,14 @@ class LanceBackend:
             .when_matched_update_all()
             .when_not_matched_insert_all()
             .execute(table)
+        )
+
+    def point_lookup(self, table_dir: str, key_col: str,
+                     value) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return self._lance.dataset(table_dir).to_table(
+            filter=_pc.field(key_col) == value
         )
 
     def compact(self, table_dir: str) -> None:
