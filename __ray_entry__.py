@@ -212,10 +212,14 @@ def oracle_sql() -> dict[str, str]:
 
     Crawl tables (including the per-entity scraping log and its A4
     rollup) are re-derived by a recursive-CTE reachability oracle over
-    the persisted fixture parquet (crawl_oracle_sql.py).  Still
+    the persisted fixture parquet (crawl_oracle_sql.py).  Hash ops
+    (fingerprints, simhash) use SQL-reproducible recurrences (Horner
+    mod 2**64 + fmix64) so they compare bit-exactly.  Still
     intentionally oracle-free: crawl_order (politeness-clock
     simulation — sequential oracle in pytest), feed_export (sink
-    manifest), with pytest oracles instead — see each docstring.
+    manifest), ann_ivf (approximate by design — recall-vs-brute-force
+    pytest), media_features (stub codec — schema pytest), with pytest
+    oracles instead — see each docstring.
     """
     from whakoom_webscrapper_ray.pipelines.crawl_oracle_sql import (
         crawl_oracles,
@@ -228,6 +232,8 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": _tx.ORACLE_TOKEN_STATS,
         "quality_score": _tx.ORACLE_QUALITY_SCORE,
         "langid": _tx.langid_oracle_sql(),
+        "fingerprints": _tx.fingerprints_oracle_sql(),
+        "simhash": _dd.simhash_oracle_sql(),
         "exact_dedup": _dd.ORACLE_EXACT_DEDUP,
         "minhash_lsh_pairs": _dd.ORACLE_JACCARD_PAIRS,
         "ngram_jaccard_pairs": _dd.ORACLE_JACCARD_PAIRS,

@@ -85,13 +85,23 @@ def test_langid_sliced_batch():
         again.column("pred_lang").to_pylist()
 
 
+def _scalar_token_hash(tok: str) -> int:
+    """Reference char-poly token hash: Horner over bytes mod 2⁶⁴."""
+    from whakoom_webscrapper_ray.pipelines.text import TOK_BASE, TOK_SEED
+
+    mask = (1 << 64) - 1
+    h = int(TOK_SEED)
+    for ch in tok.encode():
+        h = (h * int(TOK_BASE) + ch) & mask
+    return h
+
+
 def _scalar_fingerprint(tokens: list[str]) -> int:
     """Reference Karp–Rabin: h = SEED·Bⁿ + Σ th[i]·B^(n-1-i)  (mod 2⁶⁴)."""
     mask = (1 << 64) - 1
-    th = token_hashes(np.asarray(tokens, dtype=object))
     h = int(FP_SEED)
-    for t in th:
-        h = (h * int(FP_BASE) + int(t)) & mask
+    for t in tokens:
+        h = (h * int(FP_BASE) + _scalar_token_hash(t)) & mask
     return h
 
 
@@ -126,6 +136,51 @@ def test_token_stats_scalar_reference():
         stop = {"the", "a", "of", "and", "to", "in", "is", "it"}
         assert out.column("n_stopwords")[i].as_py() == \
             sum(1 for w in ws if w in stop)
+
+
+def test_simhash_scalar_reference():
+    """simhash_batch vs a row-at-a-time scalar reimplementation:
+    fmix64(char-poly token hash) bit votes, majority per bit."""
+    from whakoom_webscrapper_ray.pipelines.dedup import simhash_batch
+
+    def fmix64(h: int) -> int:
+        mask = (1 << 64) - 1
+        h ^= h >> 33
+        h = (h * 0xFF51AFD7ED558CCD) & mask
+        h ^= h >> 33
+        h = (h * 0xC4CEB9FE1A85EC53) & mask
+        h ^= h >> 33
+        return h
+
+    texts = DOCS[:4] + ["x", "", "a b a b a b", "same same same"]
+    out = simhash_batch(_batch(texts))
+    got = [v & ((1 << 64) - 1)
+           for v in np.asarray(out.column("simhash")).astype(np.uint64)]
+    for text, g in zip(texts, got):
+        toks = text.split(" ")
+        hs = [fmix64(_scalar_token_hash(t)) for t in toks]
+        want = 0
+        for b in range(64):
+            ones = sum((h >> b) & 1 for h in hs)
+            if 2 * ones > len(hs):
+                want |= 1 << b
+        assert g == want, text
+
+
+def test_simhash_near_dup_property():
+    """One-token edits move few bits; unrelated docs differ widely."""
+    from whakoom_webscrapper_ray.pipelines.dedup import simhash_batch
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = a.replace("lazy", "sleepy")
+    c = "completely different words about database query planning here"
+    out = simhash_batch(_batch([a, b, c]))
+    v = [x & ((1 << 64) - 1)
+         for x in np.asarray(out.column("simhash")).astype(np.uint64)]
+    d_ab = bin(v[0] ^ v[1]).count("1")
+    d_ac = bin(v[0] ^ v[2]).count("1")
+    assert d_ab < d_ac
+    assert d_ab <= 16
 
 
 if __name__ == "__main__":

@@ -391,10 +391,20 @@ SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.8
 # ------------------------------------------------------------ simhash
 def simhash_batch(batch: pa.Table) -> pa.Table:
     """Whole-batch vectorized simhash: flat token-bit matrix, per-doc
-    bit votes via ``np.add.reduceat``, no per-row Python loop."""
-    from .text import _split_flat
+    bit votes via ``np.add.reduceat``, no per-row Python loop.
 
-    th, starts, lens = _split_flat(batch)
+    Token hashes are fmix64-finalized char-polynomial hashes (not
+    SipHash) so the DuckDB oracle reproduces the simhash bit-exactly;
+    the avalanche step restores the bit independence simhash voting
+    needs."""
+    from .text import char_poly_hashes, mix64
+
+    words = pc.split_pattern(batch["text"], " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    th = mix64(char_poly_hashes(pc.list_flatten(words)))
+    starts, lens = offs[:-1], np.diff(offs)
     shifts = np.arange(64, dtype=np.uint64)[None, :]
     bits = ((th[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
     votes = (
@@ -421,6 +431,72 @@ def simhash(sf_dir: str) -> ray.data.Dataset:
     return read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         simhash_batch, batch_format="pyarrow"
     )
+
+
+def simhash_oracle_sql() -> str:
+    """DuckDB SQL reproducing the simhash bit-exactly: per-token
+    char-poly Horner hash → fmix64 avalanche (xor/shift/mod-2**64
+    multiply on HUGEINT) → per-bit majority vote over each doc's 64
+    bit positions → bits recombined and wrapped to signed int64."""
+    from .text import FP_SEED, TOK_BASE, TOK_SEED  # noqa: F401
+
+    m = "18446744073709551616::HUGEINT"  # 2**64
+    c1 = 0xFF51AFD7ED558CCD
+    c2 = 0xC4CEB9FE1A85EC53
+
+    def mulmod(c: int) -> str:
+        # (h * c) mod 2**64 without overflowing INT128: split both
+        # factors at 2**32 — h*c ≡ h_lo·c_lo + 2³²·((h_lo·c_hi +
+        # h_hi·c_lo) mod 2³²); every partial product stays < 2**64.
+        lo, hi = c % (1 << 32), c >> 32
+        return (
+            f"((h % 4294967296) * {lo}::HUGEINT"
+            f" + (((h % 4294967296) * {hi}::HUGEINT"
+            f"     + (h // 4294967296) * {lo}::HUGEINT) % 4294967296)"
+            f"   * 4294967296::HUGEINT) % {m}"
+        )
+
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+poly AS (
+    SELECT doc_id,
+        list_reduce(
+            list_concat(
+                [CAST({int(TOK_SEED)} AS HUGEINT)],
+                list_transform(
+                    string_split(t, ''),
+                    ch -> CAST(unicode(ch) AS HUGEINT)
+                )
+            ),
+            (a, b) -> (a * {int(TOK_BASE)} + b) % {m}
+        ) AS h
+    FROM tok
+),
+mix1 AS (SELECT doc_id, xor(h, h >> 33) AS h FROM poly),
+mix2 AS (SELECT doc_id, {mulmod(c1)} AS h FROM mix1),
+mix3 AS (SELECT doc_id, xor(h, h >> 33) AS h FROM mix2),
+mix4 AS (SELECT doc_id, {mulmod(c2)} AS h FROM mix3),
+th AS (SELECT doc_id, xor(h, h >> 33) AS h FROM mix4),
+n AS (SELECT doc_id, count(*) AS n_tokens FROM th GROUP BY 1),
+votes AS (
+    SELECT th.doc_id, b.b,
+        count(*) FILTER (WHERE (h >> b.b) % 2 = 1) AS ones
+    FROM th, (SELECT unnest(range(64)) AS b) b
+    GROUP BY 1, 2
+),
+bits AS (
+    SELECT v.doc_id,
+        sum(CASE WHEN 2 * v.ones > n.n_tokens
+                 THEN (1::HUGEINT << v.b) ELSE 0::HUGEINT END) AS v
+    FROM votes v JOIN n USING (doc_id) GROUP BY 1
+)
+SELECT doc_id,
+    CAST(CASE WHEN v >= 9223372036854775808::HUGEINT
+              THEN v - {m} ELSE v END AS BIGINT) AS simhash
+FROM bits
+"""
 
 
 # ------------------------------------------------- n-gram Jaccard (BF)

@@ -389,13 +389,92 @@ def _split_flat(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return th, offs[:-1], np.diff(offs)
 
 
+# token-level polynomial hash (fingerprints only): unlike the SipHash
+# token_hashes above, this recurrence is reproducible in ANSI SQL
+# (Horner over character codes), giving the fingerprint pipeline an
+# exact DuckDB oracle.  Still fully vectorized: one pass over the raw
+# byte buffer, no per-token Python.
+TOK_BASE = np.uint64(1000003)
+TOK_SEED = np.uint64(1469598103934665603)
+
+
+def mix64(h: np.ndarray) -> np.ndarray:
+    """Murmur3 fmix64 avalanche (public domain finisher): bijective on
+    uint64, fixes the char-poly hash's weak low bits (bit b of a
+    polynomial hash depends only on input bits ≤ b), and — unlike
+    SipHash — is exactly reproducible in SQL (xor + shift + mod-2**64
+    multiply)."""
+    with np.errstate(over="ignore"):
+        h = h ^ (h >> np.uint64(33))
+        h = h * np.uint64(0xFF51AFD7ED558CCD)
+        h = h ^ (h >> np.uint64(33))
+        h = h * np.uint64(0xC4CEB9FE1A85EC53)
+        h = h ^ (h >> np.uint64(33))
+    return h
+
+
+def char_poly_hashes(flat: pa.Array) -> np.ndarray:
+    """Per-token Horner hash over raw bytes, mod 2**64.
+
+    th = TOK_SEED·B^L + Σ byte[j]·B^(L-1-j) — i.e. ``h = TOK_SEED;
+    for c in token: h = h*B + c``.  Evaluated for the whole batch from
+    the Arrow string buffers: token bytes are contiguous in flattening
+    order, so one power-table multiply + cumsum-difference computes
+    every token's hash with zero gathers and zero row loops.  (Exact
+    for ASCII ↔ SQL ``unicode(ch)``; multi-byte UTF-8 hashes bytewise
+    here vs per-codepoint in SQL — the synth corpora are ASCII.)
+    """
+    n = len(flat)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    bufs = flat.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[
+        flat.offset:flat.offset + n + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None else np.empty(0, dtype=np.uint8)
+    )
+    lens = np.diff(offs)
+    seg = data[offs[0]:offs[-1]].astype(np.uint64)
+    with np.errstate(over="ignore"):
+        max_len = int(lens.max()) if lens.size else 0
+        pows = np.empty(max_len + 1, dtype=np.uint64)
+        pows[0] = np.uint64(1)
+        if max_len:
+            np.multiply.accumulate(
+                np.full(max_len, TOK_BASE, dtype=np.uint64), out=pows[1:]
+            )
+        bounds = np.r_[0, np.cumsum(lens)]
+        within = np.arange(seg.size, dtype=np.int64) - np.repeat(
+            bounds[:-1], lens
+        )
+        exp = np.repeat(lens, lens) - 1 - within
+        # group sums via cumsum difference: uint64 wraparound IS the
+        # mod-2^64 arithmetic, and empty tokens fall out naturally.
+        cs = np.zeros(seg.size + 1, dtype=np.uint64)
+        np.cumsum(seg * pows[exp], dtype=np.uint64, out=cs[1:])
+        th = cs[bounds[1:]] - cs[bounds[:-1]]
+        th = th + TOK_SEED * pows[lens]
+    return th
+
+
 def _fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Rolling polynomial hash over token hashes (Karp–Rabin style).
 
     h = SEED·Bⁿ + Σ th[i]·B^(n-1-i) (mod 2⁶⁴) — evaluated for the whole
     batch with one power table + one ``np.add.reduceat``, no row loop.
+    Token hashes are :func:`char_poly_hashes` (not SipHash) so the
+    whole fingerprint is reproducible by the DuckDB oracle.
     """
-    th, starts, lens = _split_flat(batch)
+    words = pc.split_pattern(batch["text"], " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    th = char_poly_hashes(pc.list_flatten(words))
+    starts, lens = offs[:-1], np.diff(offs)
     max_len = int(lens.max()) if lens.size else 0
     with np.errstate(over="ignore"):
         pows = np.empty(max_len + 1, dtype=np.uint64)
@@ -423,3 +502,49 @@ def fingerprints(sf_dir: str) -> ray.data.Dataset:
     return read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         _fingerprint_batch, batch_format="pyarrow"
     )
+
+
+def fingerprints_oracle_sql() -> str:
+    """DuckDB SQL reproducing the rolling fingerprint bit-exactly.
+
+    Both levels are Horner recurrences mod 2**64: token hash =
+    ``h = TOK_SEED; h = h*TOK_BASE + byte`` over characters (ASCII ↔
+    ``unicode(ch)``), document fingerprint = ``h = FP_SEED;
+    h = h*FP_BASE + th`` over token hashes.  HUGEINT (int128) holds the
+    intermediate products (< 2**104); the final value wraps to signed
+    int64 exactly like ``uint64.view(int64)``.
+    """
+    m = "18446744073709551616::HUGEINT"  # 2**64
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+th AS (
+    SELECT doc_id,
+        list_transform(ts, t ->
+            list_reduce(
+                list_concat(
+                    [CAST({int(TOK_SEED)} AS HUGEINT)],
+                    list_transform(
+                        string_split(t, ''),
+                        ch -> CAST(unicode(ch) AS HUGEINT)
+                    )
+                ),
+                (a, b) -> (a * {int(TOK_BASE)} + b) % {m}
+            )
+        ) AS hs
+    FROM toks
+),
+fp AS (
+    SELECT doc_id,
+        list_reduce(
+            list_concat([CAST({int(FP_SEED)} AS HUGEINT)], hs),
+            (a, b) -> (a * {int(FP_BASE)} + b) % {m}
+        ) AS v
+    FROM th
+)
+SELECT doc_id,
+    CAST(CASE WHEN v >= 9223372036854775808::HUGEINT
+              THEN v - {m} ELSE v END AS BIGINT) AS fingerprint
+FROM fp
+"""
