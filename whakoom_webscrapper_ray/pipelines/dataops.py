@@ -100,8 +100,9 @@ GROUP BY l_returnflag, l_linestatus
 
 # --------------------------------------------- top customers (J5 + O1)
 def top_customers(sf_dir: str, n: int = 10) -> ray.data.Dataset:
-    """Revenue top-N: shuffle-aggregate orders by custkey, then enrich
-    with a broadcast of the small customer table (no shuffle join)."""
+    """Revenue top-N: shuffle-aggregate orders by custkey, prune with
+    a per-block top-N combiner (limit pushdown — no global sort), then
+    enrich only the final N rows from the customer table."""
     def project(b: pa.Table) -> pa.Table:
         return pa.table(
             {
@@ -120,8 +121,29 @@ def top_customers(sf_dir: str, n: int = 10) -> ray.data.Dataset:
         )
     )
 
-    # Small side: read directly + broadcast ONCE via ray.put; each task
-    # dereferences the shared copy from local plasma (no per-batch ship).
+    # Limit pushdown instead of a global sort: each block emits its
+    # local top-n (the pruning combiner), a single merge block picks
+    # the global top-n — no all-to-all sort of the aggregate, and the
+    # shuffle moves n × blocks rows, never the customer count.
+    def local_top(b: pa.Table) -> pa.Table:
+        if b.num_rows <= n:
+            return b
+        keys = b["revenue_cents"].to_numpy(zero_copy_only=False)
+        cust = b["o_custkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((cust, -keys))[:n]
+        return b.take(pa.array(np.sort(order), pa.int64()))
+
+    top = (
+        agg.map_batches(local_top, batch_format="pyarrow")
+        .repartition(1)
+        .sort(["revenue_cents", "o_custkey"], descending=[True, False])
+        .limit(n)
+    )
+
+    # Names are needed only for the FINAL n rows, so the small-side
+    # lookup runs after the limit: n point lookups, not a broadcast of
+    # every customer name (the J2/point-lookup shape — at 100 TB this
+    # is n row-group reads, never a full dimension-table ship).
     import pyarrow.parquet as pq
 
     from .common import table_path
@@ -140,11 +162,9 @@ def top_customers(sf_dir: str, n: int = 10) -> ray.data.Dataset:
             pa.array([names.get(k) for k in keys], pa.string()),
         )
 
-    enriched = agg.map_batches(
+    out = top.map_batches(
         enrich, fn_kwargs={"names": name_ref}, batch_format="pyarrow",
     )
-    out = enriched.sort(["revenue_cents", "o_custkey"],
-                        descending=[True, False]).limit(n)
     return out.select_columns(
         ["o_custkey", "c_name", "revenue_cents", "n_orders"]
     )
