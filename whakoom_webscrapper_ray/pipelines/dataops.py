@@ -360,10 +360,22 @@ def top_parts(sf_dir: str, n: int = 20) -> ray.data.Dataset:
             }
         )
 
+    def local_top(b: pa.Table) -> pa.Table:
+        # limit pushdown: per-block top-n prune before the tiny final
+        # sort — the global sort never sees more than n × blocks rows
+        if b.num_rows <= n:
+            return b
+        keys = b["price_cents"].to_numpy(zero_copy_only=False)
+        pk = b["p_partkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, -keys))[:n]
+        return b.take(pa.array(np.sort(order), pa.int64()))
+
     return (
         read(sf_dir, "part", columns=["p_partkey", "p_name", "p_size",
                                       "p_retailprice"])
         .map_batches(project, batch_format="pyarrow")
+        .map_batches(local_top, batch_format="pyarrow")
+        .repartition(1)
         .sort(["price_cents", "p_partkey"], descending=[True, False])
         .limit(n)
     )
