@@ -9,6 +9,12 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Skip the per-actor arena pre-faulting in tests: fixtures are tiny, and
+# warming 112 MB per actor only adds wall time (it's a bench/production
+# optimization — see whakoom_webscrapper_ray.warm_worker).
+os.environ.setdefault("WKM_WARM_NUMPY_MB", "0")
+os.environ.setdefault("WKM_WARM_ARROW_MB", "0")
+
 
 @pytest.fixture(scope="session")
 def ray_session():

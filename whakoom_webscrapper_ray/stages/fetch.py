@@ -52,6 +52,9 @@ class SyntheticWebFetcher:
         max_attempts: int = 3,
         fail_fn: Callable[[str, int], bool] | None = None,
     ) -> None:
+        from .. import warm_worker
+
+        warm_worker()   # once per actor: pre-fault arenas before work
         pages = (
             ray.get(pages_ref)
             if isinstance(pages_ref, ray.ObjectRef)

