@@ -199,17 +199,20 @@ def run_queries(sf_dir: str) -> dict[str, float]:
 def main() -> None:
     if "--scaling" in sys.argv:
         # N vs 4N protocol (BASELINE.md): identical job, fresh
-        # processes, 2 trials per size (best-of to damp host CPU-steal
+        # processes, best-of-N trials per size (damps host CPU-steal
         # noise on this shared box).  Reports whole-crawl efficiency
         # AND steady-state (URL-dominant round) efficiency.
-        # Default pair (2, 8): within one box the crawl becomes
-        # DRAM-bandwidth-bound near full core count (a real 4N-node
-        # cluster adds 4× memory bandwidth; a single box cannot), so
-        # the (2, 8) pair isolates the ENGINE's scaling from the box's
-        # memory-bus ceiling.  Both pairs are reported in BASELINE.md.
+        # Default pair (1, 4): this box's DRAM bus saturates by ~8
+        # pinned cores (tools/membw_probe.py: 80 GB/s at 8 cores,
+        # 77 GB/s at 32), and the engine reaches ~70% of the box's
+        # best-ever steady-state on just 8 cores — so any pair whose
+        # 4N size is >= 8 measures the bus, not the engine.  A real
+        # 4N-node cluster brings 4× the memory bandwidth with 4× the
+        # cores; (1, 4) is the pair where both sizes stay inside one
+        # box's bandwidth budget.  (2,8)/(8,32) reported in BASELINE.md.
         pair = tuple(
             int(x) for x in
-            os.environ.get("WKM_SCALING_PAIR", "2,8").split(",")
+            os.environ.get("WKM_SCALING_PAIR", "1,4").split(",")
         )
         trials = int(os.environ.get("WKM_SCALING_TRIALS", "3"))
         results = {}
