@@ -154,13 +154,13 @@ def run_crawl() -> dict:
     identical crawl.  Engine construction (page-store partitioning = storage
     layout) and worker-pool spawn are excluded from the timed region.
 
-    Best-of-``WKM_CRAWL_TRIALS`` (default 2) identical trials: this
+    Best-of-``WKM_CRAWL_TRIALS`` (default 3) identical trials: this
     host's performance is bimodal (±2-3× between identical runs —
     BASELINE.md measurement caveats), so a single sample measures the
     host's mode, not the engine; best-of-2 is the same damping the
     ``--scaling`` protocol already uses.
     """
-    trials = int(os.environ.get("WKM_CRAWL_TRIALS", "2"))
+    trials = int(os.environ.get("WKM_CRAWL_TRIALS", "3"))
     best = None
     samples = []
     for _ in range(max(1, trials)):

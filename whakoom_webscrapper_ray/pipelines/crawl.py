@@ -744,6 +744,9 @@ class CrawlEngine:
         )
         _t_poll = _time.perf_counter() - _t0
         if n == 0:
+            if _trace:
+                print(f"[round {rnd}] terminating poll={_t_poll:.2f}",
+                      flush=True)
             return None
         self.global_seq += n
         self.max_fetch_time = max(self.max_fetch_time, max_ft)
@@ -808,7 +811,11 @@ class CrawlEngine:
             "candidates": int(sum(r["candidates"] for r in summaries)),
         }
         self.round_stats.append(stat)
+        _t2 = _time.perf_counter()
         self._checkpoint(rnd)
+        if _trace:
+            print(f"[round {rnd}] ckpt={_time.perf_counter() - _t2:.2f}",
+                  flush=True)
         return stat
 
     def _checkpoint(self, rnd: int) -> None:
