@@ -1,0 +1,129 @@
+"""S7 named-query loader/executor (reference sqlmanager.py:36-67
+block grammar; queries/lists.sql surface) over an exported table dir."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from whakoom_webscrapper_ray.namedq import (
+    NamedQueryStore,
+    load_query_dir,
+    parse_named_queries,
+)
+
+
+def test_parse_block_grammar():
+    content = (
+        "# get_a\nSELECT 1;\n"
+        "#  GET_B  \nSELECT\n  2;\n"
+        "# c\nSELECT 3;"
+    )
+    q = parse_named_queries(content)
+    # names upper-cased, bodies stripped
+    assert q == {"GET_A": "SELECT 1;", "GET_B": "SELECT\n  2;",
+                 "C": "SELECT 3;"}
+
+
+def test_load_query_dir_unions_files(tmp_path):
+    (tmp_path / "a.sql").write_text("# Q1\nSELECT 1;\n")
+    (tmp_path / "b.sql").write_text("# Q2\nSELECT 2;\n# Q1\nSELECT 9;\n")
+    (tmp_path / "notes.txt").write_text("# NOT_SQL\nignored")
+    q = load_query_dir(str(tmp_path))
+    assert set(q) == {"Q1", "Q2"}
+    assert q["Q1"] == "SELECT 9;"  # later file wins
+
+
+@pytest.fixture()
+def export_dir(tmp_path):
+    """Minimal cli-export-shaped directory: table subdirs with parquet
+    fragments plus a top-level crawl_order.parquet."""
+    root = tmp_path / "export"
+    for name, tbl in {
+        "lists": pa.table({
+            "list_id": [1, 2, 3],
+            "title": ["a", "b", "c"],
+            "url": ["/u1/lists/a_1", "/u1/lists/b_2", "/u2/lists/c_3"],
+            "user_profile": ["u1", "u1", "u2"],
+            "scrape_status": ["completed", "pending", "completed"],
+            "scraped_at": ["t1", "t2", "t3"],
+        }),
+        "titles": pa.table({
+            "title_id": [10, 11],
+            "title": ["x", "y"],
+            "url": ["hx", "hy"],
+            "scrape_status": ["completed", "completed"],
+        }),
+        "junction": pa.table({
+            "list_id": [1, 1, 2],
+            "title_id": [11, 10, 10],
+            "position": [0, 1, 0],
+        }),
+    }.items():
+        d = root / name
+        os.makedirs(d)
+        # two fragments to prove the glob spans partitioned output
+        pq.write_table(tbl.slice(0, 1), d / "part-0.parquet")
+        pq.write_table(tbl.slice(1), d / "part-1.parquet")
+    pq.write_table(
+        pa.table({"seq": [0, 1], "url": ["s", "t"],
+                  "host": ["h", "h"], "round": [0, 1]}),
+        root / "crawl_order.parquet",
+    )
+    return str(root)
+
+
+def test_run_by_name_with_params(export_dir):
+    store = NamedQueryStore(export_dir)
+    one = store.run("get_list_by_id", 2)
+    assert one.to_pylist() == [{
+        "list_id": 2, "title": "b", "url": "/u1/lists/b_2",
+        "user_profile": "u1", "scrape_status": "pending",
+        "scraped_at": "t2",
+    }]
+    by_status = store.run("GET_LISTS_BY_STATUS", "completed")
+    assert by_status.column("list_id").to_pylist() == [1, 3]
+    # join across exported tables, ordered by junction position
+    fl = store.run("GET_TITLES_FOR_LIST", 1)
+    assert fl.column("title_id").to_pylist() == [11, 10]
+    assert fl.column("position").to_pylist() == [0, 1]
+    store.close()
+
+
+def test_top_level_parquet_registers_as_view(export_dir):
+    store = NamedQueryStore(export_dir, queries={
+        "ORDER_HEAD": "SELECT seq, url FROM crawl_order ORDER BY seq",
+    })
+    assert store.run("ORDER_HEAD").column("url").to_pylist() == ["s", "t"]
+
+
+def test_mutating_statement_refused(export_dir):
+    store = NamedQueryStore(export_dir)
+    with pytest.raises(ValueError, match="write_tables"):
+        store.run("INSERT_OR_UPDATE_LIST", 4, "d", "u", "u3", "s", "t")
+
+
+def test_unknown_name_and_add_file(export_dir, tmp_path):
+    store = NamedQueryStore(export_dir)
+    with pytest.raises(KeyError):
+        store.run("NO_SUCH_QUERY")
+    extra = tmp_path / "extra.sql"
+    extra.write_text("# N_LISTS\nSELECT COUNT(*) AS n FROM lists;\n")
+    store.add_file(str(extra))
+    assert store.run("N_LISTS").to_pylist() == [{"n": 3}]
+
+
+def test_shipped_pack_covers_reference_read_surface():
+    """Every read query of the reference's queries/lists.sql has a
+    same-named entry in the shipped pack (schema-adapted)."""
+    q = load_query_dir(
+        os.path.join(os.path.dirname(__file__), "..",
+                     "whakoom_webscrapper_ray", "queries")
+    )
+    for name in ("GET_LISTS_BY_STATUS", "GET_LISTS_BY_USER_PROFILE",
+                 "GET_LIST_BY_ID", "GET_ALL_LISTS",
+                 "INSERT_OR_UPDATE_LIST"):
+        assert name in q

@@ -9,6 +9,8 @@ Subcommands
             fixture; prints one JSON summary line.
 ``export``  write the finalized relational tables + docs of an existing
             checkpoint as partitioned parquet.
+``get``     J2 point lookup over one exported table directory.
+``query``   S7 named query (``# NAME`` .sql packs) over an export dir.
 
 The CLI owns the Ray session (guarded ``ray.init``); the library never
 calls ``ray.init``/``ray.shutdown`` itself.
@@ -135,6 +137,21 @@ def cmd_get(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    from .namedq import NamedQueryStore
+
+    store = NamedQueryStore(args.export_dir, sql_dir=args.sql_dir)
+    if args.list:
+        print(json.dumps(store.names()))
+        return 0
+    params = [
+        int(x) if x.lstrip("-").isdigit() else x for x in args.param
+    ]
+    print(json.dumps(store.run(args.name, *params).to_pylist(),
+                     default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="whakoom_webscrapper_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -168,6 +185,22 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--id", required=True, type=int)
     g.add_argument("--key-col", default=None)
     g.set_defaults(fn=cmd_get)
+
+    q = sub.add_parser(
+        "query",
+        help="S7 named query over an export dir (reference "
+             "sqlmanager named-query surface)")
+    q.add_argument("--export-dir", required=True,
+                   help="cli export output dir (tables become views)")
+    q.add_argument("--name", default=None, help="query name, e.g. "
+                   "GET_LISTS_BY_STATUS")
+    q.add_argument("--param", action="append", default=[],
+                   help="positional ? parameter (repeatable)")
+    q.add_argument("--sql-dir", default=None,
+                   help="dir of '# NAME' .sql packs (default: shipped)")
+    q.add_argument("--list", action="store_true",
+                   help="list available query names")
+    q.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     return args.fn(args)
