@@ -558,17 +558,17 @@ def latest_order_before_event(sf_dir: str) -> ray.data.Dataset:
     # events enter the shuffle (the user-id set is tiny — broadcast it
     # rather than shipping every customer's orders into singleton
     # groups that pay per-group Python overhead for nothing).
-    user_ids = frozenset(events.unique("user_id"))
-    uid_ref = ray.put(user_ids)
+    user_ids = sorted(int(u) for u in events.unique("user_id"))
+    # Broadcast the Arrow value_set itself (built ONCE here), not a
+    # Python set that every batch would re-sort and re-encode.
+    uid_ref = ray.put(pa.array(user_ids, pa.int64()))
 
     def keep_evented(b: pa.Table, uids=None) -> pa.Table:
         uids = deref(uids)
-        return b.filter(
-            pc.is_in(
-                b["o_custkey"],
-                value_set=pa.array(sorted(uids), b["o_custkey"].type),
-            )
-        )
+        key = b["o_custkey"]
+        if key.type != uids.type:
+            key = pc.cast(key, uids.type)
+        return b.filter(pc.is_in(key, value_set=uids))
 
     orders = orders.map_batches(
         keep_evented, fn_kwargs={"uids": uid_ref}, batch_format="pyarrow"
