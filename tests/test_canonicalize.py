@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -150,3 +151,79 @@ def test_arrow_hostless_and_portful_hosts():
     assert canon == ref["canon_url"]
     assert hosts == ref["host"]
     assert cols["host_hash"].tolist() == ref["host_hash"].tolist()
+
+
+# ---- fuzz equivalence: vectorized Arrow path ≡ scalar batch path ----
+# The round-1 regression (mailto:/userinfo/port hosts crashing or
+# hashing differently in canonicalize_arrow) was exactly a divergence
+# between the two implementations on inputs the fixtures never emit.
+# Generate URL-ish strings compositionally (plus raw garbage) and
+# require every derived column to agree.
+
+_scheme = st.sampled_from(
+    ["http", "https", "HTTP", "HtTpS", "ftp", "mailto", "javascript", "tel"]
+)
+_label = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1,
+    max_size=8,
+)
+_host = st.builds(".".join, st.lists(_label, min_size=1, max_size=3))
+_userinfo = st.one_of(
+    st.just(""),
+    _label.map(lambda u: u + "@"),
+    st.builds(lambda u, p: f"{u}:{p}@", _label, _label),
+)
+_port = st.sampled_from(["", ":80", ":443", ":8080", ":0", ":65536"])
+_seg = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Ll", "Lu", "Nd"),
+        whitelist_characters="._-~%!$'()*+,;= ",
+    ),
+    max_size=10,
+)
+_path = st.builds(
+    lambda segs: "/" + "/".join(segs),
+    st.lists(st.one_of(_seg, st.sampled_from([".", "..", "%7e", "%2F"])),
+             max_size=4),
+)
+_query = st.one_of(
+    st.just(""),
+    st.builds(
+        lambda kvs: "?" + "&".join(kvs),
+        st.lists(
+            st.one_of(_seg, st.builds(lambda k, v: f"{k}={v}", _seg, _seg)),
+            min_size=1,
+            max_size=3,
+        ),
+    ),
+)
+_frag = st.one_of(st.just(""), _seg.map(lambda s: "#" + s))
+
+_urlish = st.one_of(
+    st.builds(
+        lambda sch, ui, h, pt, pa_, q, f: f"{sch}://{ui}{h}{pt}{pa_}{q}{f}",
+        _scheme, _userinfo, _host, _port, _path, _query, _frag,
+    ),
+    st.builds(lambda sch, rest: f"{sch}:{rest}", _scheme, _seg),
+    _path,  # relative references
+    st.text(max_size=30),  # raw garbage
+)
+
+
+@given(st.lists(_urlish, min_size=1, max_size=20))
+@settings(max_examples=300, deadline=None)
+def test_arrow_batch_fuzz_equivalence(urls):
+    from whakoom_webscrapper_ray.functions.canonicalize import (
+        canonicalize_arrow,
+    )
+
+    ref = canonicalize_batch(urls)
+    cols = canonicalize_arrow(pa.array(urls, pa.string()))
+    assert cols["canon"].to_pylist() == ref["canon_url"]
+    assert cols["host"].to_pylist() == ref["host"]
+    assert cols["host_hash"].tolist() == ref["host_hash"].tolist()
+    assert cols["url_hash"].tolist() == ref["url_hash"].tolist()
+    n = len(urls)
+    sha = np.frombuffer(cols["sha_bytes"], dtype=np.uint8).reshape(n, 20)
+    assert [bytes(r) for r in sha] == ref["url_sha1"]

@@ -81,13 +81,26 @@ def canonicalize_url(url: str, base: str | None = None) -> str:
     6. sort query parameters bytewise by (key, value),
     7. strip the fragment.
     """
-    if base:
-        url = urljoin(base, url)
-    parts = urlsplit(url.strip())
+    try:
+        if base:
+            url = urljoin(base, url)
+        parts = urlsplit(url.strip())
+    except ValueError:
+        # Unparseable reference (e.g. invalid IPv6 literal).  Return it
+        # stripped-but-opaque: deterministic, idempotent, and host_of()
+        # yields "" so the offsite mask drops it — a malformed href on
+        # one page must never abort a crawl round.
+        return url.strip()
     scheme = parts.scheme.lower()
-    host = parts.hostname or ""
+    try:
+        host = parts.hostname or ""
+    except ValueError:
+        host = ""
     host = host.lower().rstrip(".")
-    port = parts.port
+    try:
+        port = parts.port
+    except ValueError:
+        port = None  # out-of-range/non-numeric port on an invalid URL
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
         netloc = f"{host}:{port}"
@@ -122,8 +135,11 @@ def url_sha1(canon: str) -> bytes:
 
 
 def host_of(canon: str) -> str:
-    """Host component of an already-canonical URL."""
-    return urlsplit(canon).hostname or ""
+    """Host component of an already-canonical URL ("" if unparseable)."""
+    try:
+        return urlsplit(canon).hostname or ""
+    except ValueError:
+        return ""
 
 
 def host_hash64(host: str) -> int:
@@ -137,7 +153,10 @@ def host_hash64(host: str) -> int:
 
 def user_profile_of(canon: str) -> str:
     """First path segment — mirrors spiders/lists.py:35-36."""
-    path = urlsplit(canon).path
+    try:
+        path = urlsplit(canon).path
+    except ValueError:
+        return ""
     segs = path.split("/")
     return segs[1] if len(segs) > 1 else ""
 
@@ -383,32 +402,46 @@ def canonicalize_arrow(
     )
     fast_np = fast.to_numpy(zero_copy_only=False)
     slow_idx = np.flatnonzero(~fast_np)
+    take_idx = None
     if slow_idx.size:
         slow_canon = []
+        slow_host = []
         for i in slow_idx:
             u = urls[int(i)].as_py()
             b = base_for(int(i)) if base_for is not None else None
-            slow_canon.append(canonicalize_url(u, b))
+            c = canonicalize_url(u, b)
+            slow_canon.append(c)
+            slow_host.append(host_of(c))
         merged = pa.concat_arrays(
             [urls, pa.array(slow_canon, pa.string())]
         )
-        take_idx = np.arange(n, dtype=np.int64)
-        take_idx[slow_idx] = n + np.arange(slow_idx.size)
-        canon = merged.take(pa.array(take_idx, pa.int64()))
+        idx = np.arange(n, dtype=np.int64)
+        idx[slow_idx] = n + np.arange(slow_idx.size)
+        take_idx = pa.array(idx, pa.int64())
+        canon = merged.take(take_idx)
         if isinstance(canon, pa.ChunkedArray):
             canon = canon.combine_chunks()
     else:
         canon = urls
 
+    # Host column: the regex is provably exact ONLY on fast-path rows
+    # (the fast shape guarantees scheme://lowercase-host/ with no
+    # port/userinfo).  Slow rows — relative refs, scheme-relative
+    # ``//host/``, hostless schemes, malformed authorities — take
+    # ``host_of()`` (urlsplit semantics) computed above while they were
+    # already materialized, so both paths agree by construction.
     host = pc.struct_field(
         pc.extract_regex(canon, _HOST_EXTRACT_RE), "host"
     )
     if isinstance(host, pa.ChunkedArray):
         host = host.combine_chunks()
-    # Hostless schemes (mailto:, javascript:, tel:) yield a null match;
-    # give them host "" (canonicalize_batch parity) so they hash cleanly
-    # and are dropped by the offsite mask instead of crashing the round.
     host = pc.fill_null(host, "")
+    if slow_idx.size:
+        host = pa.concat_arrays(
+            [host, pa.array(slow_host, pa.string())]
+        ).take(take_idx)
+        if isinstance(host, pa.ChunkedArray):
+            host = host.combine_chunks()
 
     sha_bytes = sha1_column(canon)
     sha_u8 = np.frombuffer(sha_bytes, dtype=np.uint8).reshape(n, 20)
