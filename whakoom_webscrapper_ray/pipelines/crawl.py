@@ -378,59 +378,119 @@ def route_shard(hosts: np.ndarray, host_hash: np.ndarray,
             % np.uint64(num_shards)).astype(np.int64)
 
 
-@ray.remote
-def _sha_u64_chunk(urls: list[str]) -> np.ndarray:
-    """uint64 prefixes of SHA-1(url) for a chunk (parallel init)."""
+def _sha_u64_arrow(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """uint64 SHA-1 prefixes hashed straight from Arrow string buffers
+    (no per-row Python strings — same memoryview trick as
+    canonicalize.sha1_column)."""
     import hashlib
 
-    out = np.empty(len(urls), dtype=np.uint64)
-    for i, u in enumerate(urls):
+    from ..functions.canonicalize import _string_buffers
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offs, mv = _string_buffers(arr)
+    n = len(arr)
+    out = np.empty(n, dtype=np.uint64)
+    _sha1 = hashlib.sha1
+    for i in range(n):
         out[i] = int.from_bytes(
-            hashlib.sha1(u.encode("utf-8")).digest()[:8], "big"
+            _sha1(mv[offs[i]:offs[i + 1]]).digest()[:8], "big"
         )
     return out
 
 
-def partition_pages(pages: pa.Table, num_shards: int,
-                    delayed: frozenset = frozenset(),
-                    route_by_host: bool = False) -> list[pa.Table]:
-    """Split the page store by the engine's (salted) routing key — the
-    same rule as :func:`route_shard`, so every shard-pure fetch batch
-    finds its docs in exactly one partition.  Host extraction is one C
-    regex pass; per-URL SHA-1 prefixes are computed by parallel Ray
-    tasks.  At the 10^10 design point this partitioning is the on-disk
-    layout of the page store; here it is done once at init."""
+@ray.remote
+def _shard_chunk(pages: pa.Table, lo: int, hi: int, num_shards: int,
+                 delayed: frozenset, route_by_host: bool):
+    """Stage 1 of the distributed page-store layout: route one chunk.
+
+    Reads its slice zero-copy from the broadcast table; returns one
+    sub-table PER SHARD (``num_returns=num_shards``) so stage 2 can
+    pull exactly the pieces it owns without shipping the rest."""
     from ..functions.canonicalize import host_hash64
 
+    tbl = pages.slice(lo, hi - lo)
     host = pc.struct_field(
-        pc.extract_regex(pages["doc_id"], _HOST_RE), "host"
+        pc.extract_regex(tbl["doc_id"], _HOST_RE), "host"
     )
     if isinstance(host, pa.ChunkedArray):
         host = host.combine_chunks()
     uniq = pc.unique(host)
+    uniq_py = uniq.to_pylist()
     hashes = np.array(
-        [host_hash64(h) for h in uniq.to_pylist()], dtype=np.uint64
+        [host_hash64(h) for h in uniq_py], dtype=np.uint64
     )
-    host_idx = pc.index_in(host, value_set=uniq).to_numpy(
+    codes = pc.index_in(host, value_set=uniq).to_numpy(
         zero_copy_only=False
     ).astype(np.int64)
-    host_hash = hashes[host_idx]
-    host_np = np.asarray(uniq.to_pylist(), dtype=object)[host_idx]
+    host_hash = hashes[codes]
+    if route_by_host:
+        shard = (host_hash.astype(np.uint64)
+                 % np.uint64(num_shards)).astype(np.int64)
+    else:
+        url_hash = _sha_u64_arrow(tbl["doc_id"])
+        if delayed:
+            is_delayed = np.fromiter(
+                (h in delayed for h in uniq_py), bool, len(uniq_py)
+            )[codes]
+        else:
+            is_delayed = np.zeros(len(codes), bool)
+        shard = route_shard_flags(
+            is_delayed, host_hash, url_hash, num_shards
+        )
+    out = tuple(
+        tbl.filter(pa.array(shard == s)) for s in range(num_shards)
+    )
+    return out if num_shards > 1 else out[0]
 
-    ids = pages.column("doc_id").to_pylist()
-    chunk = max(1, len(ids) // 32)
-    url_hash = np.concatenate(
-        ray.get([
-            _sha_u64_chunk.remote(ids[i:i + chunk])
-            for i in range(0, len(ids), chunk)
-        ])
-    ) if ids else np.empty(0, dtype=np.uint64)
 
-    shard = route_shard(host_np, host_hash, url_hash, delayed,
-                        num_shards, route_by_host=route_by_host)
-    return [
-        pages.filter(pa.array(shard == s)) for s in range(num_shards)
+@ray.remote
+def _concat_partition(*pieces: pa.Table) -> pa.Table:
+    """Stage 2: assemble one shard's page partition, contiguous."""
+    nonempty = [p for p in pieces if p.num_rows]
+    if not nonempty:
+        return pieces[0]
+    return pa.concat_tables(nonempty).combine_chunks()
+
+
+def partition_pages_refs(
+    pages: pa.Table, num_shards: int,
+    delayed: frozenset = frozenset(),
+    route_by_host: bool = False,
+) -> "list[ray.ObjectRef]":
+    """Distributed split of the page store by the engine's (salted)
+    routing key — the same rule as :func:`route_shard`, so every
+    shard-pure fetch batch finds its docs in exactly one partition.
+
+    The table is broadcast ONCE; parallel tasks route zero-copy slices
+    (stage 1) and per-shard tasks assemble the partitions (stage 2), so
+    the driver does no per-row work at all — at the 10^10 design point
+    this partitioning is the distributed on-disk layout of the page
+    store, and the chunk→shard exchange here is exactly that layout
+    job.  Returns one ObjectRef per shard; row order within a shard
+    equals the input order (filter preserves order per chunk, chunks
+    concat in order), matching the previous driver-side layout."""
+    n = pages.num_rows
+    if n == 0 or num_shards == 1:
+        ref = ray.put(pages.combine_chunks())
+        return [ref] * num_shards
+    pages_ref = ray.put(pages.combine_chunks())
+    chunk = max(1 << 16, -(-n // 32))
+    chunk_outs = [
+        _shard_chunk.options(num_returns=num_shards).remote(
+            pages_ref, lo, min(lo + chunk, n), num_shards, delayed,
+            route_by_host,
+        )
+        for lo in range(0, n, chunk)
     ]
+    refs = [
+        _concat_partition.remote(*[outs[s] for outs in chunk_outs])
+        for s in range(num_shards)
+    ]
+    # Construction is synchronous (like the layout job it stands in
+    # for): callers time the crawl from a fully laid-out page store.
+    ray.wait(refs, num_returns=len(refs), fetch_local=False)
+    return refs
 
 
 def _worker_router(engine_key, rules_ref, allowed, shards,
@@ -625,11 +685,10 @@ class CrawlEngine:
             spill_threshold_rows=spill_threshold_rows,
             max_pages_per_host=max_pages_per_host,
         )
-        self.pages_parts = [
-            ray.put(p)
-            for p in partition_pages(pages, num_shards, self.delayed,
-                                     route_by_host=self._route_by_host)
-        ]
+        self.pages_parts = partition_pages_refs(
+            pages, num_shards, self.delayed,
+            route_by_host=self._route_by_host,
+        )
         self.rules_ref = ray.put(self.rules)
 
         self.extractors = list(extractors or ())
