@@ -108,7 +108,7 @@ def _warmup() -> None:
     ).map_batches(_touch, batch_format="pyarrow").materialize()
 
 
-def _run_crawl_once() -> dict:
+def _run_crawl_once(pages_parts=None) -> dict:
     import ray
 
     from whakoom_webscrapper_ray.pipelines.crawl import CrawlEngine
@@ -123,16 +123,22 @@ def _run_crawl_once() -> dict:
         eng = CrawlEngine(
             web["pages"], web["seeds"], web["robots"], checkpoint_dir=ckpt,
             num_shards=max(8, NUM_CPUS),
+            # the laid-out page store is identical across trials; lay it
+            # out once (construction is outside the timed region either
+            # way — this only trims bench wall-clock)
+            pages_parts=pages_parts,
         )
         _warmup()
         t0 = time.perf_counter()
         res = eng.run()
         dt = time.perf_counter() - t0
+        parts = eng.pages_parts
         eng.shutdown()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     big = max(res["stats"], key=lambda st: st["scheduled"])
     return {
+        "pages_parts": parts,
         "urls": res["scheduled"],
         "rounds": res["rounds"],
         "sec": dt,
@@ -163,11 +169,14 @@ def run_crawl() -> dict:
     trials = int(os.environ.get("WKM_CRAWL_TRIALS", "3"))
     best = None
     samples = []
+    parts = None
     for _ in range(max(1, trials)):
-        r = _run_crawl_once()
+        r = _run_crawl_once(pages_parts=parts)
+        parts = r.pop("pages_parts")
         samples.append(round(r["urls_per_sec"], 1))
         if best is None or r["sec"] < best["sec"]:
             best = r
+    best.pop("pages_parts", None)
     best["trial_urls_per_sec"] = samples
     return best
 

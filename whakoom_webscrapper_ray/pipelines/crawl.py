@@ -656,6 +656,7 @@ class CrawlEngine:
         fetch_middlewares=None,
         spill_threshold_rows: int = 1 << 22,
         max_pages_per_host: int | None = None,
+        pages_parts: "list[ray.ObjectRef] | None" = None,
     ) -> None:
         self.checkpoint_dir = checkpoint_dir
         os.makedirs(checkpoint_dir, exist_ok=True)
@@ -685,9 +686,16 @@ class CrawlEngine:
             spill_threshold_rows=spill_threshold_rows,
             max_pages_per_host=max_pages_per_host,
         )
-        self.pages_parts = partition_pages_refs(
-            pages, num_shards, self.delayed,
-            route_by_host=self._route_by_host,
+        # ``pages_parts``: reuse a prior engine's laid-out page store
+        # (same pages/num_shards/routing — e.g. bench trials over one
+        # input); the layout is immutable in the object store.
+        self.pages_parts = (
+            list(pages_parts)
+            if pages_parts is not None
+            else partition_pages_refs(
+                pages, num_shards, self.delayed,
+                route_by_host=self._route_by_host,
+            )
         )
         self.rules_ref = ray.put(self.rules)
 
