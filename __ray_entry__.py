@@ -217,9 +217,9 @@ def oracle_sql() -> dict[str, str]:
     mod 2**64 + fmix64) so they compare bit-exactly.  Still
     intentionally oracle-free: crawl_order (politeness-clock
     simulation — sequential oracle in pytest), feed_export (sink
-    manifest), ann_ivf (approximate by design — recall-vs-brute-force
-    pytest), media_features (stub codec — schema pytest), with pytest
-    oracles instead — see each docstring.
+    manifest: file counts/bytes depend on block layout), ann_ivf
+    (approximate by design — recall-vs-brute-force pytest), with
+    pytest oracles instead — see each docstring.
     """
     from whakoom_webscrapper_ray.pipelines.crawl_oracle_sql import (
         crawl_oracles,
@@ -252,4 +252,5 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": _do.ORACLE_EVENTS_SLIDING,
         "latest_order_before_event": _do.ORACLE_ASOF,
         "latest_user_state": _do.ORACLE_LATEST_USER_STATE,
+        "media_features": _mm.ORACLE_MEDIA_FEATURES,
     }

@@ -88,7 +88,24 @@ def test_feed_export_manifest(entry):
 def test_media_features_schema(entry):
     df = to_pandas(entry.queries()["media_features"](SF_DIR))
     assert list(df.columns) == [
-        "doc_id", "n_bytes", "width", "height", "crc32"
+        "doc_id", "n_bytes", "width", "height", "payload_md5"
     ]
     assert len(df) == 500
     assert (df["width"] >= 16).all() and (df["height"] >= 16).all()
+    # digest parity vs the DuckDB oracle, bit-exact on all rows
+    import duckdb
+
+    from whakoom_webscrapper_ray.pipelines.multimodal import (
+        ORACLE_MEDIA_FEATURES,
+    )
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    exp = con.sql(ORACLE_MEDIA_FEATURES).df()
+    a = df.sort_values("doc_id").reset_index(drop=True)
+    b = exp.sort_values("doc_id").reset_index(drop=True)
+    assert list(a["payload_md5"]) == list(b["payload_md5"])
+    assert list(a["n_bytes"]) == list(b["n_bytes"])

@@ -16,8 +16,8 @@ for a real container header + body.
 
 from __future__ import annotations
 
+import hashlib
 import struct
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -68,7 +68,7 @@ class MediaDecoder:
     def __init__(self) -> None:
         self.have_codec = HAVE_CODEC
 
-    def _decode(self, payload: bytes) -> tuple[int, int]:
+    def _decode(self, payload: bytes) -> tuple[int, int, bytes]:
         if self.have_codec:
             # Real path: PIL.Image.open(io.BytesIO(payload)).size
             raise NotImplementedError(
@@ -76,29 +76,51 @@ class MediaDecoder:
             )
         if payload[:4] != MAGIC:
             raise ValueError("bad media payload")
-        return struct.unpack("<HH", payload[4:8])
+        w, h = struct.unpack("<HH", payload[4:8])
+        return w, h, payload[8:]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["media"].to_pylist()
-        widths = np.empty(len(payloads), dtype=np.int32)
-        heights = np.empty(len(payloads), dtype=np.int32)
-        crcs = np.empty(len(payloads), dtype=np.int64)
+        widths = np.empty(len(payloads), dtype=np.int64)
+        heights = np.empty(len(payloads), dtype=np.int64)
         nbytes = np.empty(len(payloads), dtype=np.int64)
+        digests = []
         for i, p in enumerate(payloads):
-            w, h = self._decode(p)
+            w, h, body = self._decode(p)
             widths[i] = w
             heights[i] = h
-            crcs[i] = zlib.crc32(p)
             nbytes[i] = len(p)
+            # Content digest over the DECODED fields (header ints +
+            # body), canonically serialized — the digest an indexer
+            # would store for the media object.
+            digests.append(
+                hashlib.md5(b"WKM0|%d|%d|" % (w, h) + body).hexdigest()
+            )
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "n_bytes": pa.array(nbytes, pa.int64()),
-                "width": pa.array(widths, pa.int32()),
-                "height": pa.array(heights, pa.int32()),
-                "crc32": pa.array(crcs, pa.int64()),
+                "width": pa.array(widths, pa.int64()),
+                "height": pa.array(heights, pa.int64()),
+                "payload_md5": pa.array(digests, pa.string()),
             }
         )
+
+
+# DuckDB re-derivation of the decode stage: the synth payload header is
+# pure doc_id arithmetic, n_bytes is header + utf8 body length, and the
+# digest's canonical serialization ("WKM0|w|h|" + body) is exactly what
+# md5(VARCHAR) hashes (UTF-8 bytes).  Bit-exact vs MediaDecoder.
+ORACLE_MEDIA_FEATURES = """
+SELECT doc_id,
+       8 + octet_length(encode(text))        AS n_bytes,
+       16 + (doc_id % 64) * 8                AS width,
+       16 + ((doc_id * 7) % 48) * 8          AS height,
+       md5('WKM0|' || (16 + (doc_id % 64) * 8)::VARCHAR
+           || '|' || (16 + ((doc_id * 7) % 48) * 8)::VARCHAR
+           || '|' || text)                   AS payload_md5
+FROM documents
+"""
 
 
 def media_features(sf_dir: str) -> ray.data.Dataset:
