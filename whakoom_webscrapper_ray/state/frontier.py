@@ -85,7 +85,8 @@ class FrontierShard:
                  seen_shard=None, local_seen: bool = True,
                  spill_dir: str | None = None,
                  spill_threshold_rows: int = 1 << 22,
-                 max_pages_per_host: int | None = None) -> None:
+                 max_pages_per_host: int | None = None,
+                 poll_chunk_rows: int = 1 << 20) -> None:
         from .. import warm_worker
 
         warm_worker()   # pre-fault arenas once, outside any timed poll
@@ -102,18 +103,17 @@ class FrontierShard:
         # a budget is set) so each host's counter lives on one shard.
         self.max_pages_per_host = max_pages_per_host
         self.pages_sched: dict[str, int] = {}
-        # Memory-bounded ENQUEUE (SURVEY.md §4.3): when the in-memory
+        # Memory-bounded queue (SURVEY.md §4.3): when the in-memory
         # pending backlog exceeds the threshold, blocks spill to this
-        # shard's spill dir.  The bound applies between polls (the
-        # enqueue-time accumulation window); poll_round rehydrates the
-        # full backlog because round-level dedup keeps the min-ok
-        # occurrence per SHA, which needs the whole round's candidates
-        # in view.  The per-round working set is already bounded by the
-        # fetch stage's round budget, so this is an accepted peak — a
-        # streaming min-ok merge over ok-sorted spill runs is the
-        # upgrade path if round backlogs ever exceed the actor heap.
+        # shard's spill dir as OK-SORTED runs.  poll_round then does a
+        # streaming min-ok merge over the runs (plus the in-memory
+        # tail): bounded chunks are deduped and seen-probed one at a
+        # time, so only schedule SURVIVORS accumulate in the heap — the
+        # backlog itself is bounded by disk at enqueue time AND at poll
+        # time (peak heap ≈ runs × poll_chunk_rows + output size).
         self.spill_dir = spill_dir
         self.spill_threshold_rows = spill_threshold_rows
+        self.poll_chunk_rows = poll_chunk_rows
         self._pending_rows = 0
         self._spill_files: list[str] = []
         self._spill_seq = 0
@@ -154,7 +154,12 @@ class FrontierShard:
             self.spill_dir, f"spill-{self._spill_seq:06d}"
         )
         self._spill_seq += 1
-        bk.write_fragment(pa.concat_tables(self.pending), path)
+        # ok-sorted run: poll_round's streaming min-ok merge depends on
+        # every spilled run being sorted (the in-memory tail is sorted
+        # at poll time).
+        bk.write_fragment(
+            pa.concat_tables(self.pending).sort_by("ok"), path
+        )
         self._spill_files.append(path)
         self.spill_count += 1
         self.pending = []
@@ -194,6 +199,141 @@ class FrontierShard:
             }
         ))
 
+    def _dedup_probe(self, t: pa.Table) -> pa.Table:
+        """Steps 1–2 of the canonical poll model over one bounded chunk.
+
+        1. first-discovered (min-``ok``) occurrence per SHA wins:
+           stable argsort by ok, then first-occurrence via np.unique
+           over a zero-copy void-20 view of the fixed-size binary
+           column — C memcmp sort, no Python bytes objects.
+        2. probe the co-located seen state (test-and-mark, local).
+           Keys stay a numpy void-20 array and URLs an Arrow column —
+           zero per-key Python objects (SURVEY.md perf discipline).
+
+        Returns the surviving rows in ascending-``ok`` order.
+        """
+        if t.num_rows == 0:
+            return t
+        ok = t.column("ok").to_numpy(zero_copy_only=False)
+        sha_arr = t.column("url_sha1")
+        if isinstance(sha_arr, pa.ChunkedArray):
+            sha_arr = sha_arr.combine_chunks()
+        raw = np.frombuffer(
+            sha_arr.buffers()[1], dtype=np.uint8
+        )[sha_arr.offset * 20:(sha_arr.offset + len(sha_arr)) * 20]
+        sha_v = raw.reshape(-1, 20).view(np.dtype((np.void, 20))).ravel()
+        order = np.argsort(ok, kind="stable")
+        _, first = np.unique(sha_v[order], return_index=True)
+        cand_idx = order[np.sort(first)]             # in ok order
+        if cand_idx.size and (self.seen is not None
+                              or self.seen_shard is not None):
+            canon_col = t.column("canon_url")
+            if isinstance(canon_col, pa.ChunkedArray):
+                canon_col = canon_col.combine_chunks()
+            kv = np.ascontiguousarray(sha_v[cand_idx])
+            us = canon_col.take(pa.array(cand_idx, pa.int64()))
+            if self.seen is not None:
+                new_mask = self.seen.contains_and_add(kv, us)
+            else:
+                new_mask = ray.get(
+                    self.seen_shard.contains_and_add.remote(kv, us)
+                )
+            cand_idx = cand_idx[new_mask]
+        return t.take(pa.array(cand_idx, pa.int64()))
+
+    def _poll_streaming(self) -> pa.Table:
+        """Streaming min-ok merge over ok-sorted runs; heap-bounded.
+
+        Each spill file is an ok-sorted run; the in-memory tail is
+        sorted and appended as one more run.  A safe frontier — the
+        minimum over non-exhausted runs of their last buffered ``ok``
+        — bounds the rows that can be processed: no unread row can
+        have a smaller ``ok``, so per-chunk :meth:`_dedup_probe` picks
+        exactly the global min-ok occurrence per SHA (later duplicates
+        land in later chunks and are rejected by the seen probe, which
+        marks at schedule time).  Peak heap is runs × poll_chunk_rows
+        + survivors, never the whole spilled backlog.
+        """
+        from ..storage import backend as storage_backend
+
+        bk = storage_backend()
+        runs = [
+            bk.iter_fragment(p, self.poll_chunk_rows)
+            for p in self._spill_files
+        ]
+        if self.pending:
+            tail = pa.concat_tables(self.pending).sort_by("ok")
+            self.pending = []
+            self._pending_rows = 0
+            runs.append(iter((tail,)))
+        n = len(runs)
+        bufs: list[pa.Table | None] = [None] * n
+        exhausted = [False] * n
+        survivors: list[pa.Table] = []
+
+        def refill(i: int) -> None:
+            try:
+                nxt = next(runs[i])
+            except StopIteration:
+                exhausted[i] = True
+                return
+            bufs[i] = (
+                nxt if bufs[i] is None or bufs[i].num_rows == 0
+                else pa.concat_tables([bufs[i], nxt])
+            )
+
+        for i in range(n):
+            refill(i)
+        while True:
+            active = [
+                i for i in range(n)
+                if bufs[i] is not None and bufs[i].num_rows
+            ]
+            if not active:
+                break
+            open_runs = [i for i in active if not exhausted[i]]
+            if not open_runs:
+                # every run fully buffered — flush the remainder
+                chunk = pa.concat_tables([bufs[i] for i in active])
+                for i in active:
+                    bufs[i] = None
+                sub = self._dedup_probe(chunk)
+                if sub.num_rows:
+                    survivors.append(sub)
+                break
+            frontier = min(
+                bufs[i].column("ok")[bufs[i].num_rows - 1].as_py()
+                for i in open_runs
+            )
+            parts = []
+            for i in active:
+                okv = bufs[i].column("ok").to_numpy(
+                    zero_copy_only=False
+                )
+                cut = int(np.searchsorted(okv, frontier, side="left"))
+                if cut:
+                    parts.append(bufs[i].slice(0, cut))
+                    bufs[i] = bufs[i].slice(cut)
+            progressed = bool(parts)
+            if parts:
+                sub = self._dedup_probe(pa.concat_tables(parts))
+                if sub.num_rows:
+                    survivors.append(sub)
+            # Refill only shallow buffers (runs far ahead of the
+            # frontier keep one batch — peak heap stays runs × chunk).
+            # On a tie-stall (nothing consumed: every buffered row has
+            # ok == frontier) refill ALL open runs to force progress.
+            for i in open_runs:
+                if not progressed or bufs[i].num_rows < \
+                        self.poll_chunk_rows:
+                    refill(i)
+        for p in self._spill_files:
+            bk.delete_fragment(p)
+        self._spill_files = []
+        if not survivors:
+            return _empty_poll_table()
+        return pa.concat_tables(survivors).combine_chunks()
+
     def poll_round(self, round_no: int) -> pa.Table:
         """Dedup → seen-probe → politeness-pace all pending candidates.
 
@@ -213,50 +353,18 @@ class FrontierShard:
         import resource as _rs
         _r0 = _rs.getrusage(_rs.RUSAGE_SELF)
         if self._spill_files:
-            self._unspill()
-        if not self.pending:
-            return _empty_poll_table()
-        t = pa.concat_tables(self.pending).combine_chunks()
-        self.pending = []
-        self._pending_rows = 0
-        _t1 = _tm.perf_counter()
-
-        # 1. shard-wide dedup by sha, keep first-discovered (min ok):
-        #    stable argsort by ok, then first-occurrence via np.unique
-        #    over a zero-copy void-20 view of the fixed-size binary
-        #    column — C memcmp sort, no Python bytes objects.
-        ok = t.column("ok").to_numpy(zero_copy_only=False)
-        sha_arr = t.column("url_sha1")
-        if isinstance(sha_arr, pa.ChunkedArray):
-            sha_arr = sha_arr.combine_chunks()
-        raw = np.frombuffer(
-            sha_arr.buffers()[1], dtype=np.uint8
-        )[sha_arr.offset * 20:(sha_arr.offset + len(sha_arr)) * 20]
-        sha_v = raw.reshape(-1, 20).view(np.dtype((np.void, 20))).ravel()
-        order = np.argsort(ok, kind="stable")
-        _, first = np.unique(sha_v[order], return_index=True)
-        cand_idx = order[np.sort(first)]             # in ok order
-        _t2 = _tm.perf_counter()
-
-        # 2. probe the co-located seen state (test-and-mark, local).
-        #    Keys stay a numpy void-20 array and URLs an Arrow column —
-        #    zero per-key Python objects (SURVEY.md perf discipline).
-        if cand_idx.size and (self.seen is not None
-                              or self.seen_shard is not None):
-            canon_col = t.column("canon_url")
-            if isinstance(canon_col, pa.ChunkedArray):
-                canon_col = canon_col.combine_chunks()
-            kv = np.ascontiguousarray(sha_v[cand_idx])
-            us = canon_col.take(pa.array(cand_idx, pa.int64()))
-            if self.seen is not None:
-                new_mask = self.seen.contains_and_add(kv, us)
-            else:
-                new_mask = ray.get(
-                    self.seen_shard.contains_and_add.remote(kv, us)
-                )
-            cand_idx = cand_idx[new_mask]
+            # Streaming min-ok merge over the ok-sorted spill runs +
+            # the in-memory tail: never rehydrates the backlog.
+            sub = self._poll_streaming()
+        else:
+            if not self.pending:
+                return _empty_poll_table()
+            t = pa.concat_tables(self.pending).combine_chunks()
+            self.pending = []
+            self._pending_rows = 0
+            sub = self._dedup_probe(t)
         _t3 = _tm.perf_counter()
-        if cand_idx.size == 0:
+        if sub.num_rows == 0:
             return _empty_poll_table()
 
         # 3. politeness pacing, vectorized per host: survivors sorted
@@ -264,7 +372,6 @@ class FrontierShard:
         #    fetch_time = next_time[host] + i * delay.  Grouping runs
         #    on the int64 host hash (np.unique in C); host STRINGS are
         #    touched only once per unique host for the delay/clock maps.
-        sub = t.take(pa.array(cand_idx, pa.int64()))
         hh2 = sub.column("host_hash").to_numpy(zero_copy_only=False)
         prio = sub.column("priority").to_numpy(zero_copy_only=False)
         ok2 = sub.column("ok").to_numpy(zero_copy_only=False)
@@ -323,9 +430,8 @@ class FrontierShard:
         if _trace:
             import sys as _sys
             print(
-                f"[poll s={self.shard_id}] n={t.num_rows} "
-                f"concat={_t1 - _t0:.2f} dedup={_t2 - _t1:.2f} "
-                f"probe={_t3 - _t2:.2f} "
+                f"[poll s={self.shard_id}] survivors={sub.num_rows} "
+                f"gather={_t3 - _t0:.2f} "
                 f"pace={_tm.perf_counter() - _t3:.2f} "
                 f"cpu={_tm.process_time() - _c0:.2f} "
                 f"wall={_tm.perf_counter() - _t0:.2f} "

@@ -98,6 +98,13 @@ class ParquetBackend:
                       columns: list[str] | None = None) -> pa.Table:
         return pq.read_table(path, columns=columns)
 
+    def iter_fragment(self, path: str, batch_rows: int = 1 << 18):
+        """Stream a fragment as bounded Arrow tables — row-group-at-a-
+        time reads, so a spilled run is never resident whole."""
+        f = pq.ParquetFile(path)
+        for rb in f.iter_batches(batch_size=batch_rows):
+            yield pa.Table.from_batches([rb])
+
     def delete_fragment(self, path: str) -> None:
         os.unlink(path)
 
@@ -204,6 +211,12 @@ class LanceBackend:
     def read_fragment(self, path: str,
                       columns: list[str] | None = None) -> pa.Table:
         return self._lance.dataset(path).to_table(columns=columns)
+
+    def iter_fragment(self, path: str, batch_rows: int = 1 << 18):
+        for rb in self._lance.dataset(path).to_batches(
+            batch_size=batch_rows
+        ):
+            yield pa.Table.from_batches([rb])
 
     def delete_fragment(self, path: str) -> None:
         import shutil
