@@ -388,6 +388,54 @@ def test_kill_resume_conformance(ray_session, small_web, small_golden,
     eng2.shutdown()
 
 
+def test_kill_resume_under_spill(ray_session, small_web, small_golden,
+                                 tmp_path_factory):
+    """Kill while the NEXT round's backlog sits in spilled runs: the
+    checkpoint must snapshot the runs (hard links), and the resumed
+    engine must re-link and finish to the exact oracle crawl order and
+    seen set — the intersection of the disk-bounded-queue and
+    checkpoint/lineage claims."""
+    import glob
+    import os
+
+    from whakoom_webscrapper_ray.pipelines.crawl import CrawlEngine
+
+    ckpt = str(tmp_path_factory.mktemp("spill_resume_ckpt"))
+
+    def mk():
+        return CrawlEngine(
+            small_web["pages"], small_web["seeds"], small_web["robots"],
+            checkpoint_dir=ckpt, num_shards=3, batch_size=64,
+            spill_threshold_rows=8,
+        )
+
+    eng1 = mk()
+    eng1.run(max_rounds=1)           # round-1 backlog spilled, "crash"
+    eng1.shutdown()
+    # the round-0 checkpoint snapshotted at least one spilled run
+    snaps = glob.glob(os.path.join(
+        ckpt, "frontier", "round=0", "*.spill", "*"))
+    assert snaps, "no spill-run snapshots under the round checkpoint"
+
+    eng2 = mk()
+    assert eng2.resume() == 1
+    eng2.run(seed=False)
+    got = eng2.crawl_order()
+    rows = list(zip(got.column("seq").to_pylist(),
+                    got.column("url").to_pylist(),
+                    got.column("host").to_pylist(),
+                    got.column("round").to_pylist()))
+    assert rows == small_golden.crawl_order
+    seen = eng2.seen_table()
+    pairs = dict(zip(seen.column("url_sha1").to_pylist(),
+                     seen.column("canon_url").to_pylist()))
+    assert pairs == small_golden.seen
+    # the resumed run's polls consumed re-links, not the checkpoint
+    assert sorted(glob.glob(os.path.join(
+        ckpt, "frontier", "round=0", "*.spill", "*"))) == sorted(snaps)
+    eng2.shutdown()
+
+
 def test_max_pages_budget_conformance(ray_session, small_web,
                                       tmp_path_factory):
     """O4 per-host pagination budget (the reference's "Load more" loop

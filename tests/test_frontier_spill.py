@@ -143,3 +143,35 @@ def test_chunked_merge_equals_single_pass(tmp_path):
     assert set(got2.column("canon_url").to_pylist()) == {
         "http://slow.example/new1", "http://a.example/new2"
     }
+
+
+def test_checkpoint_links_spill_runs(tmp_path):
+    """dump_to snapshots spilled runs as hard links (no rehydration);
+    restore re-links them into the new incarnation's spill dir; the
+    next poll consumes the re-links and leaves the checkpoint intact,
+    so a SECOND restore from the same checkpoint still works."""
+    b = _rows(_urls(12), [0] * 12, list(range(12)))
+    shard = _mk(tmp_path, spill=True, poll_chunk_rows=4)
+    shard.enqueue(**b)
+    assert shard.spill_count >= 1 and shard._spill_files
+
+    ckpt = str(tmp_path / "shard-0.pkl")
+    shard.dump_to(ckpt)
+    # no rehydration at dump time: backlog still on disk, heap empty
+    assert shard.pending == [] and shard._spill_files
+    snap = os.listdir(ckpt + ".spill")
+    assert len(snap) == len(shard._spill_files)
+
+    def restore_and_poll():
+        s2 = _mk(tmp_path, spill=True, poll_chunk_rows=4)
+        s2.restore_from(ckpt)
+        assert s2._spill_files  # re-linked, not loaded into pending
+        assert s2.pending == []
+        return s2.poll_round(0)
+
+    out1 = restore_and_poll()
+    # the poll deleted ITS runs but the checkpoint snapshot survives
+    assert sorted(os.listdir(ckpt + ".spill")) == sorted(snap)
+    out2 = restore_and_poll()  # second resume from the same round
+    assert out1.equals(out2)
+    assert out1.num_rows == 12

@@ -165,19 +165,6 @@ class FrontierShard:
         self.pending = []
         self._pending_rows = 0
 
-    def _unspill(self) -> None:
-        """Read spilled blocks back into the in-memory pending list."""
-        from ..storage import backend as storage_backend
-
-        bk = storage_backend()
-        for path in self._spill_files:
-            self.pending.insert(0, bk.read_fragment(path))
-            bk.delete_fragment(path)
-        self._spill_files = []
-        self._pending_rows = int(
-            sum(b.num_rows for b in self.pending)
-        )
-
     def spill_stats(self) -> dict:
         return {"spills": self.spill_count,
                 "spilled_files": len(self._spill_files),
@@ -507,32 +494,89 @@ class FrontierShard:
 
     # -- checkpoint -------------------------------------------------------
     def dump(self) -> dict:
-        if self._spill_files:
-            self._unspill()
+        """State snapshot.  Spilled runs are NOT rehydrated — they are
+        referenced by path and snapshotted by :meth:`dump_to` via hard
+        links, so checkpointing an oversized backlog costs no heap."""
         return {
             "pending": (pa.concat_tables(self.pending)
                         if self.pending else None),
             "next_time": dict(self.next_time),
             "pages_sched": dict(self.pages_sched),
+            "spill_files": list(self._spill_files),
         }
 
     def restore(self, state: dict) -> None:
         self.pending = (
             [state["pending"]] if state.get("pending") is not None else []
         )
+        self._pending_rows = int(
+            sum(b.num_rows for b in self.pending)
+        )
         self.next_time = dict(state["next_time"])
         self.pages_sched = dict(state.get("pages_sched") or {})
+        # Re-link the checkpoint's spill runs into THIS incarnation's
+        # spill dir: the next poll deletes its runs after consuming
+        # them, and it must never mutate the checkpoint (a second
+        # resume from the same round has to keep working).
+        runs = list(state.get("spill_files") or [])
+        self._spill_files = []
+        self._spill_seq = 0
+        self.spill_count = 0
+        if not runs:
+            return
+        from ..storage import backend as storage_backend
+
+        bk = storage_backend()
+        if self.spill_dir is None:
+            # config changed under the checkpoint: fall back to
+            # rehydrating the runs into the in-memory queue
+            for src in runs:
+                t = bk.read_fragment(src)
+                self.pending.append(t)
+                self._pending_rows += t.num_rows
+            return
+        import os
+
+        os.makedirs(self.spill_dir, exist_ok=True)
+        for src in runs:
+            dst = bk.fragment_path(
+                self.spill_dir, f"spill-{self._spill_seq:06d}"
+            )
+            self._spill_seq += 1
+            bk.link_fragment(src, dst)
+            self._spill_files.append(dst)
+        self.spill_count = len(self._spill_files)
 
     def dump_to(self, path: str) -> None:
         """Write this shard's state to its own file — checkpointing is
         parallel across shards and never serializes queue state through
-        the driver (the per-partition lineage of the north rule)."""
+        the driver (the per-partition lineage of the north rule).
+
+        Spilled runs are snapshotted as hard links under
+        ``path + ".spill"`` (same filesystem by the checkpoint
+        layout): the link survives the original's deletion by a later
+        poll, so resume-from-this-round stays valid forever, at zero
+        copy cost."""
         import os
         import pickle
 
+        state = self.dump()
+        runs = state.pop("spill_files")
+        linked = []
+        if runs:
+            from ..storage import backend as storage_backend
+
+            bk = storage_backend()
+            snap_dir = path + ".spill"
+            os.makedirs(snap_dir, exist_ok=True)
+            for k, src in enumerate(runs):
+                dst = bk.fragment_path(snap_dir, f"run-{k:06d}")
+                bk.link_fragment(src, dst)
+                linked.append(dst)
+        state["spill_files"] = linked
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
-            pickle.dump(self.dump(), f)
+            pickle.dump(state, f)
         os.replace(tmp, path)
 
     def restore_from(self, path: str) -> None:

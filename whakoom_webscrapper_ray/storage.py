@@ -105,6 +105,21 @@ class ParquetBackend:
         for rb in f.iter_batches(batch_size=batch_rows):
             yield pa.Table.from_batches([rb])
 
+    def link_fragment(self, src: str, dst: str) -> None:
+        """Zero-copy snapshot of a fragment: hard link when the paths
+        share a filesystem (the checkpoint layout guarantees it), byte
+        copy otherwise.  The two names then have independent delete
+        lifetimes — a poll can consume one while a checkpoint keeps
+        the other."""
+        import shutil
+
+        if os.path.exists(dst):
+            os.unlink(dst)
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+
     def delete_fragment(self, path: str) -> None:
         os.unlink(path)
 
@@ -217,6 +232,14 @@ class LanceBackend:
             batch_size=batch_rows
         ):
             yield pa.Table.from_batches([rb])
+
+    def link_fragment(self, src: str, dst: str) -> None:
+        # lance fragments are directories; snapshot by copy (datasets
+        # are immutable once written, so a copy is consistent)
+        import shutil
+
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.copytree(src, dst)
 
     def delete_fragment(self, path: str) -> None:
         import shutil
