@@ -33,6 +33,33 @@ def test_fragment_roundtrip(tmp_path):
     assert bk.list_fragments(str(tmp_path)) == []
 
 
+def test_iter_fragment_streams_bounded(tmp_path):
+    bk = ParquetBackend()
+    t = pa.table({"ok": list(range(1000)), "v": ["x"] * 1000})
+    p = bk.fragment_path(str(tmp_path), "run-0")
+    bk.write_fragment(t, p)
+    chunks = list(bk.iter_fragment(p, batch_rows=128))
+    assert len(chunks) >= 8
+    assert all(c.num_rows <= 128 for c in chunks)
+    assert pa.concat_tables(chunks).equals(t)
+
+
+def test_link_fragment_independent_lifetimes(tmp_path):
+    bk = ParquetBackend()
+    t = pa.table({"a": [1, 2]})
+    src = bk.fragment_path(str(tmp_path), "src")
+    dst = bk.fragment_path(str(tmp_path), "snap")
+    bk.write_fragment(t, src)
+    bk.link_fragment(src, dst)
+    bk.delete_fragment(src)          # consume the original (poll)
+    assert bk.read_fragment(dst).equals(t)   # snapshot survives
+    bk.link_fragment(dst, dst.replace("snap", "snap2"))
+    # idempotent re-link over an existing dst
+    bk.write_fragment(t, src)
+    bk.link_fragment(src, dst)
+    assert bk.read_fragment(dst).equals(t)
+
+
 def test_upsert_lww(tmp_path):
     """when_matched_update_all + when_not_matched_insert_all: the
     incoming row wins on key conflict; unmatched rows persist."""
