@@ -495,3 +495,39 @@ def test_max_pages_budget_conformance(ray_session, small_web,
     eng2.run(seed=False)
     assert order_rows(eng2) == golden.crawl_order
     eng2.shutdown()
+
+
+def test_write_tables_overwrite_and_upsert_rerun(engine_run,
+                                                 tmp_path_factory):
+    """S4 sink end-to-end: the streamed ``write_tables`` export equals
+    ``finalize_tables()`` table-for-table, and upserting the same run
+    into an existing export twice converges to identical content —
+    the reference's idempotent ``INSERT ... ON CONFLICT DO UPDATE``
+    re-run story (queries/lists.sql:1-9, settings.py:132)."""
+    import pandas as pd
+    import pyarrow.dataset as pds
+
+    eng, _ = engine_run
+    want = getattr(eng, "_finalized", None) or eng.finalize_tables()
+
+    def canon(tbl: pa.Table) -> pd.DataFrame:
+        df = tbl.to_pandas()[sorted(tbl.column_names)]
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    out_ow = str(tmp_path_factory.mktemp("export_ow"))
+    paths = eng.write_tables(out_ow)
+    assert set(paths) == set(want)
+    for name, golden in want.items():
+        got = pds.dataset(paths[name], format="parquet").to_table()
+        assert got.num_rows == golden.num_rows, name
+        pd.testing.assert_frame_equal(canon(got), canon(golden),
+                                      check_dtype=False, obj=name)
+
+    out_up = str(tmp_path_factory.mktemp("export_up"))
+    for _rerun in range(2):  # second pass = re-run over existing table
+        paths = eng.write_tables(out_up, mode="upsert")
+    for name, golden in want.items():
+        got = pds.dataset(paths[name], format="parquet").to_table()
+        assert got.num_rows == golden.num_rows, name
+        pd.testing.assert_frame_equal(canon(got), canon(golden),
+                                      check_dtype=False, obj=name)
