@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- similarity search
         "ann_topk": _ann.ann_topk,
         "ann_ivf": _ann.ann_ivf,
+        "ann_ivf_fullprobe": _ann.ann_ivf_fullprobe,
         # ---- multimodal plumbing (stubbed codec)
         "media_features": _mm.media_features,
         # ---- relational / streaming operators
@@ -218,7 +219,8 @@ def oracle_sql() -> dict[str, str]:
     intentionally oracle-free: crawl_order (politeness-clock
     simulation — sequential oracle in pytest), feed_export (sink
     manifest: file counts/bytes depend on block layout), ann_ivf
-    (approximate by design — recall-vs-brute-force pytest), with
+    (approximate by design — recall-vs-brute-force pytest; its
+    machinery gets the hard check via ann_ivf_fullprobe below), with
     pytest oracles instead — see each docstring.
     """
     from whakoom_webscrapper_ray.pipelines.crawl_oracle_sql import (
@@ -239,6 +241,10 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _dd.ORACLE_JACCARD_PAIRS,
         "embedding_dups": _dd.ORACLE_EMBEDDING_DUPS,
         "ann_topk": _ann.oracle_ann_topk(),
+        # full-probe IVF must equal the exact top-k bit for bit — the
+        # IVF machinery's hard oracle (approximation quality itself
+        # stays a recall pytest on the nprobe<K path)
+        "ann_ivf_fullprobe": _ann.oracle_ann_topk(),
         "docs_filter_project": _do.ORACLE_DOCS_FILTER,
         "pricing_summary": _do.ORACLE_PRICING_SUMMARY,
         "top_customers": _do.ORACLE_TOP_CUSTOMERS,

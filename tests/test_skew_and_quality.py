@@ -118,3 +118,17 @@ def test_ivf_recall(ray_session):
         len(tk_n[q] & iv_n[q]) / len(tk_n[q]) for q in tk_n
     ]
     assert sum(recalls) / len(recalls) >= 0.7
+
+
+def test_ivf_fullprobe_exact(ray_session):
+    """Probing every bucket must reproduce brute-force top-k exactly
+    (the IVF machinery invariant behind the ann_ivf_fullprobe driver
+    oracle)."""
+    from whakoom_webscrapper_ray.pipelines import ann
+
+    cols = ["query_id", "neighbor_id", "rank"]
+    tk = ann.ann_topk(SF).to_pandas()[cols] \
+        .sort_values(cols).reset_index(drop=True)
+    fp = ann.ann_ivf_fullprobe(SF).to_pandas()[cols] \
+        .sort_values(cols).reset_index(drop=True)
+    assert fp.equals(tk)

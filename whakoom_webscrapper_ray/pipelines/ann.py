@@ -247,3 +247,16 @@ def ann_ivf(sf_dir: str, k: int = 10, num_queries: int = 8,
         .groupby("query_id")
         .map_groups(_merge_topk(k), batch_format="pandas")
     )
+
+
+def ann_ivf_fullprobe(sf_dir: str, k: int = 10, num_queries: int = 8,
+                      n_centroids: int = 16) -> ray.data.Dataset:
+    """IVF exactness invariant: probing ALL buckets reproduces the
+    brute-force top-k exactly, so the bucket assignment, probe masking
+    and per-query merge machinery get a hard driver-checked oracle
+    (the same SQL as ``ann_topk``).  The approximate path
+    (``nprobe < n_centroids``) stays covered by the recall-vs-brute
+    pytest — approximation quality is not SQL-expressible, exactness
+    of the plumbing is."""
+    return ann_ivf(sf_dir, k=k, num_queries=num_queries,
+                   n_centroids=n_centroids, nprobe=n_centroids)
