@@ -217,11 +217,12 @@ def oracle_sql() -> dict[str, str]:
     (fingerprints, simhash) use SQL-reproducible recurrences (Horner
     mod 2**64 + fmix64) so they compare bit-exactly.  Still
     intentionally oracle-free: crawl_order (politeness-clock
-    simulation — sequential oracle in pytest), feed_export (sink
-    manifest: file counts/bytes depend on block layout), ann_ivf
-    (approximate by design — recall-vs-brute-force pytest; its
-    machinery gets the hard check via ann_ivf_fullprobe below), with
-    pytest oracles instead — see each docstring.
+    simulation — sequential oracle in pytest), ann_ivf (approximate by
+    design — recall-vs-brute-force pytest; its machinery gets the hard
+    check via ann_ivf_fullprobe below), with pytest oracles instead —
+    see each docstring.  feed_export is oracle-checked via round-trip
+    facts: the query reads its own export back and digests the
+    content, which the SQL reproduces from the source tables.
     """
     from whakoom_webscrapper_ray.pipelines.crawl_oracle_sql import (
         crawl_oracles,
@@ -229,6 +230,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         **crawl_oracles(),
+        "feed_export": _sk.oracle_feed_export(),
         "span_links": _il.ORACLE_SPAN_LINKS,
         "span_kind_counts": _il.ORACLE_SPAN_KIND_COUNTS,
         "token_stats": _tx.ORACLE_TOKEN_STATS,

@@ -79,10 +79,24 @@ def test_oracle_parity(entry, ddb, name):
 
 
 def test_feed_export_manifest(entry):
-    m = entry.queries()["feed_export"](SF_DIR).to_pandas()
+    """The sink writes real partitioned files (manifest side) and the
+    query surface reports matching round-trip facts per format."""
+    import tempfile
+
+    from whakoom_webscrapper_ray.pipelines.interleaved import span_links
+    from whakoom_webscrapper_ray.pipelines.sinks import export_dataset
+
+    with tempfile.TemporaryDirectory(prefix="wkm_feed_t_") as out:
+        m = export_dataset(span_links(SF_DIR), out).to_pandas()
     assert set(m["format"]) == {"parquet", "json"}
     assert (m["n_files"] > 0).all()
     assert (m["n_bytes"] > 0).all()
+
+    facts = entry.queries()["feed_export"](SF_DIR).to_pandas()
+    assert set(facts["format"]) == {"parquet", "json"}
+    assert facts["n_rows"].nunique() == 1          # both formats agree
+    assert facts["content_sum"].nunique() == 1
+    assert (facts["n_rows"] > 0).all()
 
 
 def test_media_features_schema(entry):

@@ -16,8 +16,10 @@ Not SQL-expressible (and why):
   rounds; that simulation is the sequential oracle in oracle.py,
   exercised by tests/test_crawl_conformance.py.  A recursive CTE can
   express reachability but not the clock-carrying priority queue.
-- ``feed_export`` — a side-effecting sink; its manifest (file count,
-  byte sizes) depends on parquet/json encoders, not on data semantics.
+(``feed_export`` — a side-effecting sink — IS oracle-checked: the
+query reads its own export back and returns per-format row counts and
+a commutative content digest, which sinks.oracle_feed_export()
+reproduces from the source tables.)
 
 URL canonicalization in SQL covers exactly the fixture's URL shapes
 (scheme/host case-folding, default-port drop, absolute-path relative
