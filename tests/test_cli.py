@@ -1,0 +1,57 @@
+"""CLI surface (the ``ray job submit`` analog): crawl → export →
+get → query driven in-process through ``main(argv)`` — ``_init_ray``
+is guarded, so the commands run against the session Ray fixture."""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+def _last_json(capsys):
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_cli_crawl_export_get_query(ray_session, tmp_path, capsys):
+    from whakoom_webscrapper_ray.cli import main
+
+    ckpt = str(tmp_path / "ckpt")
+    assert main(["crawl", "--synth", "SMALL", "--checkpoint", ckpt,
+                 "--num-shards", "2"]) == 0
+    out = _last_json(capsys)
+    assert out["rounds"] == 3 and out["scheduled"] == 168
+
+    exp = str(tmp_path / "out")
+    assert main(["export", "--synth", "SMALL", "--checkpoint", ckpt,
+                 "--num-shards", "2", "--out", exp]) == 0
+    out = _last_json(capsys)
+    assert out["tables"]["lists"] == 32
+    assert out["tables"]["junction"] == 190
+    assert os.path.exists(os.path.join(exp, "crawl_order.parquet"))
+
+    # J2 point lookup over the export
+    assert main(["get", "--table-dir", os.path.join(exp, "lists"),
+                 "--id", "100000"]) == 0
+    rows = _last_json(capsys)
+    assert len(rows) == 1 and rows[0]["list_id"] == 100000
+
+    # S7 named queries over the same export
+    assert main(["query", "--export-dir", exp, "--list"]) == 0
+    names = _last_json(capsys)
+    assert "GET_LIST_BY_ID" in names
+    assert main(["query", "--export-dir", exp, "--name",
+                 "GET_LIST_BY_ID", "--param", "100000"]) == 0
+    rows = _last_json(capsys)
+    assert len(rows) == 1 and rows[0]["list_id"] == 100000
+
+
+def test_cli_max_pages_budget(ray_session, tmp_path, capsys):
+    """O4 pagination budget through the CLI: 8 hosts × 7 pages and the
+    title round is cut entirely (verify-recipe golden numbers)."""
+    from whakoom_webscrapper_ray.cli import main
+
+    ckpt = str(tmp_path / "ckpt_budget")
+    assert main(["crawl", "--synth", "SMALL", "--checkpoint", ckpt,
+                 "--num-shards", "2", "--max-pages-per-host", "7"]) == 0
+    out = _last_json(capsys)
+    assert out["rounds"] == 2 and out["scheduled"] == 56
