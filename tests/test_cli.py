@@ -55,3 +55,20 @@ def test_cli_max_pages_budget(ray_session, tmp_path, capsys):
                  "--num-shards", "2", "--max-pages-per-host", "7"]) == 0
     out = _last_json(capsys)
     assert out["rounds"] == 2 and out["scheduled"] == 56
+
+
+def test_cli_resume(ray_session, tmp_path, capsys):
+    """--resume picks up a killed crawl from its checkpoint and
+    finishes it: cumulative scheduled count reaches the full 168."""
+    from whakoom_webscrapper_ray.cli import main
+
+    ckpt = str(tmp_path / "ckpt_resume")
+    assert main(["crawl", "--synth", "SMALL", "--checkpoint", ckpt,
+                 "--num-shards", "2", "--max-rounds", "1"]) == 0
+    out1 = _last_json(capsys)
+    assert out1["scheduled"] == 8          # seeds only, then "crash"
+
+    assert main(["crawl", "--synth", "SMALL", "--checkpoint", ckpt,
+                 "--num-shards", "2", "--resume"]) == 0
+    out2 = _last_json(capsys)
+    assert out2["scheduled"] == 168        # global_seq is cumulative
