@@ -175,3 +175,45 @@ def test_checkpoint_links_spill_runs(tmp_path):
     out2 = restore_and_poll()  # second resume from the same round
     assert out1.equals(out2)
     assert out1.num_rows == 12
+
+
+# ---------------------------------------------------------------- property
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(deadline=None, max_examples=30)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 20),    # uid → ~heavy URL duplication
+            st.integers(0, 3),     # priority
+            st.integers(0, 6),     # ok drawn from a TINY range: most
+        ),                         # rows tie at the merge frontier,
+        min_size=1, max_size=48,   # exercising the stall-refill branch
+    ),
+    chunk=st.integers(1, 3),
+    batch=st.integers(1, 7),
+)
+def test_streaming_poll_property(tmp_path_factory, data, chunk, batch):
+    """For ANY backlog shape — duplicate SHAs across runs, equal-ok
+    ties at the safe frontier, chunk size down to 1 — the streaming
+    spill merge is byte-equal to the single-pass no-spill poll."""
+    tmp = tmp_path_factory.mktemp("prop_spill")
+    hosts = ["a.example", "b.example", "slow.example"]
+    urls = [f"http://{hosts[u % 3]}/p{u}" for u, _, _ in data]
+    prios = [p for _, p, _ in data]
+    oks = [o for _, _, o in data]
+
+    spilled = _mk(tmp, spill=True, poll_chunk_rows=chunk)
+    plain = _mk(tmp, spill=False)
+    for lo in range(0, len(data), batch):
+        sl = slice(lo, lo + batch)
+        b = _rows(urls[sl], prios[sl], oks[sl])
+        spilled.enqueue(**b)
+        plain.enqueue(**b)
+
+    got = spilled.poll_round(0)
+    want = plain.poll_round(0)
+    assert got.equals(want)
+    assert spilled._spill_files == [] and spilled.pending == []
