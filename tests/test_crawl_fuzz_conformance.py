@@ -58,15 +58,20 @@ def _inject_hostile(pages: pa.Table) -> pa.Table:
 
 
 @pytest.mark.parametrize(
-    "seed,num_shards,dup_frac,offsite_frac",
+    "seed,num_shards,dup_frac,offsite_frac,spill_rows",
     [
-        (43, 2, 0.10, 0.05),
-        (43, 5, 0.10, 0.05),   # same web, different sharding
-        (44, 3, 0.20, 0.10),
+        (43, 2, 0.10, 0.05, None),
+        (43, 5, 0.10, 0.05, None),   # same web, different sharding
+        (44, 3, 0.20, 0.10, None),
+        # hostile links × streaming spill merge × sharding: a tiny
+        # threshold forces every round's backlog through the ok-sorted
+        # spill runs and the min-ok merge
+        (44, 3, 0.20, 0.10, 8),
     ],
 )
 def test_hostile_web_conformance(
-    ray_session, tmp_path, seed, num_shards, dup_frac, offsite_frac
+    ray_session, tmp_path, seed, num_shards, dup_frac, offsite_frac,
+    spill_rows,
 ):
     from whakoom_webscrapper_ray.oracle import run_oracle
     from whakoom_webscrapper_ray.pipelines.crawl import CrawlEngine
@@ -91,9 +96,13 @@ def test_hostile_web_conformance(
         num_shards=num_shards,
         fetcher_concurrency=2,
         batch_size=64,
+        **({"spill_threshold_rows": spill_rows} if spill_rows else {}),
     )
     try:
         eng.run()
+        if spill_rows:
+            stats = eng.frontier.spill_stats()
+            assert sum(s["spills"] for s in stats) > 0
         got = eng.crawl_order()
         rows = list(
             zip(
