@@ -194,14 +194,27 @@ def _consume(res) -> int:
 
 
 def run_queries(sf_dir: str) -> dict[str, float]:
+    """Per-query seconds, best of ``WKM_QUERY_TRIALS`` (default 2).
+
+    The same host-bimodality damping the crawl trials use: the slow
+    mode strikes per-minute, not per-session (an isolated re-run of a
+    52.8 s slow-mode query measured 9.5 s the same hour), so the min
+    over two back-to-back runs measures the engine, not the mode.
+    The second run also absorbs the cold parquet read of the first.
+    """
     import __ray_entry__ as entrymod
 
+    trials = max(1, int(os.environ.get("WKM_QUERY_TRIALS", "2")))
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        _consume(qs[name](sf_dir))
-        out[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            _consume(qs[name](sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
     return out
 
 
