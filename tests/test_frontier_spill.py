@@ -177,6 +177,32 @@ def test_checkpoint_links_spill_runs(tmp_path):
     assert out1.num_rows == 12
 
 
+def test_spill_merge_dedups_without_seen_state(tmp_path):
+    """Regression: with no seen state (local_seen=False, no shard),
+    a SHA whose duplicates span two merge chunks must still collapse
+    to its min-ok occurrence — the per-poll emitted filter carries
+    across chunks (the non-spill path sees the whole backlog at once)."""
+    dup = "http://a.example/dup"
+    spilled = _mk(tmp_path, spill=True, poll_chunk_rows=2,
+                  local_seen=False)
+    plain = _mk(tmp_path, spill=False, local_seen=False)
+    # duplicates far apart in ok so they land in different chunks/runs
+    b1 = _rows([dup] + _urls(4), [3, 1, 1, 1, 1], [900, 1, 2, 3, 4])
+    b2 = _rows([dup] + _urls(4, "b.example"), [0, 1, 1, 1, 1],
+               [5, 10, 11, 12, 13])
+    for shard in (spilled, plain):
+        shard.enqueue(**b1)
+        shard.enqueue(**b2)
+    assert spilled.spill_count >= 2
+    got = spilled.poll_round(0)
+    want = plain.poll_round(0)
+    assert got.equals(want)
+    urls = got.column("canon_url").to_pylist()
+    assert urls.count(dup) == 1
+    d = dict(zip(urls, got.column("ok").to_pylist()))
+    assert d[dup] == 5
+
+
 # ---------------------------------------------------------------- property
 from hypothesis import given, settings
 from hypothesis import strategies as st

@@ -78,6 +78,23 @@ def test_oracle_parity(entry, ddb, name):
     pd.testing.assert_frame_equal(res, exp, check_dtype=True)
 
 
+def test_embedding_dups_multiblock(entry, ddb):
+    """Regression: with block_rows far below the row count the blocked
+    self-join runs many cross-block tasks; blocks are IVF-bucket-sorted
+    (NOT id-sorted), so a pair whose smaller vec_id sits in the second
+    block must still be emitted (the old id-order filter dropped it)."""
+    from whakoom_webscrapper_ray.pipelines.dedup import (
+        ORACLE_EMBEDDING_DUPS, embedding_dup_pairs,
+    )
+
+    got = canon(
+        embedding_dup_pairs(SF_DIR, block_rows=64, n_centroids=8)
+        .to_pandas()
+    )
+    exp = canon(ddb.sql(ORACLE_EMBEDDING_DUPS).df())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=True)
+
+
 def test_feed_export_manifest(entry):
     """The sink writes real partitioned files (manifest side) and the
     query surface reports matching round-trip facts per format."""

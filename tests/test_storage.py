@@ -116,6 +116,74 @@ def test_upsert_composite_key(tmp_path):
     assert got == {(1, 7): 0, (1, 8): 5, (2, 7): 0, (2, 9): 2}
 
 
+def test_upsert_after_unlink_no_name_reuse(tmp_path):
+    """Regression: once a fragment is fully superseded and unlinked, a
+    later upsert must NOT reuse an existing fragment's name (the old
+    fragment-count naming overwrote live rows: upserting {1,2}, {9},
+    {1,2}, {7} left only {7,9})."""
+    bk = ParquetBackend()
+    d = str(tmp_path / "t")
+    for ks in ([1, 2], [9], [1, 2], [7]):
+        bk.upsert(
+            pa.table({"k": ks, "v": [str(k) for k in ks],
+                      "w": [k * 10 for k in ks]}),
+            d, ["k"],
+        )
+    assert _read_all(bk, d) == {
+        1: ("1", 10), 2: ("2", 20), 7: ("7", 70), 9: ("9", 90)
+    }
+
+
+def test_upsert_dataset_stream_copy_on_write(tmp_path):
+    """Multi-batch streaming upsert: pre-existing fragments with no
+    matched key keep their inode/mtime (scanned at most once, pruned
+    by footer stats); matched old rows are superseded; a later batch
+    re-sending a key wins over an earlier batch (LWW)."""
+    bk = ParquetBackend()
+    d = str(tmp_path / "t")
+    # 20 disjoint-key-range base fragments
+    for i in range(20):
+        bk.upsert(
+            pa.table({"k": [i * 10, i * 10 + 1],
+                      "v": ["old"] * 2, "w": [i, i]}),
+            d, ["k"],
+        )
+    before = {f: (os.stat(f).st_ino, os.stat(f).st_mtime_ns)
+              for f in bk.list_fragments(d)}
+    # stream: touches keys 50,51 (one fragment) + inserts 999 twice
+    bk.upsert_dataset(
+        iter([
+            pa.table({"k": [50, 999], "v": ["new", "first"],
+                      "w": [1, 1]}),
+            pa.table({"k": [999], "v": ["last"], "w": [2]}),
+        ]),
+        d, ["k"],
+    )
+    rows = _read_all(bk, d)
+    assert rows[50] == ("new", 1)
+    assert rows[51] == ("old", 5)
+    assert rows[999] == ("last", 2)
+    assert len(rows) == 41
+    touched = [f for f, sig in before.items()
+               if not os.path.exists(f)
+               or (os.stat(f).st_ino, os.stat(f).st_mtime_ns) != sig]
+    # exactly the one fragment holding key 50 was rewritten
+    assert len(touched) == 1
+
+
+def test_recompact_does_not_self_delete(tmp_path):
+    """Regression: compacting a dir whose previous compact output is
+    among the inputs must not unlink its own replacement."""
+    bk = ParquetBackend()
+    d = str(tmp_path / "t")
+    bk.upsert(pa.table({"k": [1], "v": ["a"], "w": [1]}), d, ["k"])
+    bk.upsert(pa.table({"k": [2], "v": ["b"], "w": [2]}), d, ["k"])
+    bk.compact(d)
+    bk.upsert(pa.table({"k": [3], "v": ["c"], "w": [3]}), d, ["k"])
+    bk.compact(d)
+    assert _read_all(bk, d) == {1: ("a", 1), 2: ("b", 2), 3: ("c", 3)}
+
+
 def test_compact(tmp_path):
     bk = ParquetBackend()
     d = str(tmp_path / "t")

@@ -114,6 +114,23 @@ def test_fingerprint_matches_scalar_recurrence():
     assert got == expected
 
 
+def test_char_poly_hashes_large_string_offsets():
+    """Regression: large_string flats carry int64 offsets; reading them
+    as int32 silently misparses (>2 GiB flat token buffers at scale)."""
+    import pyarrow as pa
+
+    from whakoom_webscrapper_ray.pipelines.text import char_poly_hashes
+
+    toks = ["alpha", "b", "", "gamma delta", "zz"]
+    small = pa.array(toks, pa.string())
+    large = pa.array(toks, pa.large_string())
+    assert np.array_equal(char_poly_hashes(small),
+                          char_poly_hashes(large))
+    # sliced view exercises the offset/base arithmetic on both widths
+    assert np.array_equal(char_poly_hashes(small.slice(1, 3)),
+                          char_poly_hashes(large.slice(1, 3)))
+
+
 def test_fingerprint_order_sensitive():
     a = _fingerprint_batch(_batch(["alpha beta gamma"]))
     b = _fingerprint_batch(_batch(["gamma beta alpha"]))

@@ -1142,25 +1142,34 @@ class CrawlEngine:
                      "user_profile": pa.array([], pa.string()),
                      "seq": pa.array([], pa.int64())}
                 )
-            seq_map = {
-                d: s
-                for d, s in zip(
-                    t.column("doc_id").to_pylist(),
-                    t.column("seq").to_pylist(),
-                )
-            }
-            profiles = [
-                u.split("/")[3] if len(u.split("/")) > 3 else ""
-                for u in out.column("src_doc_id").to_pylist()
-            ]
-            seqs = [seq_map[d] for d in out.column("src_doc_id").to_pylist()]
+            doc_col = t.column("doc_id")
+            if isinstance(doc_col, pa.ChunkedArray):
+                doc_col = doc_col.combine_chunks()
+            src = out.column("src_doc_id")
+            if isinstance(src, pa.ChunkedArray):
+                src = src.combine_chunks()
+            # source doc's seq: hash-probe src against this batch's
+            # doc_id column (every src_doc_id comes from this batch)
+            seqs = t.column("seq").take(
+                pc.index_in(src, value_set=doc_col)
+            )
+            # user_profile = first path segment of the profile URL
+            # (``u.split("/")[3]``, spiders/lists.py:35-36); profile
+            # doc_ids are canonical scheme://host/... by construction
+            prof = pc.fill_null(
+                pc.struct_field(
+                    pc.extract_regex(src, r"^[^/]*//[^/]*/(?P<p>[^/]*)"),
+                    "p",
+                ),
+                "",
+            )
             return pa.table(
                 {
                     "list_id": out.column("list_id"),
                     "title": out.column("title"),
                     "url": out.column("url"),
-                    "user_profile": pa.array(profiles, pa.string()),
-                    "seq": pa.array(seqs, pa.int64()),
+                    "user_profile": prof,
+                    "seq": pc.cast(seqs, pa.int64()),
                 }
             )
 
@@ -1210,32 +1219,36 @@ class CrawlEngine:
                      "position": pa.array([], pa.int32()),
                      "ok": pa.array([], pa.int64())}
                 )
-            cols = canonicalize_batch(
-                links.column("href").to_pylist(),
-                links.column("src_doc_id").to_pylist(),
+            href = links.column("href")
+            if isinstance(href, pa.ChunkedArray):
+                href = href.combine_chunks()
+            src = links.column("src_doc_id")
+            if isinstance(src, pa.ChunkedArray):
+                src = src.combine_chunks()
+            # Arrow-native canonicalization: same fast path as the
+            # crawl's route stage — slow (relative-href) rows resolve
+            # against their source page URL
+            cols = canonicalize_arrow(
+                href, base_for=lambda j: src[int(j)].as_py()
             )
-            keep = offsite_mask(cols["host"], allowed)
-            tids = ids_from_url_tail(links.column("href")).to_numpy(
-                zero_copy_only=False
-            )
-            keep &= ~pa.compute.is_null(
-                ids_from_url_tail(links.column("href"))
-            ).to_numpy(zero_copy_only=False)
-            sub = links.filter(pa.array(keep))
-            canon = [c for c, k in zip(cols["canon_url"], keep) if k]
-            sub_tids = ids_from_url_tail(sub.column("href"))
+            tid_arr = ids_from_url_tail(href)
+            keep = offsite_mask_arrow(cols["host"], allowed)
+            keep &= pc.is_valid(tid_arr).to_numpy(zero_copy_only=False)
+            keep_pa = pa.array(keep)
+            sub = links.filter(keep_pa)
+            canon = cols["canon"].filter(keep_pa)
+            sub_tids = tid_arr.filter(keep_pa)
             ranked = rank_positions(sub, group_col="src_doc_id")
-            seq_map = {
-                d: s
-                for d, s in zip(
-                    t.column("doc_id").to_pylist(),
-                    t.column("seq").to_pylist(),
-                )
-            }
-            seqs = np.array(
-                [seq_map[d] for d in ranked.column("src_doc_id").to_pylist()],
-                dtype=np.int64,
-            )
+            # source doc's seq: hash-probe against this batch's docs
+            doc_col = t.column("doc_id")
+            if isinstance(doc_col, pa.ChunkedArray):
+                doc_col = doc_col.combine_chunks()
+            rsrc = ranked.column("src_doc_id")
+            if isinstance(rsrc, pa.ChunkedArray):
+                rsrc = rsrc.combine_chunks()
+            seqs = t.column("seq").take(
+                pc.index_in(rsrc, value_set=doc_col)
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
             offs = ranked.column("offset").to_numpy(zero_copy_only=False)
             ok = (seqs << OK_SHIFT) | np.minimum(
                 offs.astype(np.int64), (1 << OK_SHIFT) - 1
@@ -1245,7 +1258,7 @@ class CrawlEngine:
                     "list_id": ranked.column("list_id"),
                     "title_id": sub_tids,
                     "title": ranked.column("anchor_text"),
-                    "url": pa.array(canon, pa.string()),
+                    "url": canon,
                     "position": ranked.column("position"),
                     "ok": pa.array(ok, pa.int64()),
                 }
@@ -1336,21 +1349,21 @@ class CrawlEngine:
         # aggregates in the free-form additional_data JSON column,
         # README.md:140).  A keyed aggregate over the volumes stream.
         def enriched_final(t: pa.Table) -> pa.Table:
-            blobs = [
-                json.dumps(
-                    {"n_volumes": int(n), "first_year": int(y)},
-                    sort_keys=True,
-                )
-                for n, y in zip(
-                    t.column("n_volumes").to_pylist(),
-                    t.column("first_year").to_pylist(),
-                )
-            ]
+            # vectorized json.dumps(..., sort_keys=True) — both values
+            # are integers, so plain string concat IS valid JSON
+            blobs = pc.binary_join_element_wise(
+                '{"first_year": ',
+                pc.cast(pc.cast(t["first_year"], pa.int64()), pa.string()),
+                ', "n_volumes": ',
+                pc.cast(pc.cast(t["n_volumes"], pa.int64()), pa.string()),
+                "}",
+                "",
+            )
             return pa.table(
                 {
                     "title_id": pc.cast(t["title_id"], pa.int64()),
                     "rating": pa.array([None] * t.num_rows, pa.float64()),
-                    "additional_data": pa.array(blobs, pa.string()),
+                    "additional_data": pc.cast(blobs, pa.string()),
                 }
             )
 
@@ -1414,9 +1427,11 @@ class CrawlEngine:
         table by primary key, incoming row winning (the reference's
         ``INSERT ... ON CONFLICT DO UPDATE`` re-run story,
         queries/lists.sql:1-9).  Batches stream through the driver
-        sequentially because upsert commits are serialized — the same
-        single-writer commit protocol Lance's merge_insert uses;
-        per-batch memory stays bounded.
+        because upsert commits are serialized — the same single-writer
+        commit protocol Lance's merge_insert uses — but the stored
+        table's pre-existing fragments are reconciled ONCE per table
+        (stats-pruned key scan), not once per batch; per-batch memory
+        stays bounded.
         """
         bk = storage_backend()
         paths = {}
@@ -1424,11 +1439,11 @@ class CrawlEngine:
             path = os.path.join(out_dir, name)
             keys = self._TABLE_KEYS.get(name)
             if mode == "upsert" and keys:
-                for b in ds.iter_batches(
-                    batch_format="pyarrow", batch_size=8192
-                ):
-                    if b.num_rows:
-                        bk.upsert(b, path, keys)
+                bk.upsert_dataset(
+                    ds.iter_batches(batch_format="pyarrow",
+                                    batch_size=8192),
+                    path, keys,
+                )
             else:
                 os.makedirs(path, exist_ok=True)
                 bk.write_dataset(ds, path)

@@ -649,6 +649,10 @@ def _block_summary(tbl: pa.Table) -> tuple[np.ndarray, float]:
     from .ann import emb_matrix
 
     m = emb_matrix(tbl["embedding"])
+    if m.shape[0] == 0:
+        # empty block (repartition edge): r = pi makes the triangle
+        # bound prune every pair involving it instead of crashing
+        return np.zeros(max(m.shape[1], 1)), float(np.pi)
     m = m / np.linalg.norm(m, axis=1, keepdims=True)
     mu = m.mean(axis=0)
     n = np.linalg.norm(mu)
@@ -685,13 +689,22 @@ def _pairs_between(ta: pa.Table, tb: pa.Table | None,
             sims = ma[sa:sa + tile] @ mb[sb:sb + tile].T
             aid = ia[sa:sa + tile]
             bid = ib[sb:sb + tile]
-            ii, jj = np.nonzero(
-                (sims >= threshold) & (aid[:, None] < bid[None, :])
-            )
+            if tb is None:
+                # within-block: id comparison dedups the symmetric pair
+                mask = (sims >= threshold) & (aid[:, None] < bid[None, :])
+            else:
+                # cross-block: blocks are ordered by IVF bucket, NOT by
+                # vec_id, so an id-order filter here would drop every
+                # pair whose smaller id lives in block B — take the
+                # threshold alone and canonicalize below
+                mask = sims >= threshold
+            ii, jj = np.nonzero(mask)
             out_a.append(aid[ii])
             out_b.append(bid[jj])
     va = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
     vb = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+    if tb is not None and len(va):
+        va, vb = np.minimum(va, vb), np.maximum(va, vb)
     order = np.lexsort((vb, va))
     return pa.table(
         {

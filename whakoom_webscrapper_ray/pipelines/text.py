@@ -443,7 +443,12 @@ def char_poly_hashes(flat: pa.Array) -> np.ndarray:
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()
     bufs = flat.buffers()
-    offs = np.frombuffer(bufs[1], dtype=np.int32)[
+    # large_string carries int64 offsets (flattened token bytes can
+    # exceed 2 GiB per batch) — reading them as int32 would silently
+    # misparse, producing wrong fingerprints instead of an error
+    off_dt = (np.int64 if pa.types.is_large_string(flat.type)
+              else np.int32)
+    offs = np.frombuffer(bufs[1], dtype=off_dt)[
         flat.offset:flat.offset + n + 1
     ].astype(np.int64)
     data = (

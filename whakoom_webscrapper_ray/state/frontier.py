@@ -61,6 +61,17 @@ def discovery_ok(parent_seq: np.ndarray, offset: np.ndarray) -> np.ndarray:
     )
 
 
+def _sha_void(sha_arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Zero-copy void-20 view of a fixed-size-binary(20) column —
+    C memcmp comparisons, no Python bytes objects."""
+    if isinstance(sha_arr, pa.ChunkedArray):
+        sha_arr = sha_arr.combine_chunks()
+    raw = np.frombuffer(
+        sha_arr.buffers()[1], dtype=np.uint8
+    )[sha_arr.offset * 20:(sha_arr.offset + len(sha_arr)) * 20]
+    return raw.reshape(-1, 20).view(np.dtype((np.void, 20))).ravel()
+
+
 def _empty_poll_table() -> pa.Table:
     return pa.table(
         {
@@ -202,13 +213,7 @@ class FrontierShard:
         if t.num_rows == 0:
             return t
         ok = t.column("ok").to_numpy(zero_copy_only=False)
-        sha_arr = t.column("url_sha1")
-        if isinstance(sha_arr, pa.ChunkedArray):
-            sha_arr = sha_arr.combine_chunks()
-        raw = np.frombuffer(
-            sha_arr.buffers()[1], dtype=np.uint8
-        )[sha_arr.offset * 20:(sha_arr.offset + len(sha_arr)) * 20]
-        sha_v = raw.reshape(-1, 20).view(np.dtype((np.void, 20))).ravel()
+        sha_v = _sha_void(t.column("url_sha1"))
         order = np.argsort(ok, kind="stable")
         _, first = np.unique(sha_v[order], return_index=True)
         cand_idx = order[np.sort(first)]             # in ok order
@@ -257,6 +262,28 @@ class FrontierShard:
         bufs: list[pa.Table | None] = [None] * n
         exhausted = [False] * n
         survivors: list[pa.Table] = []
+        # Without a seen state the per-chunk _dedup_probe only dedups
+        # WITHIN its chunk (the non-spill path sees the whole backlog
+        # at once); carry a per-poll emitted-SHA filter across chunks
+        # so a SHA spanning two chunks survives exactly once.  The
+        # min-ok frontier guarantees the first-emitted occurrence is
+        # the global min-ok one.
+        track = self.seen is None and self.seen_shard is None
+        emitted: list[np.ndarray] = []
+
+        def probe(chunk: pa.Table) -> pa.Table:
+            sub = self._dedup_probe(chunk)
+            if not track or sub.num_rows == 0:
+                return sub
+            sha = _sha_void(sub.column("url_sha1"))
+            if emitted:
+                keep = ~np.isin(sha, np.concatenate(emitted))
+                if not keep.all():
+                    sub = sub.filter(pa.array(keep))
+                    sha = sha[keep]
+            if sha.size:
+                emitted.append(np.ascontiguousarray(sha))
+            return sub
 
         def refill(i: int) -> None:
             try:
@@ -284,7 +311,7 @@ class FrontierShard:
                 chunk = pa.concat_tables([bufs[i] for i in active])
                 for i in active:
                     bufs[i] = None
-                sub = self._dedup_probe(chunk)
+                sub = probe(chunk)
                 if sub.num_rows:
                     survivors.append(sub)
                 break
@@ -303,7 +330,7 @@ class FrontierShard:
                     bufs[i] = bufs[i].slice(cut)
             progressed = bool(parts)
             if parts:
-                sub = self._dedup_probe(pa.concat_tables(parts))
+                sub = probe(pa.concat_tables(parts))
                 if sub.num_rows:
                     survivors.append(sub)
             # Refill only shallow buffers (runs far ahead of the

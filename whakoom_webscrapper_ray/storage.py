@@ -57,6 +57,13 @@ import pyarrow.parquet as pq
 _FAST = {"compression": "zstd", "compression_level": 1,
          "use_dictionary": False, "write_statistics": False}
 
+# Upserted-table fragments DO carry row-group statistics: the keyed
+# tables (lists/junction/titles) are read back by key — point lookups
+# and later upserts prune untouched fragments from the footer min/max
+# instead of scanning them.
+_STATS = {"compression": "zstd", "compression_level": 1,
+          "use_dictionary": False, "write_statistics": True}
+
 
 def _key_array(t: pa.Table, keys: list[str]) -> pa.Array:
     """One comparable key column: the column itself, or for composite
@@ -89,9 +96,10 @@ class ParquetBackend:
         the write idempotent (resume overwrites the same file)."""
         pq.write_table(table, path, **(_FAST if fast else {}))
 
-    def write_fragment_atomic(self, table: pa.Table, path: str) -> None:
+    def write_fragment_atomic(self, table: pa.Table, path: str,
+                              stats: bool = False) -> None:
         """tmp + rename so concurrent readers never see a torn file."""
-        pq.write_table(table, path + ".tmp", **_FAST)
+        pq.write_table(table, path + ".tmp", **(_STATS if stats else _FAST))
         os.replace(path + ".tmp", path)
 
     def read_fragment(self, path: str,
@@ -142,34 +150,119 @@ class ParquetBackend:
         ds.write_parquet(table_dir)
 
     # -- keyed upsert (merge_insert shape) --------------------------------
-    def upsert(self, table: pa.Table, table_dir: str,
-               keys: list[str]) -> None:
-        """LWW merge of ``table`` into the stored table by ``keys``.
+    def _next_fragment_index(self, table_dir: str) -> int:
+        """max(trailing integer over existing fragment stems) + 1 — a
+        monotonic name that can never collide with a live fragment,
+        even after earlier fragments were fully superseded and
+        unlinked (counting *current* fragments would reuse a name and
+        silently overwrite live rows)."""
+        mx = -1
+        for f in self.list_fragments(table_dir):
+            stem = os.path.basename(f)[: -len(self.fragment_ext)]
+            tail = stem.rsplit("-", 1)[-1]
+            if tail.isdigit():
+                mx = max(mx, int(tail))
+        return mx + 1
 
-        Copy-on-write like Lance's merge_insert: fragments with no
-        matched key are untouched; matched fragments are rewritten
-        atomically without the superseded rows; the incoming batch is
-        appended as one new fragment.  Caller serializes commits.
+    def _fragment_may_match(self, path: str, key: str,
+                            lo, hi) -> bool:
+        """False only when the parquet footer statistics PROVE the
+        fragment's ``key`` range is disjoint from [lo, hi] (first key
+        column only; conservative — missing stats means 'may match')."""
+        try:
+            md = pq.ParquetFile(path).metadata
+            names = md.schema.to_arrow_schema().names
+            ci = names.index(key)
+        except (OSError, ValueError):
+            return True
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(ci).statistics
+            if st is None or not st.has_min_max:
+                return True
+            if not (st.max < lo or st.min > hi):
+                return True
+        return md.num_row_groups == 0
+
+    def upsert_dataset(self, batches, table_dir: str,
+                       keys: list[str]) -> None:
+        """LWW merge of a stream of Arrow batches by ``keys`` under one
+        commit — the multi-batch form of Lance merge_insert.
+
+        Copy-on-write: each incoming batch lands as one NEW fragment
+        (monotonic name, never overwriting); PRE-EXISTING fragments are
+        scanned ONCE against the union of incoming keys — pruned first
+        by footer min/max statistics, then by a key-columns-only read —
+        and rewritten atomically only when a key actually matched.
+        O(old_fragments + batches) fragment reads, not
+        O(old_fragments × batches).  Driver memory holds incoming KEY
+        columns only, never payload rows.  A later batch re-sending a
+        key supersedes this call's earlier fragment (rare; those new
+        fragments are the only per-batch rescan).  Caller serializes
+        commits, matching Lance's single-writer protocol.
         """
         os.makedirs(table_dir, exist_ok=True)
-        incoming = _key_array(table, keys)
-        n_frag = 0
-        for f in self.list_fragments(table_dir):
-            n_frag += 1
-            old = pq.read_table(f)
-            stale = pc.is_in(_key_array(old, keys), value_set=incoming)
-            n_stale = int(pc.sum(pc.cast(stale, pa.int64())).as_py() or 0)
-            if n_stale == 0:
+        old_frags = self.list_fragments(table_dir)
+        idx = self._next_fragment_index(table_dir)
+        new_frags: list[tuple[str, pa.Array]] = []   # (path, key array)
+        key_parts: list[pa.Array] = []
+        fk_parts: list[pa.Array] = []                # first key col (prune)
+        for b in batches:
+            if isinstance(b, pa.RecordBatch):
+                b = pa.Table.from_batches([b])
+            if b.num_rows == 0:
                 continue
-            kept = old.filter(pc.invert(stale))
+            kb = _key_array(b, keys)
+            for i, (p, fkeys) in enumerate(new_frags):
+                stale = pc.is_in(fkeys, value_set=kb)
+                if not pc.any(stale).as_py():
+                    continue
+                kept = self.read_fragment(p).filter(pc.invert(stale))
+                if kept.num_rows:
+                    self.write_fragment_atomic(kept, p, stats=True)
+                    new_frags[i] = (p, _key_array(kept, keys))
+                else:
+                    os.unlink(p)
+                    new_frags[i] = (p, kb.slice(0, 0))
+            path = self.fragment_path(table_dir, f"upsert-{idx:06d}")
+            assert not os.path.exists(path), (
+                f"fragment name collision: {path}"
+            )
+            idx += 1
+            self.write_fragment_atomic(b, path, stats=True)
+            new_frags.append((path, kb))
+            key_parts.append(kb)
+            fc = b.column(keys[0])
+            fk_parts.append(
+                fc.combine_chunks() if isinstance(fc, pa.ChunkedArray)
+                else fc
+            )
+        if not key_parts or not old_frags:
+            return
+        inc = pa.chunked_array(key_parts)
+        mm = pc.min_max(pa.chunked_array(fk_parts))
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        for f in old_frags:
+            if not os.path.exists(f):
+                continue  # superseded new fragment path, never an old one
+            if lo is not None and not self._fragment_may_match(
+                f, keys[0], lo, hi
+            ):
+                continue
+            old_keys = _key_array(self.read_fragment(f, columns=keys),
+                                  keys)
+            stale = pc.is_in(old_keys, value_set=inc)
+            if not pc.any(stale).as_py():
+                continue
+            kept = self.read_fragment(f).filter(pc.invert(stale))
             if kept.num_rows:
-                self.write_fragment_atomic(kept, f)
+                self.write_fragment_atomic(kept, f, stats=True)
             else:
                 os.unlink(f)
-        self.write_fragment_atomic(
-            table,
-            self.fragment_path(table_dir, f"upsert-{n_frag:06d}"),
-        )
+
+    def upsert(self, table: pa.Table, table_dir: str,
+               keys: list[str]) -> None:
+        """Single-batch LWW merge (see :meth:`upsert_dataset`)."""
+        self.upsert_dataset([table], table_dir, keys)
 
     def point_lookup(self, table_dir: str, key_col: str,
                      value) -> pa.Table:
@@ -191,9 +284,12 @@ class ParquetBackend:
         if len(frags) <= 1:
             return
         full = pa.concat_tables(pq.read_table(f) for f in frags)
-        self.write_fragment_atomic(
-            full, self.fragment_path(table_dir, "compact-000000")
+        # monotonic name: a prior compact's output is among `frags`
+        # and must not be the unlink target of its own replacement
+        out = self.fragment_path(
+            table_dir, f"compact-{self._next_fragment_index(table_dir):06d}"
         )
+        self.write_fragment_atomic(full, out, stats=True)
         for f in frags:
             os.unlink(f)
 
@@ -219,7 +315,8 @@ class LanceBackend:
                        fast: bool = True) -> None:
         self._lance.write_dataset(table, path, mode="overwrite")
 
-    def write_fragment_atomic(self, table: pa.Table, path: str) -> None:
+    def write_fragment_atomic(self, table: pa.Table, path: str,
+                              stats: bool = False) -> None:
         # lance commits are atomic (manifest swap) by construction
         self._lance.write_dataset(table, path, mode="overwrite")
 
@@ -279,6 +376,16 @@ class LanceBackend:
             .when_not_matched_insert_all()
             .execute(table)
         )
+
+    def upsert_dataset(self, batches, table_dir: str,
+                       keys: list[str]) -> None:
+        # lance merge_insert scans its own fragment stats per execute;
+        # per-batch commits preserve the incoming-last-writer order
+        for b in batches:
+            if isinstance(b, pa.RecordBatch):
+                b = pa.Table.from_batches([b])
+            if b.num_rows:
+                self.upsert(b, table_dir, keys)
 
     def point_lookup(self, table_dir: str, key_col: str,
                      value) -> pa.Table:
