@@ -190,27 +190,30 @@ def customer_rollup(sf_dir: str) -> ray.data.Dataset:
 
     from .common import table_path
 
-    nation = pq.read_table(table_path(sf_dir, "nation"))
-    region = pq.read_table(table_path(sf_dir, "region"))
-    n2r = dict(zip(nation["n_nationkey"].to_pylist(),
-                   nation["n_regionkey"].to_pylist()))
-    n2name = dict(zip(nation["n_nationkey"].to_pylist(),
-                      nation["n_name"].to_pylist()))
-    r2name = dict(zip(region["r_regionkey"].to_pylist(),
-                      region["r_name"].to_pylist()))
-    lookup_ref = ray.put((n2r, n2name, r2name))
+    nation = pq.read_table(table_path(sf_dir, "nation")).combine_chunks()
+    region = pq.read_table(table_path(sf_dir, "region")).combine_chunks()
+    # nation ⋈ region resolved driver-side ONCE into a small Arrow
+    # lookup table (25 rows) — probes below are vectorized
+    # index_in + take, never per-row dict lookups
+    ridx = pc.index_in(nation["n_regionkey"],
+                       value_set=region["r_regionkey"].combine_chunks())
+    lookup = pa.table(
+        {
+            "key": nation["n_nationkey"],
+            "nation_name": nation["n_name"],
+            "region_name": region["r_name"].take(ridx),
+        }
+    ).combine_chunks()
+    lookup_ref = ray.put(lookup)
 
     def tag(b: pa.Table, lookups=None) -> pa.Table:
-        n2r, n2name, r2name = deref(lookups)
-        nk = b["c_nationkey"].to_pylist()
+        lk = deref(lookups)
+        idx = pc.index_in(b["c_nationkey"],
+                          value_set=lk.column("key").chunk(0))
         return pa.table(
             {
-                "region_name": pa.array(
-                    [r2name[n2r[k]] for k in nk], pa.string()
-                ),
-                "nation_name": pa.array(
-                    [n2name[k] for k in nk], pa.string()
-                ),
+                "region_name": lk.column("region_name").take(idx),
+                "nation_name": lk.column("nation_name").take(idx),
                 "acctbal_cents": _floor_cents(b["c_acctbal"]),
             }
         )
@@ -323,13 +326,15 @@ def customers_no_big_orders(sf_dir: str, cents_threshold: int = 45_000_000
         .map_batches(big_keys, batch_format="pyarrow")
         .unique("o_custkey")
     )
-    seen_ref = ray.put(frozenset(big))
+    # broadcast the small key set ONCE as an Arrow array; the probe is
+    # a vectorized C hash lookup (pc.is_in), not a per-row set test
+    seen_ref = ray.put(pa.array(sorted(big), pa.int64()))
 
     def anti_probe(b: pa.Table, seen=None) -> pa.Table:
-        seen = deref(seen)
-        keys = b["c_custkey"].to_pylist()
-        mask = pa.array([k not in seen for k in keys])
-        return b.filter(mask)
+        vs = deref(seen)
+        return b.filter(
+            pc.invert(pc.is_in(b["c_custkey"], value_set=vs))
+        )
 
     return read(sf_dir, "customer", columns=["c_custkey", "c_name"]
                 ).map_batches(
