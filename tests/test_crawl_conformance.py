@@ -289,6 +289,27 @@ def test_entity_metrics_equality(engine_run, small_web, small_golden):
     assert got == want
 
 
+def test_entity_metrics_log_parity_columns(engine_run):
+    """Full scraping_log surface parity: the reference's log rows also
+    carry scrapper_name and duration_ms (001_initial_schema.sql:97-106,
+    sqlmanager.py:266-302).  scrapper_name is deterministic (title
+    pages → the publications spider, profile/list pages → lists);
+    duration_ms is wall-clock and only checked for presence/shape."""
+    import re
+
+    from whakoom_webscrapper_ray.stages.extract import TITLE_RE
+
+    eng, _ = engine_run
+    t = eng.entity_metrics_table()
+    assert {"scrapper_name", "duration_ms"} <= set(t.column_names)
+    title_re = re.compile(TITLE_RE)
+    for r in t.to_pylist():
+        want = ("publications" if title_re.match(r["entity_id"])
+                else "lists")
+        assert r["scrapper_name"] == want
+        assert r["duration_ms"] is not None and r["duration_ms"] >= 0
+
+
 def test_metrics_rollup_equality(engine_run, small_web, small_golden):
     """A4: GROUP BY (operation, status) over the per-entity log."""
     eng, _ = engine_run

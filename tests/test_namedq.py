@@ -100,10 +100,54 @@ def test_top_level_parquet_registers_as_view(export_dir):
     assert store.run("ORDER_HEAD").column("url").to_pylist() == ["s", "t"]
 
 
-def test_mutating_statement_refused(export_dir):
+def test_insert_or_update_list_by_name(export_dir):
+    """S7 mutating parity (sqlmanager.py:119-139): the named INSERT..ON
+    CONFLICT runs as a keyed upsert and the change reads back by name."""
     store = NamedQueryStore(export_dir)
+    r = store.run("INSERT_OR_UPDATE_LIST", 4, "d", "/u3/lists/d_4",
+                  "u3", "pending", "t4")
+    assert r.to_pylist() == [{"rows_affected": 1}]
+    got = store.run("GET_LIST_BY_ID", 4).to_pylist()
+    assert got == [{
+        "list_id": 4, "title": "d", "url": "/u3/lists/d_4",
+        "user_profile": "u3", "scrape_status": "pending",
+        "scraped_at": "t4",
+    }]
+    # conflict path: SET updates only the listed columns — the stored
+    # user_profile survives (reference queries/lists.sql:4-9)
+    store.run("INSERT_OR_UPDATE_LIST", 4, "d2", "/u3/lists/d_4",
+              "SOMEONE_ELSE", "completed", "t5")
+    got = store.run("GET_LIST_BY_ID", 4).to_pylist()[0]
+    assert got["title"] == "d2"
+    assert got["scrape_status"] == "completed"
+    assert got["scraped_at"] == "t5"
+    assert got["user_profile"] == "u3"   # NOT updated on conflict
+    assert store.run("GET_ALL_LISTS").num_rows == 4
+    store.close()
+
+
+def test_update_list_status_by_name(export_dir):
+    store = NamedQueryStore(export_dir)
+    r = store.run("UPDATE_LIST_STATUS", "completed", 2)
+    assert r.to_pylist() == [{"rows_affected": 1}]
+    got = store.run("GET_LIST_BY_ID", 2).to_pylist()[0]
+    assert got["scrape_status"] == "completed"
+    assert got["scraped_at"] != "t2"    # CURRENT_TIMESTAMP applied
+    assert got["title"] == "b"          # untouched columns survive
+    # absent key: 0 rows affected, nothing written
+    assert store.run("UPDATE_LIST_STATUS", "x", 999).to_pylist() == [
+        {"rows_affected": 0}
+    ]
+    assert store.run("GET_ALL_LISTS").num_rows == 3
+    store.close()
+
+
+def test_unsupported_mutation_refused(export_dir):
+    store = NamedQueryStore(export_dir, queries={
+        "DELETE_ALL": "DELETE FROM lists;",
+    })
     with pytest.raises(ValueError, match="write_tables"):
-        store.run("INSERT_OR_UPDATE_LIST", 4, "d", "u", "u3", "s", "t")
+        store.run("DELETE_ALL")
 
 
 def test_unknown_name_and_add_file(export_dir, tmp_path):

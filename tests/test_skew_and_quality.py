@@ -92,6 +92,15 @@ def pairs(ray_session):
     )
 
 
+def test_ngram_jaccard_guard_refuses_scale(ray_session):
+    """The O(n²) brute-force oracle hard-refuses inputs above its row
+    bound instead of silently attempting corpus scale."""
+    from whakoom_webscrapper_ray.pipelines import dedup
+
+    with pytest.raises(ValueError, match="brute-force"):
+        dedup.ngram_jaccard_pairs(SF, max_rows=10)
+
+
 def test_minhash_precision_exact(pairs):
     mh, bf = pairs
     assert mh <= bf  # every emitted pair truly has jaccard >= threshold

@@ -22,11 +22,17 @@ Execution model (Ray-Data-first, not a port):
   page), so a driver-side DuckDB scan is the right tool; corpus-scale
   scans (docs) belong in Ray Data pipelines, and the docstring of each
   shipped query says which side it is on.
-- **Mutating statements** (``INSERT``/``UPDATE``/``DELETE``/...) are
-  parsed and listed for parity, but ``run`` refuses them: the engine's
-  write path is ``CrawlEngine.write_tables(mode="upsert")`` (the S4
-  keyed LWW sink), which already subsumes the reference's
-  ``INSERT_OR_UPDATE_*``/``UPDATE_*_STATUS`` statements idempotently.
+- **Mutating statements** run by name too (S7 parity with
+  sqlmanager.py:119-139): ``INSERT INTO t (...) VALUES (?...) ON
+  CONFLICT (k) DO UPDATE SET ...`` and ``UPDATE t SET ... WHERE k = ?``
+  are parsed into keyed-upsert calls against the export's storage
+  backend — the same S4 LWW sink ``CrawlEngine.write_tables`` uses —
+  so ``INSERT_OR_UPDATE_LIST`` / ``UPDATE_LIST_STATUS`` behave like
+  the reference's SQLite statements (conflict updates only the listed
+  columns; UPDATE of an absent key affects 0 rows).  ``excluded.col``
+  and scalar SQL expressions (``CURRENT_TIMESTAMP``) in SET clauses
+  are honored; anything outside that grammar (``DELETE``, joins in
+  mutations) is still refused.
 
 CLI: ``python -m whakoom_webscrapper_ray.cli query --export-dir OUT
 --name GET_LIST_BY_ID --param 100000``.
@@ -45,6 +51,33 @@ import pyarrow as pa
 _BLOCK_RE = re.compile(r"#\s*(\w+)\s*\n(.*?)(?=\n#|$)", re.DOTALL)
 
 _READ_PREFIXES = ("select", "with", "describe", "show")
+
+# Mutation grammars the upsert shim accepts — exactly the shapes the
+# reference's operational pack uses (queries/lists.sql:1-9, 37-40).
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<table>\w+)\s*"
+    r"(?:\((?P<cols>[^)]*)\)\s*)?"
+    r"VALUES\s*\((?P<values>[^)]*)\)\s*"
+    r"(?:ON\s+CONFLICT\s*\((?P<conflict>[^)]*)\)\s*"
+    r"DO\s+UPDATE\s+SET\s+(?P<set>.*?))?;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<table>\w+)\s+SET\s+(?P<set>.*?)\s+"
+    r"WHERE\s+(?P<wherecol>\w+)\s*=\s*\?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+# Natural keys of the exported tables (the engine has no SQLite
+# surrogate ``id``; see the GET_* schema adaptation note above).
+_TABLE_KEYS = {
+    "lists": ["list_id"],
+    "titles": ["title_id"],
+    "junction": ["list_id", "title_id"],
+    "volumes": ["volume_id"],
+    "title_metadata": ["title_id"],
+    "title_enriched": ["title_id"],
+}
 
 # Default query pack shipped next to this module.
 _DEFAULT_SQL_DIR = os.path.join(os.path.dirname(__file__), "queries")
@@ -74,6 +107,19 @@ def load_query_dir(sql_dir: str) -> dict[str, str]:
 def _is_read_query(sql: str) -> bool:
     head = sql.lstrip().split(None, 1)
     return bool(head) and head[0].lower() in _READ_PREFIXES
+
+
+def _parse_assignments(set_clause: str) -> list[tuple[str, str]]:
+    """``col = rhs, col2 = rhs2`` → [(col, rhs), ...].  Top-level comma
+    split is exact for the shipped grammar (scalar rhs, no calls with
+    commas)."""
+    out = []
+    for part in set_clause.strip().rstrip(";").split(","):
+        col, _, rhs = part.partition("=")
+        if not _:
+            raise ValueError(f"bad SET assignment: {part!r}")
+        out.append((col.strip(), rhs.strip()))
+    return out
 
 
 class NamedQueryStore:
@@ -138,12 +184,156 @@ class NamedQueryStore:
             )
         sql = self.queries[key]
         if not _is_read_query(sql):
-            raise ValueError(
-                f"{key} is a mutating statement; writes go through "
-                "CrawlEngine.write_tables(mode='upsert') — the keyed "
-                "LWW sink already provides INSERT_OR_UPDATE semantics"
-            )
+            return self._run_mutation(key, sql, list(params))
         return self._connect().execute(sql, list(params)).arrow()
+
+    # -- mutation shim ------------------------------------------------------
+    def _eval_expr(self, expr: str):
+        """Scalar SQL expression (CURRENT_TIMESTAMP, literals) →
+        python value, via DuckDB so SQL semantics are exact."""
+        val = self._connect().execute(f"SELECT {expr}").fetchone()[0]
+        import datetime as _dt
+
+        if isinstance(val, _dt.datetime) and val.tzinfo is not None:
+            val = val.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return val
+
+    def _table_dir(self, table: str) -> str:
+        d = os.path.join(self.table_root, table)
+        if not os.path.isdir(d):
+            raise ValueError(f"no exported table directory {d!r}")
+        return d
+
+    def _lookup_rows(self, table: str, keys: list[str],
+                     keyvals: list) -> pa.Table:
+        """Matched stored row(s) by natural key (J2 point lookup —
+        row-group statistics prune untouched fragments)."""
+        from .storage import backend
+
+        t = backend().point_lookup(self._table_dir(table), keys[0],
+                                   keyvals[0])
+        import pyarrow.compute as pc
+
+        for k, v in zip(keys[1:], keyvals[1:]):
+            t = t.filter(pc.equal(t.column(k), v))
+        return t
+
+    def _upsert(self, table: str, rows: pa.Table,
+                keys: list[str]) -> None:
+        from .storage import backend
+
+        backend().upsert(rows, self._table_dir(table), keys)
+
+    @staticmethod
+    def _cast_cell(value, typ: pa.DataType) -> pa.Array:
+        try:
+            return pa.array([value], type=typ)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+                return pa.array([str(value)], type=typ)
+            raise
+
+    def _run_mutation(self, name: str, sql: str, params: list
+                      ) -> pa.Table:
+        """Name-driven write (reference sqlmanager.py:119-139): the
+        statement's grammar is mapped onto the storage seam's keyed
+        LWW upsert.  Returns a one-row ``{"rows_affected": n}``."""
+        m = _INSERT_RE.match(sql)
+        if m:
+            n = self._run_insert(m, params)
+        else:
+            m = _UPDATE_RE.match(sql)
+            if not m:
+                raise ValueError(
+                    f"{name} is a mutating statement outside the "
+                    "supported INSERT..ON CONFLICT / UPDATE..WHERE "
+                    "key grammar; use CrawlEngine.write_tables("
+                    "mode='upsert') for free-form writes"
+                )
+            n = self._run_update(m, params)
+        return pa.table({"rows_affected": pa.array([n], pa.int64())})
+
+    def _stored_schema(self, table: str) -> pa.Schema:
+        import pyarrow.parquet as pq
+
+        from .storage import backend
+
+        frags = backend().list_fragments(self._table_dir(table))
+        if not frags:
+            raise ValueError(f"exported table {table!r} has no fragments")
+        return pq.read_schema(frags[0])
+
+    def _run_insert(self, m: re.Match, params: list) -> int:
+        table = m["table"].lower()
+        schema = self._stored_schema(table)
+        cols = (
+            [c.strip() for c in m["cols"].split(",")]
+            if m["cols"] else list(schema.names)
+        )
+        tokens = [v.strip() for v in m["values"].split(",")]
+        if len(tokens) != len(cols):
+            raise ValueError("INSERT arity mismatch")
+        it = iter(params)
+        incoming = {
+            c: (next(it) if tok == "?" else self._eval_expr(tok))
+            for c, tok in zip(cols, tokens)
+        }
+        leftovers = list(it)
+        if leftovers:
+            raise ValueError(f"{len(leftovers)} unused parameters")
+        keys = (
+            [k.strip() for k in m["conflict"].split(",")]
+            if m["conflict"] else _TABLE_KEYS[table]
+        )
+        existing = self._lookup_rows(table, keys,
+                                     [incoming[k] for k in keys])
+        if existing.num_rows and m["set"]:
+            # conflict: update ONLY the SET-listed columns of the
+            # stored row (reference keeps e.g. user_profile untouched,
+            # queries/lists.sql:4-9)
+            row = {c: existing.column(c)[0].as_py()
+                   for c in existing.column_names}
+            for col, rhs in _parse_assignments(m["set"]):
+                if rhs == "?":
+                    raise ValueError("? in ON CONFLICT SET unsupported")
+                low = rhs.lower()
+                if low.startswith("excluded."):
+                    row[col] = incoming[rhs.split(".", 1)[1]]
+                elif col in schema.names:
+                    row[col] = self._eval_expr(rhs)
+        else:
+            row = {c: incoming.get(c) for c in schema.names}
+        out = pa.table(
+            {c: self._cast_cell(row.get(c), schema.field(c).type)
+             for c in schema.names}
+        )
+        self._upsert(table, out, keys)
+        return 1
+
+    def _run_update(self, m: re.Match, params: list) -> int:
+        table = m["table"].lower()
+        assigns = _parse_assignments(m["set"])
+        it = iter(params)
+        values = []
+        for col, rhs in assigns:
+            values.append(next(it) if rhs == "?"
+                          else self._eval_expr(rhs))
+        rest = list(it)
+        if len(rest) != 1:
+            raise ValueError("UPDATE expects exactly one WHERE parameter")
+        existing = self._lookup_rows(table, [m["wherecol"]], [rest[0]])
+        if existing.num_rows == 0:
+            return 0   # SQLite UPDATE of an absent key: 0 rows
+        schema = existing.schema
+        out = existing
+        for (col, _), v in zip(assigns, values):
+            i = schema.get_field_index(col)
+            cell = self._cast_cell(v, schema.field(i).type)
+            out = out.set_column(
+                i, col, pa.concat_arrays([cell] * existing.num_rows)
+            )
+        self._upsert(table, out, _TABLE_KEYS[table])
+        return existing.num_rows
 
     def close(self) -> None:
         if self._con is not None:

@@ -113,15 +113,35 @@ class LinkRouter:
                 "max_retries_exceeded",
             ),
         )
+        # scrapper_name: the reference writes the owning spider's name
+        # per log row (001_initial_schema.sql:99).  Title pages belong
+        # to the "publications" spider (publications.py:26), everything
+        # else (profile + list pages) to "lists" (lists.py:15).
+        from ..stages.extract import TITLE_RE
+
+        scrapper = pc.if_else(
+            pc.match_substring_regex(batch["canon_url"], TITLE_RE),
+            "publications",
+            "lists",
+        )
+        # duration_ms (001_initial_schema.sql:104): per-entity share of
+        # the fetch stage's batch wall-clock, attributed by the fetcher
+        # (fetch.py); wall-clock, so excluded from oracle comparisons.
+        if "fetch_ms" in batch.column_names:
+            duration = pc.round(batch["fetch_ms"]).cast(pa.int64())
+        else:
+            duration = pa.nulls(batch.num_rows, pa.int64())
         tbl = pa.table(
             {
                 "entity_id": batch["canon_url"],
                 "seq": batch["seq"],
+                "scrapper_name": scrapper,
                 "operation": pa.array(
                     ["fetch"] * batch.num_rows, pa.string()
                 ),
                 "status": status,
                 "error": error,
+                "duration_ms": duration,
                 "n_links": pa.array(n_links_row, pa.int64()),
                 "n_candidates": pa.array(n_cand_row, pa.int64()),
             }
@@ -1035,9 +1055,11 @@ class CrawlEngine:
         [
             ("entity_id", pa.string()),
             ("seq", pa.int64()),
+            ("scrapper_name", pa.string()),
             ("operation", pa.string()),
             ("status", pa.string()),
             ("error", pa.string()),
+            ("duration_ms", pa.int64()),
             ("n_links", pa.int64()),
             ("n_candidates", pa.int64()),
         ]

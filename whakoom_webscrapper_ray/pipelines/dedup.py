@@ -578,16 +578,27 @@ FROM bits
 
 
 # ------------------------------------------------- n-gram Jaccard (BF)
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, k: int = 3
-                        ) -> ray.data.Dataset:
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, k: int = 3,
+                        max_rows: int = 50_000) -> ray.data.Dataset:
     """All-pairs exact n-gram Jaccard ≥ threshold (brute-force path).
 
     The full shingle-set side is broadcast ONCE via ``ray.put`` and
     each batch compares its docs against it (blockwise). This is the
     oracle/baseline for `minhash_lsh_pairs`; at 100 TB you run the LSH
-    variant — this one is O(n²) by construction and says so.
+    variant — this one is O(n²) by construction and says so, and it
+    HARD-REFUSES inputs above ``max_rows`` so the oracle path can't be
+    pointed at corpus scale by accident (the comparison count and the
+    broadcast shingle-set size both grow without bound).
     """
     docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()   # parquet metadata only — no scan
+    if n_docs > max_rows:
+        raise ValueError(
+            f"ngram_jaccard_pairs is the O(n²) brute-force ORACLE for "
+            f"minhash_lsh_pairs and refuses {n_docs} rows "
+            f"(max_rows={max_rows}); run minhash_lsh_pairs at scale, "
+            f"or raise max_rows explicitly if you really mean it"
+        )
     full = pa.concat_tables([ray.get(r) for r in docs.to_arrow_refs()])
     ids = np.asarray(full["doc_id"].to_pylist(), dtype=np.int64)
     sets = [

@@ -27,4 +27,15 @@ WHERE scrape_status <> 'completed'
 ORDER BY list_id;
 
 # INSERT_OR_UPDATE_LIST
-INSERT INTO lists VALUES (?, ?, ?, ?, ?, ?);
+INSERT INTO lists (list_id, title, url, user_profile, scrape_status, scraped_at)
+VALUES (?, ?, ?, ?, ?, ?)
+ON CONFLICT (list_id) DO UPDATE SET
+    title = excluded.title,
+    url = excluded.url,
+    scrape_status = excluded.scrape_status,
+    scraped_at = excluded.scraped_at;
+
+# UPDATE_LIST_STATUS
+UPDATE lists
+SET scrape_status = ?, scraped_at = CURRENT_TIMESTAMP
+WHERE list_id = ?;

@@ -81,6 +81,9 @@ class SyntheticWebFetcher:
         self.attempt_log: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import time as _time
+
+        _t0 = _time.perf_counter()
         urls = batch.column("canon_url")
         idx = pc.index_in(urls, value_set=self.doc_ids)
         valid = pc.is_valid(idx).to_numpy(zero_copy_only=False)
@@ -111,6 +114,19 @@ class SyntheticWebFetcher:
             )
 
         spans = pc.fill_null(self.spans.take(idx), self.empty_spans)
-        return batch.append_column("spans", spans).append_column(
-            "fetch_status", pa.array(status, pa.string())
+        # per-entity fetch duration for the scraping log (reference
+        # sqlmanager.py:266-302 stores duration_ms per operation).  A
+        # vectorized fetch times the BATCH; each row is attributed its
+        # equal share — wall-clock, excluded from oracle comparisons.
+        ms = (_time.perf_counter() - _t0) * 1000.0 / max(batch.num_rows, 1)
+        return (
+            batch.append_column("spans", spans)
+            .append_column("fetch_status", pa.array(status, pa.string()))
+            .append_column(
+                "fetch_ms",
+                pa.array(
+                    np.full(batch.num_rows, ms, dtype=np.float64),
+                    pa.float64(),
+                ),
+            )
         )
