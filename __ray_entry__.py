@@ -213,16 +213,18 @@ def oracle_sql() -> dict[str, str]:
 
     Crawl tables (including the per-entity scraping log and its A4
     rollup) are re-derived by a recursive-CTE reachability oracle over
-    the persisted fixture parquet (crawl_oracle_sql.py).  Hash ops
-    (fingerprints, simhash) use SQL-reproducible recurrences (Horner
-    mod 2**64 + fmix64) so they compare bit-exactly.  Still
-    intentionally oracle-free: crawl_order (politeness-clock
-    simulation — sequential oracle in pytest), ann_ivf (approximate by
-    design — recall-vs-brute-force pytest; its machinery gets the hard
-    check via ann_ivf_fullprobe below), with pytest oracles instead —
-    see each docstring.  feed_export is oracle-checked via round-trip
-    facts: the query reads its own export back and digests the
-    content, which the SQL reproduces from the source tables.
+    the persisted fixture parquet (crawl_oracle_sql.py).  crawl_order
+    — including seq — is oracle-checked via the closed-form politeness
+    clock (fetch_time = delay * (prior host count + within-host rank);
+    see crawl_oracle_sql._crawl_order_sql).  Hash ops (fingerprints,
+    simhash) use SQL-reproducible recurrences (Horner mod 2**64 +
+    fmix64) so they compare bit-exactly.  The single remaining
+    oracle-free entry: ann_ivf (approximate by design —
+    recall-vs-brute-force pytest; its machinery gets the hard check
+    via the bit-exact ann_ivf_fullprobe row below).  feed_export is
+    oracle-checked via round-trip facts: the query reads its own
+    export back and digests the content, which the SQL reproduces
+    from the source tables.
     """
     from whakoom_webscrapper_ray.pipelines.crawl_oracle_sql import (
         crawl_oracles,

@@ -289,6 +289,25 @@ def test_entity_metrics_equality(engine_run, small_web, small_golden):
     assert got == want
 
 
+def test_crawl_order_sql_oracle(engine_run):
+    """The closed-form politeness-clock SQL oracle reproduces the full
+    engine crawl order — seq included (crawl_oracle_sql._crawl_order_sql):
+    fetch_time = delay * (prior host count + within-host rank), global
+    seq = per-round rank over (fetch_time, priority, ok)."""
+    import duckdb
+
+    from whakoom_webscrapper_ray.pipelines.crawl_oracle_sql import (
+        _crawl_order_sql, fixture_dir,
+    )
+
+    eng, _ = engine_run
+    got = eng.crawl_order().to_pandas()
+    exp = duckdb.sql(_crawl_order_sql(fixture_dir())).df()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp, check_dtype=True)
+
+
 def test_entity_metrics_log_parity_columns(engine_run):
     """Full scraping_log surface parity: the reference's log rows also
     carry scrapper_name and duration_ms (001_initial_schema.sql:97-106,

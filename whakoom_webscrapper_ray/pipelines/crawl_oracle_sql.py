@@ -9,14 +9,17 @@ schedule-time semantics), and window/aggregate SQL reproduces each
 extraction rule (reference spiders/lists.py:39-55,
 spiders/publications.py:96-102, migrations/001_initial_schema.sql).
 
-Not SQL-expressible (and why):
-
-- ``crawl_order`` — the global order interleaves per-host politeness
-  clocks (fetch_time = next_time[host] + i*crawl_delay) across BFS
-  rounds; that simulation is the sequential oracle in oracle.py,
-  exercised by tests/test_crawl_conformance.py.  A recursive CTE can
-  express reachability but not the clock-carrying priority queue.
-(``feed_export`` — a side-effecting sink — IS oracle-checked: the
+``crawl_order`` IS oracle-checked (since round 3): although the
+politeness clock looks like a stateful priority-queue simulation, each
+round's state is a closed form — a host's clock after round r equals
+``crawl_delay * (#URLs of that host scheduled in rounds <= r)`` and
+within-host rank is ``row_number() OVER (PARTITION BY host ORDER BY
+priority, ok)``, so ``fetch_time = delay * (prior_count + rank)`` and
+the global seq is the per-round rank over (fetch_time, priority, ok).
+The BFS levels are UNROLLED for the fixture's fixed round count
+(:data:`_ORACLE_ROUNDS`); a fixture change that adds a round makes the
+row counts diverge, failing the check loudly rather than silently.
+(``feed_export`` — a side-effecting sink — IS oracle-checked too: the
 query reads its own export back and returns per-format row counts and
 a commutative content digest, which sinks.oracle_feed_export()
 reproduces from the source tables.)
@@ -139,6 +142,159 @@ fetched AS (
   SELECT p.* FROM pages p JOIN reach r ON p.doc_id = r.url
 )
 """
+
+
+# BFS depth of the SMALL fixture (profiles -> lists -> titles).  The
+# crawl_order oracle unrolls exactly this many levels; if the fixture
+# ever gains a deeper link graph the engine schedules a 4th round and
+# the row counts diverge — a loud failure, never a silent truncation.
+_ORACLE_ROUNDS = 3
+
+
+def _crawl_order_sql(fx: str) -> str:
+    """Closed-form politeness-clock oracle for the full crawl order.
+
+    Engine semantics being reproduced (state/frontier.py:352-443,
+    pipelines/crawl.py:779-813; reference contract: scheduler order,
+    spiders/lists.py:17 + settings.py:119-128):
+
+    - round 0 = canonicalized seeds surviving offsite+robots, dedup by
+      canonical URL keeping the min ``seed_index`` row (its priority);
+      ``ok = seed_index``.
+    - round r+1 = links on pages FETCHED in round r that survive the
+      same filters and were never scheduled before; ``ok = min over
+      discoverers of (parent_seq * 2**20 + least(offset, 2**20-1))``.
+    - within a host, rank = (priority, ok) order;
+      ``fetch_time = crawl_delay * (#host URLs scheduled in earlier
+      rounds + rank)`` — the per-shard clock carry is a closed form
+      because delayed hosts route to a single home shard and
+      zero-delay hosts always pace at fetch_time 0.
+    - global ``seq`` = running total + per-round rank over
+      (fetch_time, priority, ok); the key is tie-free (ok is unique
+      within a round by construction).
+    """
+    canon = """
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+    CASE WHEN regexp_extract(
+            url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?[^/:]+:([0-9]+)', 1
+         ) IN ('80', '443')
+         THEN lower(regexp_extract(
+            url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:]+)', 1))
+         ELSE lower(regexp_extract(
+            url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:]+(?::[0-9]+)?)', 1))
+    END ||
+    coalesce(nullif(regexp_extract(url, {path}, 1), ''), '/')
+    """.format(path=_PATH)
+
+    sql = f"""
+WITH
+pages AS (SELECT * FROM read_parquet('{fx}/pages.parquet')),
+dis AS (SELECT host, unnest(disallow) AS prefix
+        FROM read_parquet('{fx}/robots.parquet')),
+delays AS (SELECT host, coalesce(crawl_delay, 0.0) AS delay
+           FROM read_parquet('{fx}/robots.parquet')),
+allowed AS (
+  SELECT DISTINCT lower(regexp_extract(url, {_HOST}, 1)) AS host
+  FROM read_parquet('{fx}/seeds.parquet')
+),
+links_off AS (
+  SELECT doc_id AS src, s."offset" AS off,
+         CASE WHEN s.media_ref LIKE '/%'
+              THEN regexp_extract(doc_id, '^(https?://[^/]+)', 1)
+                   || s.media_ref
+              ELSE s.media_ref END AS url
+  FROM (SELECT doc_id, unnest(spans) AS s FROM pages)
+  WHERE s.kind = 'link'
+),
+ok_links_off AS (
+  SELECT l.src, l.off, l.url,
+         regexp_extract(l.url, {_HOST}, 1) AS host
+  FROM links_off l
+  WHERE regexp_extract(l.url, {_HOST}, 1) IN (SELECT host FROM allowed)
+    AND NOT EXISTS (
+      SELECT 1 FROM dis d
+      WHERE d.host = regexp_extract(l.url, {_HOST}, 1)
+        AND coalesce(regexp_extract(l.url, {_PATH}, 1), '/')
+            LIKE d.prefix || '%')
+),
+seed_rows AS (
+  SELECT seed_index, priority, {canon} AS url
+  FROM read_parquet('{fx}/seeds.parquet')
+),
+lvl0_cand AS (
+  SELECT url,
+         regexp_extract(url, {_HOST}, 1) AS host,
+         min(seed_index) AS ok,
+         CAST(arg_min(priority, seed_index) AS INTEGER) AS priority
+  FROM seed_rows s
+  WHERE regexp_extract(s.url, {_HOST}, 1) IN (SELECT host FROM allowed)
+    AND NOT EXISTS (
+      SELECT 1 FROM dis d
+      WHERE d.host = regexp_extract(s.url, {_HOST}, 1)
+        AND coalesce(regexp_extract(s.url, {_PATH}, 1), '/')
+            LIKE d.prefix || '%')
+  GROUP BY 1, 2
+),
+lvl0_ft AS (
+  SELECT c.*,
+         coalesce(d.delay, 0.0)
+           * (row_number() OVER (PARTITION BY c.host
+                                 ORDER BY c.priority, c.ok) - 1) AS ft
+  FROM lvl0_cand c LEFT JOIN delays d USING (host)
+),
+lvl0 AS (
+  SELECT url, host, ok, priority, ft,
+         row_number() OVER (ORDER BY ft, priority, ok) - 1 AS seq,
+         0 AS round
+  FROM lvl0_ft
+)"""
+
+    prev_union = "SELECT url, host, seq FROM lvl0"
+    prev_lvl = "lvl0"
+    for r in range(1, _ORACLE_ROUNDS):
+        sql += f""",
+lvl{r}_cand AS (
+  SELECT o.url,
+         min(o.host) AS host,
+         min(p.seq * 1048576 + least(o.off, 1048575)) AS ok
+  FROM ok_links_off o
+  JOIN {prev_lvl} p ON o.src = p.url
+  WHERE o.url NOT IN (SELECT url FROM ({prev_union}))
+  GROUP BY o.url
+),
+lvl{r}_ft AS (
+  SELECT c.url, c.host, c.ok, CAST(0 AS INTEGER) AS priority,
+         coalesce(d.delay, 0.0)
+           * (coalesce(pc.n, 0)
+              + row_number() OVER (PARTITION BY c.host
+                                   ORDER BY c.ok) - 1) AS ft
+  FROM lvl{r}_cand c
+  LEFT JOIN delays d USING (host)
+  LEFT JOIN (SELECT host, count(*) AS n
+             FROM ({prev_union}) GROUP BY host) pc USING (host)
+),
+lvl{r} AS (
+  SELECT url, host, ok, priority, ft,
+         (SELECT count(*) FROM ({prev_union}))
+           + row_number() OVER (ORDER BY ft, priority, ok) - 1 AS seq,
+         {r} AS round
+  FROM lvl{r}_ft
+)"""
+        prev_union += f" UNION ALL SELECT url, host, seq FROM lvl{r}"
+        prev_lvl = f"lvl{r}"
+
+    all_lvls = " UNION ALL ".join(
+        f"SELECT seq, url, host, round FROM lvl{r}"
+        for r in range(_ORACLE_ROUNDS)
+    )
+    sql += f"""
+SELECT CAST(seq AS BIGINT) AS seq, url, host,
+       CAST(round AS INTEGER) AS round
+FROM ({all_lvls})
+ORDER BY seq
+"""
+    return sql
 
 
 def crawl_oracles() -> dict[str, str]:
@@ -327,6 +483,7 @@ FROM em GROUP BY operation, status ORDER BY operation, status
 """
 
     return {
+        "crawl_order": _crawl_order_sql(fx),
         "crawl_seen_set": seen,
         "crawl_metrics": metrics,
         "crawl_metrics_rollup": metrics_rollup,
