@@ -108,7 +108,8 @@ def _warmup() -> None:
     ).map_batches(_touch, batch_format="pyarrow").materialize()
 
 
-def _run_crawl_once(pages_parts=None) -> dict:
+def _run_crawl_once(pages_parts=None,
+                    spill_threshold_rows: int | None = None) -> dict:
     import ray
 
     from whakoom_webscrapper_ray.pipelines.crawl import CrawlEngine
@@ -119,6 +120,9 @@ def _run_crawl_once(pages_parts=None) -> dict:
     # RAM removes local writeback noise from the measurement.
     ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     ckpt = tempfile.mkdtemp(prefix="wkm_bench_", dir=ckpt_base)
+    kw = {}
+    if spill_threshold_rows is not None:
+        kw["spill_threshold_rows"] = spill_threshold_rows
     try:
         eng = CrawlEngine(
             web["pages"], web["seeds"], web["robots"], checkpoint_dir=ckpt,
@@ -127,17 +131,19 @@ def _run_crawl_once(pages_parts=None) -> dict:
             # out once (construction is outside the timed region either
             # way — this only trims bench wall-clock)
             pages_parts=pages_parts,
+            **kw,
         )
         _warmup()
         t0 = time.perf_counter()
         res = eng.run()
         dt = time.perf_counter() - t0
+        spill = eng.frontier.spill_stats() if spill_threshold_rows else None
         parts = eng.pages_parts
         eng.shutdown()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     big = max(res["stats"], key=lambda st: st["scheduled"])
-    return {
+    out = {
         "pages_parts": parts,
         "urls": res["scheduled"],
         "rounds": res["rounds"],
@@ -149,6 +155,32 @@ def _run_crawl_once(pages_parts=None) -> dict:
         "big_round_sec": big["sec"],
         "big_round_urls_per_sec": big["scheduled"] / big["sec"],
     }
+    if spill is not None:
+        out["spills"] = int(sum(s["spills"] for s in spill))
+        out["shards_spilled"] = int(sum(1 for s in spill if s["spills"]))
+    return out
+
+
+def run_crawl_spill(pages_parts=None) -> dict:
+    """Spill-mode measurement: the identical crawl with the frontier's
+    spill threshold forced low (default 1<<16 rows/shard — the big
+    round's backlog spills to ok-sorted runs and the poll streams a
+    min-ok merge over them).  This is the 10^10-URL design point, where
+    the frontier backlog cannot be memory-resident; correctness under
+    spill is conformance-tested (test_frontier_spill), this row
+    measures its throughput cost at bench scale.
+    """
+    thr = int(os.environ.get("WKM_SPILL_THRESHOLD", str(1 << 16)))
+    trials = max(1, int(os.environ.get("WKM_SPILL_TRIALS", "2")))
+    best = None
+    for _ in range(trials):
+        r = _run_crawl_once(pages_parts=pages_parts,
+                            spill_threshold_rows=thr)
+        pages_parts = r.pop("pages_parts")
+        if best is None or r["sec"] < best["sec"]:
+            best = r
+    best["spill_threshold_rows"] = thr
+    return best
 
 
 def run_crawl() -> dict:
@@ -178,6 +210,7 @@ def run_crawl() -> dict:
             best = r
     best.pop("pages_parts", None)
     best["trial_urls_per_sec"] = samples
+    best["_pages_parts"] = parts   # layout reuse for the spill row
     return best
 
 
@@ -290,6 +323,12 @@ def main() -> None:
 
     try:
         crawl = run_crawl()
+        parts = crawl.pop("_pages_parts", None)
+        spill = (
+            None if ("--crawl-only" in sys.argv
+                     or os.environ.get("WKM_SKIP_SPILL_BENCH"))
+            else run_crawl_spill(pages_parts=parts)
+        )
         queries = {} if "--crawl-only" in sys.argv else run_queries(SF_DIR)
         total = crawl["sec"] + sum(queries.values())
         print(json.dumps({
@@ -308,6 +347,16 @@ def main() -> None:
                     crawl["big_round_urls_per_sec"], 1
                 ),
                 "trial_urls_per_sec": crawl.get("trial_urls_per_sec"),
+            },
+            "crawl_spill": None if spill is None else {
+                "urls_per_sec": round(spill["urls_per_sec"], 1),
+                "sec": round(spill["sec"], 2),
+                "big_round_urls_per_sec": round(
+                    spill["big_round_urls_per_sec"], 1
+                ),
+                "spills": spill["spills"],
+                "shards_spilled": spill["shards_spilled"],
+                "spill_threshold_rows": spill["spill_threshold_rows"],
             },
             "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
             "num_cpus": NUM_CPUS,
