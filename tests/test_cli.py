@@ -45,6 +45,35 @@ def test_cli_crawl_export_get_query(ray_session, tmp_path, capsys):
     assert len(rows) == 1 and rows[0]["list_id"] == 100000
 
 
+def test_cli_user_profile_filter(ray_session, tmp_path, capsys):
+    """Spider-arg analog (scrapy crawl lists -a user_profile=NAME,
+    reference README.md:441): seed filter to one profile's crawl."""
+    from whakoom_webscrapper_ray.cli import main
+
+    ckpt = str(tmp_path / "ckpt_profile")
+    assert main(["crawl", "--synth", "SMALL", "--checkpoint", ckpt,
+                 "--num-shards", "2", "--user-profile", "user0_0"]) == 0
+    out = _last_json(capsys)
+    assert 0 < out["scheduled"] < 168   # one profile, not the full web
+
+    exp = str(tmp_path / "out_profile")
+    assert main(["export", "--synth", "SMALL", "--checkpoint", ckpt,
+                 "--num-shards", "2", "--out", exp]) == 0
+    _last_json(capsys)
+    import pyarrow.dataset as pads
+
+    lists = pads.dataset(os.path.join(exp, "lists")).to_table()
+    assert lists.num_rows > 0
+    assert set(lists.column("user_profile").to_pylist()) == {"user0_0"}
+
+    # unknown profile: explicit error, nonzero exit
+    assert main(["crawl", "--synth", "SMALL",
+                 "--checkpoint", str(tmp_path / "ckpt_none"),
+                 "--num-shards", "2",
+                 "--user-profile", "nobody"]) == 2
+    assert "error" in _last_json(capsys)
+
+
 def test_cli_max_pages_budget(ray_session, tmp_path, capsys):
     """O4 pagination budget through the CLI: 8 hosts × 7 pages and the
     title round is cut entirely (verify-recipe golden numbers)."""

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 
@@ -36,15 +37,47 @@ def _run(cmd, env=None, timeout=180):
     )
 
 
+# Unique marker embedded in the cluster's --temp-dir so teardown can
+# kill EXACTLY this cluster's processes (the head's session dir appears
+# on the command line of every process of BOTH nodes — the worker
+# reuses it for its socket paths).  `ray stop` is NOT usable here: it
+# kills every Ray process of this user on the machine, including the
+# pytest session's own local Ray — the whole suite then dies silently
+# at the next Ray-using test.  The dir must be SHORT: socket paths live
+# under it and AF_UNIX caps them at 107 bytes.
+_TMP_MARK = f"wkm_smoke_{_PORT}"
+_TMP_DIR = f"/tmp/{_TMP_MARK}"
+
+
+def _kill_cluster(env):
+    import time
+
+    subprocess.run(["pkill", "-f", _TMP_MARK], env=env,
+                   capture_output=True)
+    for _ in range(20):   # processes exit asynchronously
+        alive = subprocess.run(["pgrep", "-f", _TMP_MARK],
+                               capture_output=True)
+        if alive.returncode != 0:
+            return
+        time.sleep(0.25)
+    subprocess.run(["pkill", "-9", "-f", _TMP_MARK], env=env,
+                   capture_output=True)
+
+
 @pytest.fixture(scope="module")
 def two_node_cluster():
+    if shutil.which("pkill") is None:
+        pytest.skip("pkill unavailable — cannot scope cluster teardown")
+    shutil.rmtree(_TMP_DIR, ignore_errors=True)
     env = {k: v for k, v in os.environ.items() if k != "RAY_ADDRESS"}
     head = _run(
         ["ray", "start", "--head", f"--port={_PORT}", "--num-cpus=2",
-         "--include-dashboard=false", "--disable-usage-stats"],
+         "--include-dashboard=false", "--disable-usage-stats",
+         f"--temp-dir={_TMP_DIR}"],
         env=env,
     )
     if head.returncode != 0:
+        _kill_cluster(env)
         pytest.skip(f"cannot start ray head: {head.stderr[-300:]}")
     worker = _run(
         ["ray", "start", f"--address=127.0.0.1:{_PORT}", "--num-cpus=2",
@@ -57,7 +90,8 @@ def two_node_cluster():
         env["RAY_ADDRESS"] = f"127.0.0.1:{_PORT}"
         yield env
     finally:
-        _run(["ray", "stop", "--force"], env=env)
+        _kill_cluster(env)
+        shutil.rmtree(_TMP_DIR, ignore_errors=True)
 
 
 def test_crawl_cli_on_two_node_cluster(two_node_cluster, tmp_path):

@@ -69,8 +69,25 @@ def cmd_crawl(args) -> int:
 
     _init_ray()
     web = _load_web(args)
+    seeds = web["seeds"]
+    if args.user_profile:
+        # literal analog of the reference's spider argument
+        # ``scrapy crawl lists -a user_profile=<name>`` (README.md:441,
+        # spiders/lists.py:17-27): crawl only the seed(s) belonging to
+        # that profile.
+        import pyarrow.compute as pc
+
+        seeds = seeds.filter(
+            pc.match_substring(seeds["url"], f"/{args.user_profile}/")
+        )
+        if seeds.num_rows == 0:
+            print(json.dumps({
+                "error": f"no seed matches user_profile="
+                         f"{args.user_profile!r}"
+            }))
+            return 2
     eng = CrawlEngine(
-        web["pages"], web["seeds"], web["robots"],
+        web["pages"], seeds, web["robots"],
         checkpoint_dir=args.checkpoint,
         num_shards=args.num_shards,
         run_id=args.run_id,
@@ -169,6 +186,10 @@ def main(argv: list[str] | None = None) -> int:
     common(c)
     c.add_argument("--resume", action="store_true")
     c.add_argument("--max-rounds", type=int, default=None)
+    c.add_argument("--user-profile", default=None,
+                   help="crawl only the seed(s) of this profile "
+                        "(reference: scrapy crawl lists -a "
+                        "user_profile=<name>)")
     c.add_argument("--max-pages-per-host", type=int, default=None,
                    help="O4 pagination budget: cap total pages "
                         "scheduled per host across all rounds")

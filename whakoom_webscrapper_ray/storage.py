@@ -5,7 +5,7 @@ crawl-order checkpoint parts, frontier queue spill, finalized table
 sinks, the keyed upsert — goes through one backend object so the
 storage substrate is swappable without touching pipeline code.  The
 reference persists to SQLite with ``INSERT ... ON CONFLICT DO UPDATE``
-(/root/reference/whakoom_webscrapper/database/sqlmanager.py:96-160,
+(/root/reference/whakoom_webscrapper/sqlmanager.py:96-160,
 queries/lists.sql:1-9); the scale substrate named by the north rule is
 Lance.  This sandbox has no ``lance`` wheel, so the parquet backend is
 the tested default and :class:`LanceBackend` carries the documented
