@@ -171,6 +171,42 @@ def test_upsert_dataset_stream_copy_on_write(tmp_path):
     assert len(touched) == 1
 
 
+def test_upsert_dataset_parallel_rescan(ray_session, tmp_path):
+    """With Ray up and >=4 live fragments the per-fragment rescans fan
+    out as tasks (disjoint files commute): the merged result equals the
+    serial contract and fragments whose key range is untouched keep
+    their inode/mtime."""
+    bk = ParquetBackend()
+    d = str(tmp_path / "t")
+    for i in range(8):
+        bk.upsert(
+            pa.table({"k": [i * 10, i * 10 + 1],
+                      "v": ["old"] * 2, "w": [i, i]}),
+            d, ["k"],
+        )
+    before = {f: (os.stat(f).st_ino, os.stat(f).st_mtime_ns)
+              for f in bk.list_fragments(d)}
+    bk.upsert_dataset(
+        iter([
+            pa.table({"k": [10, 30], "v": ["n10", "n30"], "w": [1, 3]}),
+            pa.table({"k": [70, 500], "v": ["n70", "ins"], "w": [7, 0]}),
+        ]),
+        d, ["k"],
+    )
+    rows = _read_all(bk, d)
+    assert rows[10] == ("n10", 1)
+    assert rows[30] == ("n30", 3)
+    assert rows[70] == ("n70", 7)
+    assert rows[500] == ("ins", 0)
+    assert rows[11] == ("old", 1) and rows[71] == ("old", 7)
+    assert len(rows) == 17
+    touched = [f for f, sig in before.items()
+               if not os.path.exists(f)
+               or (os.stat(f).st_ino, os.stat(f).st_mtime_ns) != sig]
+    # exactly the three fragments holding keys 10/30/70 were rewritten
+    assert len(touched) == 3
+
+
 def test_recompact_does_not_self_delete(tmp_path):
     """Regression: compacting a dir whose previous compact output is
     among the inputs must not unlink its own replacement."""

@@ -183,6 +183,26 @@ class ParquetBackend:
                 return True
         return md.num_row_groups == 0
 
+    def _rescan_fragment(self, path: str, keys: list[str],
+                         inc, lo, hi) -> None:
+        """Rescan ONE pre-existing fragment against the incoming key
+        union and rewrite it (atomically) if any key matched.  Fragments
+        are disjoint files, so calls for different paths commute — the
+        unit of work :meth:`upsert_dataset` fans out as Ray tasks."""
+        if lo is not None and not self._fragment_may_match(
+            path, keys[0], lo, hi
+        ):
+            return
+        old_keys = _key_array(self.read_fragment(path, columns=keys), keys)
+        stale = pc.is_in(old_keys, value_set=inc)
+        if not pc.any(stale).as_py():
+            return
+        kept = self.read_fragment(path).filter(pc.invert(stale))
+        if kept.num_rows:
+            self.write_fragment_atomic(kept, path, stats=True)
+        else:
+            os.unlink(path)
+
     def upsert_dataset(self, batches, table_dir: str,
                        keys: list[str]) -> None:
         """LWW merge of a stream of Arrow batches by ``keys`` under one
@@ -198,7 +218,11 @@ class ParquetBackend:
         columns only, never payload rows.  A later batch re-sending a
         key supersedes this call's earlier fragment (rare; those new
         fragments are the only per-batch rescan).  Caller serializes
-        commits, matching Lance's single-writer protocol.
+        commits, matching Lance's single-writer protocol; WITHIN the
+        commit the per-fragment rescans/rewrites are fanned out as Ray
+        tasks (disjoint files commute — the incoming key union ships
+        once via ``ray.put``), so a wide table's merge is bounded by
+        the largest fragment, not the fragment count.
         """
         os.makedirs(table_dir, exist_ok=True)
         old_frags = self.list_fragments(table_dir)
@@ -238,26 +262,21 @@ class ParquetBackend:
             )
         if not key_parts or not old_frags:
             return
-        inc = pa.chunked_array(key_parts)
+        inc = pa.chunked_array(key_parts).combine_chunks()
         mm = pc.min_max(pa.chunked_array(fk_parts))
         lo, hi = mm["min"].as_py(), mm["max"].as_py()
-        for f in old_frags:
-            if not os.path.exists(f):
-                continue  # superseded new fragment path, never an old one
-            if lo is not None and not self._fragment_may_match(
-                f, keys[0], lo, hi
-            ):
-                continue
-            old_keys = _key_array(self.read_fragment(f, columns=keys),
-                                  keys)
-            stale = pc.is_in(old_keys, value_set=inc)
-            if not pc.any(stale).as_py():
-                continue
-            kept = self.read_fragment(f).filter(pc.invert(stale))
-            if kept.num_rows:
-                self.write_fragment_atomic(kept, f, stats=True)
-            else:
-                os.unlink(f)
+        live = [f for f in old_frags if os.path.exists(f)]
+        import ray
+
+        if ray.is_initialized() and len(live) >= 4:
+            inc_ref = ray.put(inc)  # key union ships ONCE, not per task
+            ray.get([
+                _rescan_fragment_task.remote(f, keys, inc_ref, lo, hi)
+                for f in live
+            ])
+        else:
+            for f in live:
+                self._rescan_fragment(f, keys, inc, lo, hi)
 
     def upsert(self, table: pa.Table, table_dir: str,
                keys: list[str]) -> None:
@@ -292,6 +311,30 @@ class ParquetBackend:
         self.write_fragment_atomic(full, out, stats=True)
         for f in frags:
             os.unlink(f)
+
+
+def _rescan_fragment_worker(path: str, keys: list[str], inc,
+                            lo, hi) -> None:
+    ParquetBackend()._rescan_fragment(path, keys, inc, lo, hi)
+
+
+class _LazyRescanTask:
+    """``ray.remote`` wrapper built on first use so importing this
+    module never touches Ray."""
+
+    _fn = None
+
+    def remote(self, *a):
+        if _LazyRescanTask._fn is None:
+            import ray
+
+            _LazyRescanTask._fn = ray.remote(num_cpus=1)(
+                _rescan_fragment_worker
+            )
+        return _LazyRescanTask._fn.remote(*a)
+
+
+_rescan_fragment_task = _LazyRescanTask()
 
 
 class LanceBackend:
