@@ -28,6 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from whakoom_webscrapper_ray.pipelines import ann as _ann
+from whakoom_webscrapper_ray.pipelines import curate as _cu
 from whakoom_webscrapper_ray.pipelines import dataops as _do
 from whakoom_webscrapper_ray.pipelines import dedup as _dd
 from whakoom_webscrapper_ray.pipelines import interleaved as _il
@@ -185,6 +186,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _dd.simhash,
         "ngram_jaccard_pairs": _dd.ngram_jaccard_pairs,
         "embedding_dups": _dd.embedding_dup_pairs,
+        # ---- corpus curation (clusters → dedup → decontaminate → sample)
+        "dedup_clusters": _cu.dedup_clusters,
+        "corpus_dedup": _cu.corpus_dedup,
+        "decontaminate": _cu.decontaminate,
+        "quality_sample": _cu.quality_sample,
         # ---- similarity search
         "ann_topk": _ann.ann_topk,
         "ann_ivf": _ann.ann_ivf,
@@ -244,6 +250,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _dd.ORACLE_JACCARD_PAIRS,
         "ngram_jaccard_pairs": _dd.ORACLE_JACCARD_PAIRS,
         "embedding_dups": _dd.ORACLE_EMBEDDING_DUPS,
+        "dedup_clusters": _cu.ORACLE_DEDUP_CLUSTERS,
+        "corpus_dedup": _cu.ORACLE_CORPUS_DEDUP,
+        "decontaminate": _cu.ORACLE_DECONTAMINATE,
+        "quality_sample": _cu.quality_sample_oracle_sql(),
         "ann_topk": _ann.oracle_ann_topk(),
         # full-probe IVF must equal the exact top-k bit for bit — the
         # IVF machinery's hard oracle (approximation quality itself

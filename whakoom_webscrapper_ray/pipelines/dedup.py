@@ -443,8 +443,7 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, num_bands: int = 16,
 # empirically by the driver's hash compare).  chr(31) joins tokens
 # unambiguously; hashed-shingle Jaccard equals string-shingle Jaccard
 # absent 64-bit collisions.
-ORACLE_JACCARD_PAIRS = """
-WITH toks AS (
+JACCARD_CTES = """toks AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
 ),
 grams AS (
@@ -455,14 +454,17 @@ grams AS (
          ELSE [array_to_string(ws, chr(31))] END AS gs
   FROM toks
 ),
-pairs AS (
+jpairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
            / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))
            AS j
   FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.8
+)"""
+
+ORACLE_JACCARD_PAIRS = f"""
+WITH {JACCARD_CTES}
+SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM jpairs WHERE j >= 0.8
 """
 
 
