@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_kind_counts": _il.span_kind_counts,
         # ---- text analysis
         "token_stats": _tx.token_stats,
+        "bpe_token_count": _tx.bpe_token_count,
         "quality_score": _tx.quality_score,
         "langid": _tx.langid,
         "fingerprints": _tx.fingerprints,
@@ -242,6 +243,7 @@ def oracle_sql() -> dict[str, str]:
         "span_links": _il.ORACLE_SPAN_LINKS,
         "span_kind_counts": _il.ORACLE_SPAN_KIND_COUNTS,
         "token_stats": _tx.ORACLE_TOKEN_STATS,
+        "bpe_token_count": _tx.ORACLE_BPE_TOKEN_COUNT,
         "quality_score": _tx.ORACLE_QUALITY_SCORE,
         "langid": _tx.langid_oracle_sql(),
         "fingerprints": _tx.fingerprints_oracle_sql(),

@@ -39,8 +39,12 @@ BENCH_QUERIES = [
     "pricing_summary", "junction_min_position", "top_customers",
     "orders_by_month", "events_hourly", "sessionize", "latest_user_state",
     "events_sliding", "latest_order_before_event",
-    "token_stats", "langid", "simhash", "fingerprints", "exact_dedup",
-    "minhash_lsh_pairs", "embedding_dups", "ann_topk", "ann_ivf",
+    "token_stats", "bpe_token_count", "langid", "simhash", "fingerprints",
+    "exact_dedup", "minhash_lsh_pairs", "embedding_dups",
+    # corpus_dedup is dedup_clusters + one groupby — timing both would
+    # double-charge the cluster pipeline
+    "dedup_clusters", "decontaminate", "quality_sample",
+    "ann_topk", "ann_ivf",
     "span_links", "span_kind_counts", "media_features",
     "customers_no_big_orders", "top_parts", "docs_filter_project",
 ]

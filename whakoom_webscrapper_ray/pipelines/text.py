@@ -94,6 +94,45 @@ def token_stats(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# BPE-ish pre-tokenizer pattern (GPT-2 style, RE2-compatible: the
+# original's \\s+(?!\\S) lookahead is dropped — RE2 has no lookarounds;
+# Arrow's count_substring_regex and DuckDB's regexp_extract_all BOTH
+# run RE2, so the oracle comparison is engine-exact, not approximate).
+BPE_PATTERN = (
+    r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def _bpe_count_batch(batch: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_bpe_tokens": pc.cast(
+                pc.count_substring_regex(batch["text"], BPE_PATTERN),
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def bpe_token_count(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_bpe_tokens): token counting under a BPE-ish
+    pre-tokenizer regex — the training-cost estimator a corpus pipeline
+    runs next to whitespace token_stats.  One vectorized RE2 pass per
+    batch (count_substring_regex), no per-row Python, no shuffle."""
+    return read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        _bpe_count_batch, batch_format="pyarrow"
+    )
+
+
+ORACLE_BPE_TOKEN_COUNT = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}'))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
 ORACLE_TOKEN_STATS = f"""
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
