@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _dd.exact_dedup,
         "minhash_lsh_pairs": _dd.minhash_lsh_pairs,
         "simhash": _dd.simhash,
+        "simhash_dup_pairs": _dd.simhash_dup_pairs,
         "ngram_jaccard_pairs": _dd.ngram_jaccard_pairs,
         "embedding_dups": _dd.embedding_dup_pairs,
         # ---- corpus curation (clusters → dedup → decontaminate → sample)
@@ -248,6 +249,7 @@ def oracle_sql() -> dict[str, str]:
         "langid": _tx.langid_oracle_sql(),
         "fingerprints": _tx.fingerprints_oracle_sql(),
         "simhash": _dd.simhash_oracle_sql(),
+        "simhash_dup_pairs": _dd.simhash_dup_pairs_oracle_sql(),
         "exact_dedup": _dd.ORACLE_EXACT_DEDUP,
         "minhash_lsh_pairs": _dd.ORACLE_JACCARD_PAIRS,
         "ngram_jaccard_pairs": _dd.ORACLE_JACCARD_PAIRS,

@@ -40,7 +40,8 @@ BENCH_QUERIES = [
     "orders_by_month", "events_hourly", "sessionize", "latest_user_state",
     "events_sliding", "latest_order_before_event",
     "token_stats", "bpe_token_count", "langid", "simhash", "fingerprints",
-    "exact_dedup", "minhash_lsh_pairs", "embedding_dups",
+    "exact_dedup", "minhash_lsh_pairs", "simhash_dup_pairs",
+    "embedding_dups",
     # corpus_dedup is dedup_clusters + one groupby — timing both would
     # double-charge the cluster pipeline
     "dedup_clusters", "decontaminate", "quality_sample",

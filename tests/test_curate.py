@@ -81,6 +81,31 @@ def test_cc_random_graph_vs_unionfind(ray_session):
     assert lab == expect
 
 
+def test_dedup_clusters_all_singletons(ray_session, tmp_path):
+    """No near-dup pairs at all: the label join's right side is empty
+    and every document labels itself."""
+    import pyarrow.parquet as pq
+
+    from whakoom_webscrapper_ray.pipelines.curate import dedup_clusters
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma delta epsilon zeta",
+                    "one two three four five six seven",
+                    "red green blue yellow purple orange",
+                ]
+            ),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = dedup_clusters(str(tmp_path)).to_pandas()
+    assert dict(zip(out["doc_id"], out["cluster_id"])) == {1: 1, 2: 2, 3: 3}
+    assert str(out["cluster_id"].dtype) == "int64"
+
+
 def test_quality_sample_deterministic(ray_session):
     """Same input → identical sample (content-hash bucket, no RNG)."""
     from whakoom_webscrapper_ray.pipelines.curate import quality_sample
@@ -133,6 +158,39 @@ def test_quality_sample_stratifies(ray_session, tmp_path):
         assert (i in kept) == expect, (i, buckets[i])
     low = out[~out["quality_ok"]]
     assert 0 < len(low) < 100  # some junk survives, most is dropped
+
+
+def test_decontaminate_flags_overlap(ray_session, tmp_path):
+    """Synthetic corpus where the overlap is known exactly: a training
+    doc sharing a 3-gram with an eval doc (doc_id % 97 == 0) is
+    flagged; disjoint docs are not; short docs match only on their
+    whole token sequence."""
+    import pyarrow.parquet as pq
+
+    from whakoom_webscrapper_ray.pipelines.curate import decontaminate
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 97, 1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma delta epsilon",   # eval
+                    "tiny pair",                        # eval (short)
+                    "zzz beta gamma delta yyy",         # shares 3-gram
+                    "alpha beta zeta gamma delta",      # no shared 3-gram
+                    "completely different words here",  # clean
+                    "tiny pair",                        # whole-doc match
+                    "tiny pair extended by tokens",     # 'tiny pair' is a
+                                                        # SUBSEQUENCE, not a
+                                                        # whole-doc gram match
+                ]
+            ),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = decontaminate(str(tmp_path)).to_pandas()
+    got = dict(zip(out["doc_id"], out["contaminated"]))
+    assert got == {1: True, 2: False, 3: False, 4: True, 5: False}
 
 
 def test_decontaminate_drops_eval_docs(ray_session):

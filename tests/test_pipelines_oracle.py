@@ -23,6 +23,7 @@ QUERIES = [
     "token_stats", "quality_score",             # text analysis
     "bpe_token_count",
     "exact_dedup", "embedding_dups",            # dedup family
+    "simhash_dup_pairs",
     "dedup_clusters", "corpus_dedup",           # corpus curation
     "decontaminate", "quality_sample",
     "ann_topk",                                 # similarity search

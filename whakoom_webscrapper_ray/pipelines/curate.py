@@ -166,8 +166,17 @@ def dedup_clusters(sf_dir: str, num_partitions: int = 8
             {"doc_id": b["node"], "cluster_id": b["cluster_id"]}
         ),
         batch_format="pyarrow",
-    )
+    ).materialize()  # small (dup-pair members only); makes count() free
     docs = read(sf_dir, "documents", columns=["doc_id"])
+    if labels.count() == 0:
+        # no dup pairs at all — Ray's hash join rejects an all-empty
+        # side, and every doc is its own cluster anyway
+        return docs.map_batches(
+            lambda b: pa.table(
+                {"doc_id": b["doc_id"], "cluster_id": b["doc_id"]}
+            ),
+            batch_format="pyarrow",
+        )
     joined = docs.join(
         labels, "left_outer", num_partitions, on=("doc_id",)
     )

@@ -579,6 +579,127 @@ FROM bits
 """
 
 
+# ------------------------------------------- simhash Hamming join
+_POP8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy<2 has no bitwise_count):
+    byte-table lookup over the raw buffer."""
+    return (
+        _POP8[np.ascontiguousarray(x).view(np.uint8)]
+        .reshape(-1, 8)
+        .sum(axis=1, dtype=np.int64)
+    )
+
+
+def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3
+                      ) -> ray.data.Dataset:
+    """(doc_a, doc_b, hamming): ALL pairs at simhash Hamming distance
+    <= max_hamming — exact, not approximate.
+
+    Manku–Jain–Das Sarma block bucketing (WWW'07, public) specialized
+    to one permutation: the 64-bit simhash splits into max_hamming+1
+    16-bit blocks; by pigeonhole any pair within distance 3 agrees
+    EXACTLY on >= 1 block, so block-equality buckets have recall 1 and
+    the per-bucket popcount verify makes the result exact.  Shuffle
+    moves (block_key, doc_id, simhash) = 24 B/row × 4 — never text.
+    Hot-bucket prune + per-bucket pair verify reuse the minhash LSH
+    shapes; a pathological bucket (thousands of identical simhashes)
+    would need the same salted-split remedy the frontier uses for hot
+    hosts.
+    """
+    import pandas as pd
+
+    nb = max_hamming + 1
+    assert 64 % nb == 0, "block split must tile 64 bits"
+    width = 64 // nb
+    bmask = np.uint64((1 << width) - 1)
+
+    sh = read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        simhash_batch, batch_format="pyarrow"
+    )
+
+    def blocks(b: pa.Table) -> pa.Table:
+        v = b["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        keys = np.concatenate([
+            (np.uint64(i << width) | ((v >> np.uint64(i * width)) & bmask))
+            for i in range(nb)
+        ]).view(np.int64)
+        return pa.table(
+            {
+                "block_key": pa.array(keys, pa.int64()),
+                "doc_id": pa.array(np.tile(ids, nb), pa.int64()),
+                "simhash": pa.array(
+                    np.tile(v.view(np.int64), nb), pa.int64()
+                ),
+            }
+        )
+
+    bands = sh.map_batches(blocks, batch_format="pyarrow").materialize()
+    hot = (
+        bands.groupby("block_key")
+        .aggregate(Count(alias_name="n"))
+        .filter(expr="n >= 2")
+    )
+    hot_keys = sorted(r["block_key"] for r in hot.take_all())
+    if not hot_keys:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        )
+    hot_ref = ray.put(pa.array(hot_keys, pa.int64()))
+
+    def keep_hot(b: pa.Table, hot=None) -> pa.Table:
+        from .common import deref
+
+        return b.filter(pc.is_in(b["block_key"], value_set=deref(hot)))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy()
+        shv = g["simhash"].to_numpy().view(np.uint64)
+        order = np.argsort(ids)
+        ids, shv = ids[order], shv[order]
+        iu, ju = np.triu_indices(ids.size, k=1)
+        ham = _popcount64(shv[iu] ^ shv[ju])
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {
+                "doc_a": ids[iu[keep]],
+                "doc_b": ids[ju[keep]],
+                "hamming": ham[keep],
+            }
+        )
+
+    return (
+        bands.map_batches(
+            keep_hot, fn_kwargs={"hot": hot_ref}, batch_format="pyarrow"
+        )
+        .groupby("block_key")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
+
+
+def simhash_dup_pairs_oracle_sql(max_hamming: int = 3) -> str:
+    """Brute-force Hamming join over the bit-exact simhash oracle —
+    exact because the blocked Ray path has recall 1 by pigeonhole."""
+    return f"""
+WITH sh AS ({simhash_oracle_sql()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
 # ------------------------------------------------- n-gram Jaccard (BF)
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, k: int = 3,
                         max_rows: int = 50_000) -> ray.data.Dataset:
