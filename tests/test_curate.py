@@ -50,9 +50,12 @@ def test_cc_empty_pairs(ray_session):
     assert _labels(pairs) == {}
 
 
-def test_cc_random_graph_vs_unionfind(ray_session):
-    """Fuzz: random sparse graph vs a sequential union-find oracle."""
-    rng = np.random.Generator(np.random.PCG64(7))
+@pytest.mark.parametrize("seed", [7, 19, 23])
+def test_cc_random_graph_vs_unionfind(ray_session, seed):
+    """Fuzz: random sparse graph vs a sequential union-find oracle
+    (also guards the label-based convergence stop against any
+    premature-plateau regression)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
     n = 60
     a = rng.integers(0, n, 50, dtype=np.int64)
     b = rng.integers(0, n, 50, dtype=np.int64)

@@ -30,7 +30,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count
 
 from .common import collect_small, deref, read
 from .dedup import JACCARD_CTES, _gram_hashes_flat, minhash_lsh_pairs
@@ -63,53 +63,64 @@ def _seed_state(b: pa.Table) -> pa.Table:
 
 def _star(g) -> "object":
     """One Hash-to-Min round for one node's group: send the member set
-    to its min, and the min to every member (vector emit, no per-member
-    Python)."""
+    to its min, the min to every member (vector emit, no per-member
+    Python), and an IN-BAND label row ``(~node, min)`` — bitwise-not
+    marks it (doc ids are >= 0), so the round's labels ride the same
+    shuffle instead of needing their own groupby."""
     import pandas as pd
 
     mem = np.unique(
         np.append(g["member"].to_numpy(), g["node"].to_numpy()[:1])
     )
     m = mem[0]  # np.unique sorts ascending
+    v = g["node"].to_numpy()[0]
     return pd.DataFrame(
         {
-            "node": np.concatenate([np.full(mem.size, m), mem]),
-            "member": np.concatenate([mem, np.full(mem.size, m)]),
+            "node": np.concatenate([np.full(mem.size, m), mem, [~v]]),
+            "member": np.concatenate([mem, np.full(mem.size, m), [m]]),
         }
     )
 
 
-def _distinct(ds: ray.data.Dataset) -> ray.data.Dataset:
-    return (
-        ds.groupby(["node", "member"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
-    )
+def _split_labels(b: pa.Table) -> tuple[pa.Table, pa.Table]:
+    """Map-side split of a star-output block into (state rows, label
+    rows) — label rows must not reach the next round's groupby (they
+    would all collide into marker groups)."""
+    node = b["node"]
+    is_label = pc.less(node, 0)
+    return b.filter(pc.invert(is_label)), b.filter(is_label)
+
+
+def _strip_labels(b: pa.Table) -> pa.Table:
+    return _split_labels(b)[0]
 
 
 _DIGEST_SCHEMA = pa.schema([("cnt", pa.int64()), ("hsum", pa.uint64())])
 
 
-def _digest_batch(b: pa.Table) -> pa.Table:
-    """Per-block (row count, wrap-sum of mixed row hashes) — an exact
-    SET digest for the distinct state (uint64 wraparound is the
-    combiner, so partials merge associatively and never overflow)."""
-    n = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
-    m = b["member"].to_numpy(zero_copy_only=False).astype(np.int64)
+def _label_digest_batch(b: pa.Table) -> pa.Table:
+    """Per-block (label count, wrap-sum of mixed label hashes): an
+    exact multiset digest of this round's (node → min) labels (uint64
+    wraparound is the combiner — partials merge associatively and
+    never overflow).  Labels are unique per node by construction (one
+    label row per group)."""
+    lab = _split_labels(b)[1]
+    n = pc.bit_wise_not(lab["node"]).to_numpy(zero_copy_only=False)
+    m = lab["member"].to_numpy(zero_copy_only=False)
     with np.errstate(over="ignore"):
         h = mix64(n.view(np.uint64) * _GOLD + mix64(m.view(np.uint64)))
         s = h.sum(dtype=np.uint64)
     return pa.table(
         {
-            "cnt": pa.array([b.num_rows], pa.int64()),
+            "cnt": pa.array([lab.num_rows], pa.int64()),
             "hsum": pa.array([int(s)], pa.uint64()),
         }
     )
 
 
-def _state_digest(state: ray.data.Dataset) -> tuple[int, int]:
+def _label_digest(state: ray.data.Dataset) -> tuple[int, int]:
     t = collect_small(state.map_batches(
-        _digest_batch, batch_format="pyarrow"), _DIGEST_SCHEMA)
+        _label_digest_batch, batch_format="pyarrow"), _DIGEST_SCHEMA)
     cnt = int(pc.sum(t["cnt"]).as_py() or 0)
     hsum = 0
     for v in t["hsum"].to_pylist():
@@ -117,36 +128,63 @@ def _state_digest(state: ray.data.Dataset) -> tuple[int, int]:
     return cnt, hsum
 
 
+def _labels_from_state(state: ray.data.Dataset) -> ray.data.Dataset:
+    def decode(b: pa.Table) -> pa.Table:
+        lab = _split_labels(b)[1]
+        return pa.table(
+            {
+                "node": pc.bit_wise_not(lab["node"]),
+                "cluster_id": lab["member"],
+            }
+        )
+
+    return state.map_batches(decode, batch_format="pyarrow")
+
+
 def _cc_labels(pairs: ray.data.Dataset,
                max_rounds: int = 64) -> ray.data.Dataset:
     """(node, cluster_id=component min) for every node in ``pairs``.
 
-    Iterates Hash-to-Min to a STATE fixpoint (same distinct state →
-    same emissions forever), detected by an exact distributed set
-    digest — never by materializing the state driver-side.
+    ONE all-to-all per round: the star groupby.  State rows are NOT
+    re-distincted — duplicates across emitting groups are collapsed by
+    the next round's per-group ``np.unique``, and the per-round row
+    count stays O(sum of member-set sizes), so the extra shuffle a
+    distinct pass would cost buys nothing.  Convergence is label-based:
+    per-node min labels are monotonically nonincreasing, and a round
+    with NO label change can never be followed by one with a change —
+    a node's min drops only when it receives a smaller min, which
+    requires either (a) membership in a group whose min already
+    dropped-below-it in the PREVIOUS round (that round would have
+    delivered the smaller min to it directly), or (b) receiving a set
+    from a group that elected it minimum, whose elements are all >= it
+    by construction.  So equal consecutive label digests == fixpoint,
+    checked by an exact distributed multiset digest — never by
+    materializing labels driver-side.
     """
-    state = _distinct(
-        pairs.map_batches(_seed_state, batch_format="pyarrow")
+    state = pairs.map_batches(
+        _seed_state, batch_format="pyarrow"
     ).materialize()
-    prev = _state_digest(state)
-    if prev[0] == 0:
+    if state.count() == 0:
         return ray.data.from_arrow(
             pa.table({"node": pa.array([], pa.int64()),
                       "cluster_id": pa.array([], pa.int64())})
         )
-    for _ in range(max_rounds):
-        state = _distinct(
-            state.groupby("node").map_groups(_star, batch_format="pandas")
+    prev: tuple[int, int] | None = None
+    for rnd in range(max_rounds):
+        strip = _strip_labels if rnd else None  # round 0 input has none
+        src = state if strip is None else state.map_batches(
+            strip, batch_format="pyarrow"
+        )
+        state = src.groupby("node").map_groups(
+            _star, batch_format="pandas"
         ).materialize()
-        cur = _state_digest(state)
+        cur = _label_digest(state)
         if cur == prev:
             break
         prev = cur
     else:  # pragma: no cover - diameter 2^64 is unreachable
         raise RuntimeError("hash-to-min did not converge")
-    return state.groupby("node").aggregate(
-        Min("member", alias_name="cluster_id")
-    )
+    return _labels_from_state(state)
 
 
 def dedup_clusters(sf_dir: str, num_partitions: int = 8
