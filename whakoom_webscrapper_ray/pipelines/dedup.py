@@ -321,30 +321,36 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, num_bands: int = 16,
             }
         )
 
-    cand = (
-        bands_mat.map_batches(
-            keep_hot, fn_kwargs={"hot": hot_ref}, batch_format="pyarrow"
-        )
-        .groupby("band_key")
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_bands"))
-        .drop_columns(["n_bands"])
-    )
+    cand = bands_mat.map_batches(
+        keep_hot, fn_kwargs={"hot": hot_ref}, batch_format="pyarrow"
+    ).groupby("band_key").map_groups(bucket_pairs, batch_format="pandas")
 
     # verify: exact Jaccard over ONLY the candidate docs.  The pair set
     # is tiny post-LSH (collisions only), so collecting it is a small
-    # driver-side result, not a corpus materialization.  Candidate
-    # texts are then fetched by a distributed semi-join: the documents
-    # dataset STREAMS through an is_in filter (broadcast sorted id
-    # array) that also computes each survivor's shingle set map-side —
-    # the full corpus is never pulled to the driver or broadcast.
+    # driver-side result, not a corpus materialization — which is also
+    # why cross-band duplicate pairs are dropped HERE with one
+    # np.unique instead of paying a second all-to-all groupby.
+    # Candidate texts are then fetched by a distributed semi-join: the
+    # documents dataset STREAMS through an is_in filter (broadcast
+    # sorted id array) that also computes each survivor's shingle set
+    # map-side — the full corpus is never pulled to the driver or
+    # broadcast.
     from .common import collect_small
 
     cand_tbl = collect_small(
         cand,
         pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
     )
+    if cand_tbl.num_rows:
+        da = cand_tbl["doc_a"].to_numpy(zero_copy_only=False)
+        db = cand_tbl["doc_b"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(np.stack([da, db], axis=1), axis=0)
+        cand_tbl = pa.table(
+            {
+                "doc_a": pa.array(uniq[:, 0], pa.int64()),
+                "doc_b": pa.array(uniq[:, 1], pa.int64()),
+            }
+        )
     if cand_tbl.num_rows == 0:
         return ray.data.from_arrow(
             pa.table(
