@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": _dd.embedding_dup_pairs,
         # ---- corpus curation (clusters → dedup → decontaminate → sample)
         "dedup_clusters": _cu.dedup_clusters,
+        "embedding_clusters": _cu.embedding_clusters,
         "corpus_dedup": _cu.corpus_dedup,
         "decontaminate": _cu.decontaminate,
         "quality_sample": _cu.quality_sample,
@@ -255,6 +256,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _dd.ORACLE_JACCARD_PAIRS,
         "embedding_dups": _dd.ORACLE_EMBEDDING_DUPS,
         "dedup_clusters": _cu.ORACLE_DEDUP_CLUSTERS,
+        "embedding_clusters": _cu.ORACLE_EMBEDDING_CLUSTERS,
         "corpus_dedup": _cu.ORACLE_CORPUS_DEDUP,
         "decontaminate": _cu.ORACLE_DECONTAMINATE,
         "quality_sample": _cu.quality_sample_oracle_sql(),

@@ -44,7 +44,8 @@ BENCH_QUERIES = [
     "embedding_dups",
     # corpus_dedup is dedup_clusters + one groupby — timing both would
     # double-charge the cluster pipeline
-    "dedup_clusters", "decontaminate", "quality_sample",
+    "dedup_clusters", "embedding_clusters", "decontaminate",
+    "quality_sample",
     "ann_topk", "ann_ivf",
     "span_links", "span_kind_counts", "media_features",
     "customers_no_big_orders", "top_parts", "docs_filter_project",

@@ -25,7 +25,7 @@ QUERIES = [
     "exact_dedup", "embedding_dups",            # dedup family
     "simhash_dup_pairs",
     "dedup_clusters", "corpus_dedup",           # corpus curation
-    "decontaminate", "quality_sample",
+    "decontaminate", "quality_sample", "embedding_clusters",
     "ann_topk",                                 # similarity search
     "pricing_summary", "junction_min_position",  # relational aggs
     "orders_by_month", "customers_no_big_orders",

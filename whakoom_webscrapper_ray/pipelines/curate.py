@@ -288,6 +288,66 @@ FROM labels GROUP BY cluster_id
 """
 
 
+def embedding_clusters(sf_dir: str, num_partitions: int = 8
+                       ) -> ray.data.Dataset:
+    """(vec_id, cluster_id): semantic near-dup components over the
+    EXACT cosine>=threshold pair graph (dedup.embedding_dup_pairs) —
+    the embedding analog of :func:`dedup_clusters`, same hash-to-min
+    engine, labels hash-joined back onto the embeddings table."""
+    from .dedup import embedding_dup_pairs
+
+    pairs = embedding_dup_pairs(sf_dir).map_batches(
+        lambda b: pa.table({"doc_a": b["vec_a"], "doc_b": b["vec_b"]}),
+        batch_format="pyarrow",
+    )
+    labels = _cc_labels(pairs).map_batches(
+        lambda b: pa.table(
+            {"vec_id": b["node"], "cluster_id": b["cluster_id"]}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    vecs = read(sf_dir, "embeddings", columns=["vec_id"])
+    if labels.count() == 0:
+        return vecs.map_batches(
+            lambda b: pa.table(
+                {"vec_id": b["vec_id"], "cluster_id": b["vec_id"]}
+            ),
+            batch_format="pyarrow",
+        )
+    joined = vecs.join(
+        labels, "left_outer", num_partitions, on=("vec_id",)
+    )
+    return joined.map_batches(
+        lambda b: pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "cluster_id": pc.cast(
+                    pc.coalesce(b["cluster_id"], b["vec_id"]), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_EMBEDDING_CLUSTERS = """
+WITH RECURSIVE epairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(
+          CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
+        ) >= 0.45
+),
+edges AS (SELECT u, v FROM epairs UNION SELECT v, u FROM epairs),
+reach(vec_id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT reach.vec_id, e.v FROM reach JOIN edges e ON e.u = reach.r
+)
+SELECT vec_id, min(r) AS cluster_id FROM reach GROUP BY vec_id
+"""
+
+
 # ------------------------------------------------- decontamination
 _EVAL_MOD = 97  # deterministic eval split: doc_id % 97 == 0
 
