@@ -101,3 +101,33 @@ def test_cli_resume(ray_session, tmp_path, capsys):
                  "--num-shards", "2", "--resume"]) == 0
     out2 = _last_json(capsys)
     assert out2["scheduled"] == 168        # global_seq is cumulative
+
+
+def test_cli_pipeline(ray_session, tmp_path, capsys):
+    """`cli pipeline` runs a registry pipeline over an sf dir: --list
+    names it, --out streams partitioned parquet (resumable output),
+    no --out prints rows."""
+    import pyarrow.dataset as pds
+
+    from whakoom_webscrapper_ray.cli import main
+
+    assert main(["pipeline", "--list"]) == 0
+    names = _last_json(capsys)
+    assert "exact_dedup" in names and "dedup_clusters" in names
+
+    assert main(["pipeline", "--name", "quality_sample",
+                 "--sf-dir", "/root/testdata/sf0.001",
+                 "--limit", "5"]) == 0
+    rows = _last_json(capsys)
+    assert len(rows) == 5 and {"doc_id", "quality_ok",
+                               "samp_bucket"} <= set(rows[0])
+
+    out = str(tmp_path / "ts")
+    assert main(["pipeline", "--name", "token_stats",
+                 "--sf-dir", "/root/testdata/sf0.001",
+                 "--out", out]) == 0
+    summary = _last_json(capsys)
+    assert summary["rows"] == 500
+    assert pds.dataset(out, format="parquet").count_rows() == 500
+
+    assert main(["pipeline", "--name", "nope"]) == 2

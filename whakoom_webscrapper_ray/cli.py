@@ -169,6 +169,49 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_pipeline(args) -> int:
+    """Run one data-ops / training-data pipeline from the registry over
+    an sf-style parquet dir; stream the result to a partitioned parquet
+    dir (resumable output) or print rows as JSON."""
+    import importlib
+
+    _init_ray()
+    entry = importlib.import_module("__ray_entry__")
+    qs = entry.queries()
+    if args.list:
+        print(json.dumps(sorted(qs.keys())))
+        return 0
+    if args.name not in qs:
+        print(json.dumps({"error": f"unknown pipeline {args.name!r}"}))
+        return 2
+    res = qs[args.name](args.sf_dir)
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    if args.out:
+        if not isinstance(res, ray.data.Dataset):
+            tbl = (pa.Table.from_pandas(res, preserve_index=False)
+                   if isinstance(res, pd.DataFrame) else res)
+            res = ray.data.from_arrow(tbl)
+        res.write_parquet(args.out)
+        import pyarrow.dataset as pds
+
+        print(json.dumps({
+            "pipeline": args.name, "out": args.out,
+            "rows": pds.dataset(args.out, format="parquet").count_rows(),
+        }))
+        return 0
+    if isinstance(res, ray.data.Dataset):
+        rows = res.limit(args.limit).take_all()
+    else:
+        tbl = (pa.Table.from_pandas(res, preserve_index=False)
+               if isinstance(res, pd.DataFrame) else res)
+        rows = tbl.slice(0, args.limit).to_pylist()
+    print(json.dumps(rows, default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="whakoom_webscrapper_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -222,6 +265,23 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--list", action="store_true",
                    help="list available query names")
     q.set_defaults(fn=cmd_query)
+
+    pl = sub.add_parser(
+        "pipeline",
+        help="run a data-ops / training-data pipeline from the "
+             "__ray_entry__ registry over an sf-style parquet dir")
+    pl.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                    help="dir of <table>.parquet inputs")
+    pl.add_argument("--name", default=None,
+                    help="pipeline name, e.g. dedup_clusters")
+    pl.add_argument("--out", default=None,
+                    help="write result as partitioned parquet here "
+                         "instead of printing")
+    pl.add_argument("--limit", type=int, default=100,
+                    help="max rows to print without --out")
+    pl.add_argument("--list", action="store_true",
+                    help="list available pipeline names")
+    pl.set_defaults(fn=cmd_pipeline)
 
     args = p.parse_args(argv)
     return args.fn(args)
