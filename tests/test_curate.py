@@ -212,3 +212,37 @@ def test_decontaminate_drops_eval_docs(ray_session):
     train = [i for i in ids["doc_id"].to_pylist() if i % _EVAL_MOD != 0]
     assert sorted(out["doc_id"]) == sorted(train)
     assert out["contaminated"].dtype == bool
+
+
+def test_decontaminate_no_eval_split(ray_session, tmp_path):
+    """Corpus with NO eval docs (no doc_id % 97 == 0): the broadcast
+    gram set is empty and nothing is contaminated."""
+    import pyarrow.parquet as pq
+
+    from whakoom_webscrapper_ray.pipelines.curate import decontaminate
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b c d", "e f g h", "i j k l"]),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = decontaminate(str(tmp_path)).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 3]
+    assert not out["contaminated"].any()
+
+
+def test_cc_giant_component(ray_session):
+    """One component spanning every node (200-node path — deep
+    diameter, the log-round worst case) resolves to a single label."""
+    n = 200
+    pairs = pa.table(
+        {
+            "doc_a": pa.array(range(n - 1), pa.int64()),
+            "doc_b": pa.array(range(1, n), pa.int64()),
+        }
+    )
+    lab = _labels(pairs)
+    assert len(lab) == n
+    assert set(lab.values()) == {0}
