@@ -130,4 +130,13 @@ def test_cli_pipeline(ray_session, tmp_path, capsys):
     assert summary["rows"] == 500
     assert pds.dataset(out, format="parquet").count_rows() == 500
 
+    # rerun into the same --out (retry after an interruption) must
+    # REPLACE the prior output, not add a second uuid-named copy of
+    # every row
+    assert main(["pipeline", "--name", "token_stats",
+                 "--sf-dir", "/root/testdata/sf0.001",
+                 "--out", out]) == 0
+    assert _last_json(capsys)["rows"] == 500
+    assert pds.dataset(out, format="parquet").count_rows() == 500
+
     assert main(["pipeline", "--name", "nope"]) == 2

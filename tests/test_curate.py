@@ -246,3 +246,25 @@ def test_cc_giant_component(ray_session):
     lab = _labels(pairs)
     assert len(lab) == n
     assert set(lab.values()) == {0}
+
+
+def test_label_join_lossless_above_2_53(ray_session):
+    """Regression: cluster labels must survive the left-outer join
+    bit-exactly even for ids >= 2**53 (a float64 round-trip on the
+    nullable side would silently corrupt them)."""
+    import ray
+
+    from whakoom_webscrapper_ray.pipelines.curate import _label_join
+
+    big = (1 << 53) + 1          # not representable in float64
+    big2 = (1 << 62) + 12345
+    base = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([1, big, big2, 7], pa.int64())}
+    ))
+    labels = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([big, 7], pa.int64()),
+        "cluster_id": pa.array([big2, 3], pa.int64()),
+    }))
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in _label_join(base, labels, "doc_id", 2).take_all()}
+    assert out == {1: 1, big: big2, big2: big2, 7: 3}

@@ -171,3 +171,46 @@ def test_shipped_pack_covers_reference_read_surface():
                  "GET_LIST_BY_ID", "GET_ALL_LISTS",
                  "INSERT_OR_UPDATE_LIST"):
         assert name in q
+
+
+def test_plain_insert_existing_key_raises(export_dir, tmp_path):
+    """SQLite IntegrityError parity: an INSERT with NO ON CONFLICT
+    clause hitting a live key must raise, not silently replace the
+    stored row (which would clobber columns the reference preserves)."""
+    store = NamedQueryStore(export_dir)
+    extra = tmp_path / "plain_insert.sql"
+    extra.write_text(
+        "# PLAIN_INSERT\n"
+        "INSERT INTO lists (list_id, title, url, user_profile, "
+        "scrape_status, scraped_at) VALUES (?, ?, ?, ?, ?, ?);\n"
+    )
+    store.add_file(str(extra))
+    r = store.run("PLAIN_INSERT", 7, "g", "/u9/lists/g_7", "u9",
+                  "pending", "t7")
+    assert r.to_pylist() == [{"rows_affected": 1}]
+    with pytest.raises(ValueError, match="UNIQUE constraint failed"):
+        store.run("PLAIN_INSERT", 7, "CLOBBER", "/x", "X",
+                  "completed", "t8")
+    got = store.run("GET_LIST_BY_ID", 7).to_pylist()[0]
+    assert got["title"] == "g" and got["user_profile"] == "u9"
+    store.close()
+
+
+def test_mutation_unknown_table_raises_valueerror(export_dir):
+    """A mutation against an exported table with no registered natural
+    key gets run()'s descriptive ValueError, not a raw KeyError."""
+    d = os.path.join(export_dir, "scraping_log")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({"entity_id": [1], "operation": ["insert"]}),
+        os.path.join(d, "part-0.parquet"),
+    )
+    store = NamedQueryStore(export_dir, queries={
+        "LOG_INSERT": (
+            "INSERT INTO scraping_log (entity_id, operation) "
+            "VALUES (?, ?);"
+        ),
+    })
+    with pytest.raises(ValueError, match="no registered natural key"):
+        store.run("LOG_INSERT", 2, "update")
+    store.close()

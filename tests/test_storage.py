@@ -299,3 +299,33 @@ def test_get_by_id_over_finalized_table(ray_session, tmp_path):
     assert get_by_id(d, 8).to_pylist() == [{"list_id": 8, "title": "y"}]
     with pytest.raises(ValueError):
         get_by_id(str(tmp_path / "unknown_table"), 1)
+
+
+def test_upsert_key_after_nested_column(tmp_path):
+    """Regression: _fragment_may_match must find the key's LEAF column
+    by path — with a nested column ahead of the key, the top-level
+    Arrow index points at a spans leaf, whose min/max could 'prove' a
+    matching fragment disjoint and leave stale duplicate keys."""
+    bk = ParquetBackend()
+    d = str(tmp_path / "nested")
+    spans_t = pa.list_(pa.struct(
+        [("kind", pa.string()), ("offset", pa.int32())]
+    ))
+
+    def tbl(keys, marks):
+        return pa.table({
+            "spans": pa.array(
+                [[{"kind": "text", "offset": 0}]] * len(keys), spans_t
+            ),
+            "doc_id": pa.array(keys, pa.int64()),
+            "mark": pa.array(marks, pa.string()),
+        })
+
+    bk.upsert(tbl([100, 200], ["old", "old"]), d, ["doc_id"])
+    bk.upsert(tbl([200, 300], ["new", "new"]), d, ["doc_id"])
+    got = {
+        r["doc_id"]: r["mark"]
+        for f in bk.list_fragments(d)
+        for r in bk.read_fragment(f).to_pylist()
+    }
+    assert got == {100: "old", 200: "new", 300: "new"}

@@ -171,8 +171,9 @@ def cmd_query(args) -> int:
 
 def cmd_pipeline(args) -> int:
     """Run one data-ops / training-data pipeline from the registry over
-    an sf-style parquet dir; stream the result to a partitioned parquet
-    dir (resumable output) or print rows as JSON."""
+    an sf-style parquet dir; stream the result to a parquet dir
+    (replaced atomically-per-file if it already holds data — a rerun
+    must not double rows) or print rows as JSON."""
     import importlib
 
     _init_ray()
@@ -194,6 +195,13 @@ def cmd_pipeline(args) -> int:
             tbl = (pa.Table.from_pandas(res, preserve_index=False)
                    if isinstance(res, pd.DataFrame) else res)
             res = ray.data.from_arrow(tbl)
+        # write_parquet only ADDS uuid-named files; a rerun into a
+        # non-empty dir would silently double every row and the
+        # printed count, so clear prior output first
+        if os.path.isdir(args.out) and os.listdir(args.out):
+            import shutil
+
+            shutil.rmtree(args.out)
         res.write_parquet(args.out)
         import pyarrow.dataset as pds
 

@@ -79,6 +79,18 @@ _TABLE_KEYS = {
     "title_enriched": ["title_id"],
 }
 
+def _table_keys(table: str) -> list[str]:
+    """Natural key of ``table`` or a descriptive ValueError (the raw
+    ``_TABLE_KEYS[table]`` KeyError broke run()'s rejection contract)."""
+    try:
+        return _TABLE_KEYS[table]
+    except KeyError:
+        raise ValueError(
+            f"table {table!r} has no registered natural key; mutating "
+            f"named queries support {sorted(_TABLE_KEYS)}"
+        ) from None
+
+
 # Default query pack shipped next to this module.
 _DEFAULT_SQL_DIR = os.path.join(os.path.dirname(__file__), "queries")
 
@@ -283,10 +295,20 @@ class NamedQueryStore:
             raise ValueError(f"{len(leftovers)} unused parameters")
         keys = (
             [k.strip() for k in m["conflict"].split(",")]
-            if m["conflict"] else _TABLE_KEYS[table]
+            if m["conflict"] else _table_keys(table)
         )
         existing = self._lookup_rows(table, keys,
                                      [incoming[k] for k in keys])
+        if existing.num_rows and not m["set"]:
+            # conflict-less INSERT on a live key: SQLite raises
+            # IntegrityError (UNIQUE constraint); silently replacing
+            # the stored row would clobber columns the reference
+            # preserves
+            raise ValueError(
+                f"UNIQUE constraint failed: {table}"
+                f"({', '.join(keys)}) — INSERT without ON CONFLICT "
+                "on an existing key"
+            )
         if existing.num_rows and m["set"]:
             # conflict: update ONLY the SET-listed columns of the
             # stored row (reference keeps e.g. user_profile untouched,
@@ -332,7 +354,7 @@ class NamedQueryStore:
             out = out.set_column(
                 i, col, pa.concat_arrays([cell] * existing.num_rows)
             )
-        self._upsert(table, out, _TABLE_KEYS[table])
+        self._upsert(table, out, _table_keys(table))
         return existing.num_rows
 
     def close(self) -> None:

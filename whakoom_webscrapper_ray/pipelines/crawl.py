@@ -1171,10 +1171,15 @@ class CrawlEngine:
             if isinstance(src, pa.ChunkedArray):
                 src = src.combine_chunks()
             # source doc's seq: hash-probe src against this batch's
-            # doc_id column (every src_doc_id comes from this batch)
-            seqs = t.column("seq").take(
-                pc.index_in(src, value_set=doc_col)
-            )
+            # doc_id column (every src_doc_id comes from this batch);
+            # a null probe would round-trip through float64 NaN below,
+            # so fail loudly instead of emitting garbage seqs
+            idx = pc.index_in(src, value_set=doc_col)
+            if pc.any(pc.is_null(idx)).as_py():
+                raise ValueError(
+                    "lists_stage: src_doc_id missing from batch docs"
+                )
+            seqs = t.column("seq").take(idx)
             # user_profile = first path segment of the profile URL
             # (``u.split("/")[3]``, spiders/lists.py:35-36); profile
             # doc_ids are canonical scheme://host/... by construction
@@ -1268,9 +1273,14 @@ class CrawlEngine:
             rsrc = ranked.column("src_doc_id")
             if isinstance(rsrc, pa.ChunkedArray):
                 rsrc = rsrc.combine_chunks()
-            seqs = t.column("seq").take(
-                pc.index_in(rsrc, value_set=doc_col)
-            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = pc.index_in(rsrc, value_set=doc_col)
+            if pc.any(pc.is_null(idx)).as_py():
+                raise ValueError(
+                    "title_links_stage: src_doc_id missing from batch"
+                )
+            seqs = t.column("seq").take(idx).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
             offs = ranked.column("offset").to_numpy(zero_copy_only=False)
             ok = (seqs << OK_SHIFT) | np.minimum(
                 offs.astype(np.int64), (1 << OK_SHIFT) - 1

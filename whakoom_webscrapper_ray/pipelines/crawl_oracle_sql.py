@@ -121,7 +121,7 @@ ok_links AS (
     AND NOT EXISTS (
       SELECT 1 FROM dis d
       WHERE d.host = regexp_extract(l.url, {_HOST}, 1)
-        AND coalesce(regexp_extract(l.url, {_PATH}, 1), '/')
+        AND coalesce(nullif(regexp_extract(l.url, {_PATH}, 1), ''), '/')
             LIKE d.prefix || '%')
 ),
 seed_ok AS (
@@ -130,7 +130,7 @@ seed_ok AS (
     AND NOT EXISTS (
       SELECT 1 FROM dis d
       WHERE d.host = regexp_extract(s.url, {_HOST}, 1)
-        AND coalesce(regexp_extract(s.url, {_PATH}, 1), '/')
+        AND coalesce(nullif(regexp_extract(s.url, {_PATH}, 1), ''), '/')
             LIKE d.prefix || '%')
 ),
 reach AS (
@@ -215,7 +215,7 @@ ok_links_off AS (
     AND NOT EXISTS (
       SELECT 1 FROM dis d
       WHERE d.host = regexp_extract(l.url, {_HOST}, 1)
-        AND coalesce(regexp_extract(l.url, {_PATH}, 1), '/')
+        AND coalesce(nullif(regexp_extract(l.url, {_PATH}, 1), ''), '/')
             LIKE d.prefix || '%')
 ),
 seed_rows AS (
@@ -232,7 +232,7 @@ lvl0_cand AS (
     AND NOT EXISTS (
       SELECT 1 FROM dis d
       WHERE d.host = regexp_extract(s.url, {_HOST}, 1)
-        AND coalesce(regexp_extract(s.url, {_PATH}, 1), '/')
+        AND coalesce(nullif(regexp_extract(s.url, {_PATH}, 1), ''), '/')
             LIKE d.prefix || '%')
   GROUP BY 1, 2
 ),

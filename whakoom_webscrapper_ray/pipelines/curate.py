@@ -187,6 +187,37 @@ def _cc_labels(pairs: ray.data.Dataset,
     return _labels_from_state(state)
 
 
+def _label_join(base: ray.data.Dataset, labels: ray.data.Dataset,
+                idcol: str, num_partitions: int) -> ray.data.Dataset:
+    """Left-attach component labels onto the full id column, losslessly.
+
+    Ray's left-outer hash join may hand the nullable side back through
+    pandas, where int64-with-nulls becomes float64 — silently corrupting
+    ids >= 2**53.  The label therefore travels as a STRING through the
+    join (object/utf8 survives pandas exactly) and is decoded back to
+    int64 after the null fill.  ``labels`` must have columns
+    (idcol:int64, cluster_id:int64); rows of ``base`` without a label
+    get their own id.
+    """
+    enc = labels.map_batches(
+        lambda b: pa.table({
+            idcol: b[idcol],
+            "_cluster_str": pc.cast(b["cluster_id"], pa.string()),
+        }),
+        batch_format="pyarrow",
+    )
+    joined = base.join(enc, "left_outer", num_partitions, on=(idcol,))
+    return joined.map_batches(
+        lambda b: pa.table({
+            idcol: b[idcol],
+            "cluster_id": pc.coalesce(
+                pc.cast(b["_cluster_str"], pa.int64()), b[idcol]
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def dedup_clusters(sf_dir: str, num_partitions: int = 8
                    ) -> ray.data.Dataset:
     """(doc_id, cluster_id) for EVERY document: cluster_id = min doc_id
@@ -215,23 +246,7 @@ def dedup_clusters(sf_dir: str, num_partitions: int = 8
             ),
             batch_format="pyarrow",
         )
-    joined = docs.join(
-        labels, "left_outer", num_partitions, on=("doc_id",)
-    )
-    return joined.map_batches(
-        lambda b: pa.table(
-            {
-                "doc_id": b["doc_id"],
-                # the join may hand back pandas-converted blocks where
-                # the nullable side became float64 — cast back after
-                # the null fill so the label column stays int64
-                "cluster_id": pc.cast(
-                    pc.coalesce(b["cluster_id"], b["doc_id"]), pa.int64()
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    return _label_join(docs, labels, "doc_id", num_partitions)
 
 
 # Transitive closure over the exact-Jaccard pair graph; min reachable
@@ -314,20 +329,7 @@ def embedding_clusters(sf_dir: str, num_partitions: int = 8
             ),
             batch_format="pyarrow",
         )
-    joined = vecs.join(
-        labels, "left_outer", num_partitions, on=("vec_id",)
-    )
-    return joined.map_batches(
-        lambda b: pa.table(
-            {
-                "vec_id": b["vec_id"],
-                "cluster_id": pc.cast(
-                    pc.coalesce(b["cluster_id"], b["vec_id"]), pa.int64()
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    return _label_join(vecs, labels, "vec_id", num_partitions)
 
 
 ORACLE_EMBEDDING_CLUSTERS = """

@@ -269,20 +269,39 @@ class FrontierShard:
         # min-ok frontier guarantees the first-emitted occurrence is
         # the global min-ok one.
         track = self.seen is None and self.seen_shard is None
-        emitted: list[np.ndarray] = []
+        # Amortized membership structure: one big SORTED array probed
+        # by searchsorted (O(s log E) per chunk) plus a small list of
+        # not-yet-merged parts probed by isin; parts fold into the
+        # sorted array once they outgrow it (O(E log E) total, not the
+        # O(E x chunks) a per-chunk re-concatenate would cost).
+        em_sorted = np.empty(0, dtype=np.dtype((np.void, 20)))
+        em_parts: list[np.ndarray] = []
+        em_rows = 0
 
         def probe(chunk: pa.Table) -> pa.Table:
+            nonlocal em_sorted, em_parts, em_rows
             sub = self._dedup_probe(chunk)
             if not track or sub.num_rows == 0:
                 return sub
             sha = _sha_void(sub.column("url_sha1"))
-            if emitted:
-                keep = ~np.isin(sha, np.concatenate(emitted))
-                if not keep.all():
-                    sub = sub.filter(pa.array(keep))
-                    sha = sha[keep]
+            keep = np.ones(sha.size, dtype=bool)
+            if em_sorted.size:
+                pos = np.searchsorted(em_sorted, sha)
+                inb = pos < em_sorted.size
+                keep[inb] = em_sorted[pos[inb]] != sha[inb]
+            for p in em_parts:
+                keep &= ~np.isin(sha, p)
+            if not keep.all():
+                sub = sub.filter(pa.array(keep))
+                sha = sha[keep]
             if sha.size:
-                emitted.append(np.ascontiguousarray(sha))
+                em_parts.append(np.ascontiguousarray(sha))
+                em_rows += sha.size
+                if em_rows >= max(em_sorted.size, self.poll_chunk_rows):
+                    em_sorted = np.sort(
+                        np.concatenate([em_sorted, *em_parts])
+                    )
+                    em_parts, em_rows = [], 0
             return sub
 
         def refill(i: int) -> None:

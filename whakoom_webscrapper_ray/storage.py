@@ -171,9 +171,15 @@ class ParquetBackend:
         column only; conservative — missing stats means 'may match')."""
         try:
             md = pq.ParquetFile(path).metadata
-            names = md.schema.to_arrow_schema().names
-            ci = names.index(key)
-        except (OSError, ValueError):
+            # row_group(g).column(i) indexes the FLATTENED parquet leaf
+            # columns; for a schema with nested columns the top-level
+            # Arrow index diverges, so match by leaf path (a flat
+            # top-level key column's path_in_schema is its name)
+            ci = next(
+                i for i in range(md.num_columns)
+                if md.schema.column(i).path == key
+            )
+        except (OSError, StopIteration):
             return True
         for g in range(md.num_row_groups):
             st = md.row_group(g).column(ci).statistics
