@@ -61,23 +61,58 @@ def _seed_state(b: pa.Table) -> pa.Table:
     )
 
 
-def _star(g) -> "object":
-    """One Hash-to-Min round for one node's group: send the member set
-    to its min, the min to every member (vector emit, no per-member
-    Python), and an IN-BAND label row ``(~node, min)`` — bitwise-not
-    marks it (doc ids are >= 0), so the round's labels ride the same
-    shuffle instead of needing their own groupby."""
-    import pandas as pd
+# Coarse hash partitions per star round: the shuffle key is
+# mix64(node) % _CC_PARTS, so ONE vectorized task handles every node
+# group in its partition (a per-node map_groups call costs a Python
+# frame + pandas frame per node — the per-group analog of a row loop).
+# Each task holds O(state_rows / parts); raise ``parts`` with corpus
+# size (>= cluster cores) so a partition fits one worker's heap.
+_CC_PARTS = 64
 
-    mem = np.unique(
-        np.append(g["member"].to_numpy(), g["node"].to_numpy()[:1])
+
+def _with_part(b: pa.Table) -> pa.Table:
+    n = b["node"].to_numpy(zero_copy_only=False)
+    part = (mix64(n.view(np.uint64)) % np.uint64(_CC_PARTS)).astype(
+        np.int64
     )
-    m = mem[0]  # np.unique sorts ascending
-    v = g["node"].to_numpy()[0]
-    return pd.DataFrame(
+    return b.append_column("part", pa.array(part))
+
+
+def _star_part(b: pa.Table) -> pa.Table:
+    """One Hash-to-Min round for EVERY node group in one hash
+    partition, fully vectorized: sort (node, member), dedupe, segment
+    by node, then per group send the member set to its min, the min to
+    every member, and an IN-BAND label row ``(~node, min)`` —
+    bitwise-not marks it (doc ids are >= 0), so the round's labels
+    ride the same shuffle instead of needing their own groupby."""
+    empty = pa.table(
+        {"node": pa.array([], pa.int64()),
+         "member": pa.array([], pa.int64())}
+    )
+    if b.num_rows == 0:
+        return empty
+    n = b["node"].to_numpy(zero_copy_only=False)
+    m = b["member"].to_numpy(zero_copy_only=False)
+    # a node is an implicit member of its own set (the old per-group
+    # star appended it before taking the min)
+    u = np.unique(n)
+    n2 = np.concatenate([n, u])
+    m2 = np.concatenate([m, u])
+    order = np.lexsort((m2, n2))
+    n2, m2 = n2[order], m2[order]
+    keep = np.empty(n2.size, dtype=bool)
+    keep[0] = True
+    keep[1:] = (n2[1:] != n2[:-1]) | (m2[1:] != m2[:-1])
+    n2, m2 = n2[keep], m2[keep]
+    starts = np.flatnonzero(np.r_[True, n2[1:] != n2[:-1]])
+    counts = np.diff(np.r_[starts, n2.size])
+    mins = m2[starts]  # members sorted ascending per group
+    gmin = np.repeat(mins, counts)
+    gnode = n2[starts]
+    return pa.table(
         {
-            "node": np.concatenate([np.full(mem.size, m), mem, [~v]]),
-            "member": np.concatenate([mem, np.full(mem.size, m), [m]]),
+            "node": pa.array(np.concatenate([gmin, m2, ~gnode])),
+            "member": pa.array(np.concatenate([m2, gmin, mins])),
         }
     )
 
@@ -145,11 +180,14 @@ def _cc_labels(pairs: ray.data.Dataset,
                max_rounds: int = 64) -> ray.data.Dataset:
     """(node, cluster_id=component min) for every node in ``pairs``.
 
-    ONE all-to-all per round: the star groupby.  State rows are NOT
-    re-distincted — duplicates across emitting groups are collapsed by
-    the next round's per-group ``np.unique``, and the per-round row
-    count stays O(sum of member-set sizes), so the extra shuffle a
-    distinct pass would cost buys nothing.  Convergence is label-based:
+    ONE all-to-all per round: the star groupby, keyed by
+    ``mix64(node) % _CC_PARTS`` so each shuffle partition is processed
+    by ONE vectorized task (:func:`_star_part`) rather than a Python
+    call per node group.  State rows are NOT re-distincted — duplicate
+    pairs across emitting groups are collapsed by the next round's
+    in-task sort-dedupe, and the per-round row count stays O(sum of
+    member-set sizes), so the extra shuffle a distinct pass would cost
+    buys nothing.  Convergence is label-based:
     per-node min labels are monotonically nonincreasing, and a round
     with NO label change can never be followed by one with a change —
     a node's min drops only when it receives a smaller min, which
@@ -175,8 +213,10 @@ def _cc_labels(pairs: ray.data.Dataset,
         src = state if strip is None else state.map_batches(
             strip, batch_format="pyarrow"
         )
-        state = src.groupby("node").map_groups(
-            _star, batch_format="pandas"
+        state = src.map_batches(
+            _with_part, batch_format="pyarrow"
+        ).groupby("part").map_groups(
+            _star_part, batch_format="pyarrow"
         ).materialize()
         cur = _label_digest(state)
         if cur == prev:
