@@ -198,8 +198,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _ann.ann_topk,
         "ann_ivf": _ann.ann_ivf,
         "ann_ivf_fullprobe": _ann.ann_ivf_fullprobe,
+        "ann_lsh": _ann.ann_lsh,
+        "ann_lsh_fullprobe": _ann.ann_lsh_fullprobe,
         # ---- multimodal plumbing (stubbed codec)
         "media_features": _mm.media_features,
+        "frame_sample": _mm.frame_sample,
         # ---- relational / streaming operators
         "docs_filter_project": _do.docs_filter_project,
         "pricing_summary": _do.pricing_summary,
@@ -227,10 +230,10 @@ def oracle_sql() -> dict[str, str]:
     clock (fetch_time = delay * (prior host count + within-host rank);
     see crawl_oracle_sql._crawl_order_sql).  Hash ops (fingerprints,
     simhash) use SQL-reproducible recurrences (Horner mod 2**64 +
-    fmix64) so they compare bit-exactly.  The single remaining
-    oracle-free entry: ann_ivf (approximate by design —
-    recall-vs-brute-force pytest; its machinery gets the hard check
-    via the bit-exact ann_ivf_fullprobe row below).  feed_export is
+    fmix64) so they compare bit-exactly.  The only oracle-free
+    entries: ann_ivf and ann_lsh (approximate by design —
+    recall-vs-brute-force pytests; their machinery gets the hard check
+    via the bit-exact *_fullprobe rows below).  feed_export is
     oracle-checked via round-trip facts: the query reads its own
     export back and digests the content, which the SQL reproduces
     from the source tables.
@@ -265,6 +268,10 @@ def oracle_sql() -> dict[str, str]:
         # IVF machinery's hard oracle (approximation quality itself
         # stays a recall pytest on the nprobe<K path)
         "ann_ivf_fullprobe": _ann.oracle_ann_topk(),
+        # same contract for the LSH variant: radius=n_bits probes every
+        # bucket, so the signature/probe/merge machinery must equal the
+        # exact top-k (the radius<n_bits path is the recall pytest)
+        "ann_lsh_fullprobe": _ann.oracle_ann_topk(),
         "docs_filter_project": _do.ORACLE_DOCS_FILTER,
         "pricing_summary": _do.ORACLE_PRICING_SUMMARY,
         "top_customers": _do.ORACLE_TOP_CUSTOMERS,
@@ -279,4 +286,5 @@ def oracle_sql() -> dict[str, str]:
         "latest_order_before_event": _do.ORACLE_ASOF,
         "latest_user_state": _do.ORACLE_LATEST_USER_STATE,
         "media_features": _mm.ORACLE_MEDIA_FEATURES,
+        "frame_sample": _mm.ORACLE_FRAME_SAMPLE,
     }

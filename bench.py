@@ -46,8 +46,8 @@ BENCH_QUERIES = [
     # double-charge the cluster pipeline
     "dedup_clusters", "embedding_clusters", "decontaminate",
     "quality_sample",
-    "ann_topk", "ann_ivf",
-    "span_links", "span_kind_counts", "media_features",
+    "ann_topk", "ann_ivf", "ann_lsh",
+    "span_links", "span_kind_counts", "media_features", "frame_sample",
     "customers_no_big_orders", "top_parts", "docs_filter_project",
 ]
 

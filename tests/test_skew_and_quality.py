@@ -141,3 +141,85 @@ def test_ivf_fullprobe_exact(ray_session):
     fp = ann.ann_ivf_fullprobe(SF).to_pandas()[cols] \
         .sort_values(cols).reset_index(drop=True)
     assert fp.equals(tk)
+
+
+def test_lsh_recall_and_prune(ray_session):
+    """LSH recall must be a real LIFT over its probed fraction.
+
+    The synthetic embeddings are near-uniform random (top-10 neighbor
+    cosines 0.24-0.49), the worst case for sign-LSH — per-bit collision
+    probability is barely above chance.  The honest claim is therefore
+    joint: the default config probes <= 30% of the corpus AND recalls
+    >= 40% of brute-force top-10 (a >= 2x lift over random probing).
+    Fully deterministic: seeded hyperplanes over fixed data."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from whakoom_webscrapper_ray.pipelines import ann
+    from whakoom_webscrapper_ray.pipelines.common import read
+
+    tk = ann.ann_topk(SF).to_pandas()
+    ls = ann.ann_lsh(SF).to_pandas()
+    tk_n = collections.defaultdict(set)
+    ls_n = collections.defaultdict(set)
+    for r in tk.itertuples():
+        tk_n[r.query_id].add(r.neighbor_id)
+    for r in ls.itertuples():
+        ls_n[r.query_id].add(r.neighbor_id)
+    recalls = [
+        len(tk_n[q] & ls_n[q]) / len(tk_n[q]) for q in tk_n
+    ]
+    assert sum(recalls) / len(recalls) >= 0.4
+
+    # probed fraction of the corpus under the default config
+    t = pa.concat_tables(
+        [ray.get(r) for r in read(SF, "embeddings").to_arrow_refs()]
+    )
+    m = ann.emb_matrix(t["embedding"])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qids, qmat = ann._load_queries(SF, 8)
+    n_bits, n_tables, radius = 8, 6, 1  # ann_lsh defaults
+    fracs = []
+    for qi in range(len(qids)):
+        mask = np.zeros(m.shape[0], dtype=bool)
+        for tt in range(n_tables):
+            planes = ann._hyperplanes(m.shape[1], n_bits, seed=7 + 13 * tt)
+            mask |= np.isin(
+                ann._signatures(m, planes),
+                ann._probe_buckets(
+                    int(ann._signatures(qmat[qi:qi + 1], planes)[0]),
+                    n_bits, radius,
+                ),
+            )
+        fracs.append(mask.mean())
+    assert sum(fracs) / len(fracs) <= 0.3
+
+
+def test_lsh_fullprobe_exact(ray_session):
+    """radius = n_bits probes every bucket, so the LSH
+    signature/probe/merge machinery must reproduce brute-force top-k
+    exactly (the invariant behind the ann_lsh_fullprobe driver
+    oracle)."""
+    from whakoom_webscrapper_ray.pipelines import ann
+
+    cols = ["query_id", "neighbor_id", "rank"]
+    tk = ann.ann_topk(SF).to_pandas()[cols] \
+        .sort_values(cols).reset_index(drop=True)
+    fp = ann.ann_lsh_fullprobe(SF).to_pandas()[cols] \
+        .sort_values(cols).reset_index(drop=True)
+    assert fp.equals(tk)
+
+
+def test_probe_buckets_radius():
+    """Multi-probe enumeration: exactly the sigs within Hamming<=r."""
+    import numpy as np
+
+    from whakoom_webscrapper_ray.pipelines.ann import _probe_buckets
+
+    got = _probe_buckets(0b1010, 4, 1)
+    assert got.tolist() == sorted(
+        {0b1010, 0b1011, 0b1000, 0b1110, 0b0010}
+    )
+    assert _probe_buckets(0, 4, 4).tolist() == list(range(16))
+    assert np.array_equal(_probe_buckets(7, 10, 0), [7])

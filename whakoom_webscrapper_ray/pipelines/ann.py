@@ -249,6 +249,135 @@ def ann_ivf(sf_dir: str, k: int = 10, num_queries: int = 8,
     )
 
 
+# ----------------------------------------------------------------- LSH
+def _hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
+    """Deterministic random-hyperplane matrix (n_bits, dim) float32."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((n_bits, dim)).astype(np.float32)
+
+
+def _signatures(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Pack sign bits of mat @ planes.T into one int64 bucket per row."""
+    bits = (mat @ planes.T) > 0                       # (n, n_bits)
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return bits.astype(np.int64) @ weights
+
+
+def _probe_buckets(sig: int, n_bits: int, radius: int) -> np.ndarray:
+    """All bucket ids within Hamming distance <= radius of ``sig``
+    (multi-probe set; tiny — sum of C(n_bits, i) for i <= radius)."""
+    outs = [np.array([sig], dtype=np.int64)]
+    flips = [np.int64(0)]
+    for _ in range(radius):
+        nxt = set()
+        for f in flips:
+            for b in range(n_bits):
+                nf = int(f) | (1 << b)
+                nxt.add(nf)
+        flips = [np.int64(f) for f in nxt]
+        outs.append(np.array([sig ^ f for f in flips], dtype=np.int64))
+    return np.unique(np.concatenate(outs))
+
+
+def ann_lsh(sf_dir: str, k: int = 10, num_queries: int = 8,
+            n_bits: int = 8, n_tables: int = 6,
+            radius: int = 1) -> ray.data.Dataset:
+    """LSH-bucketed cosine top-k (the hash-partitioned scale path,
+    alongside IVF): ``n_tables`` independent sign-LSH tables of
+    ``n_bits`` seeded random hyperplanes each; a vector lives in one
+    bucket per table, and a query scores the union over tables of the
+    buckets within Hamming distance ``radius`` of its own signature
+    (multi-probe).  At 100 TB each table's bucket id is a partition
+    key of the stored index (the classic L-times space tradeoff), so a
+    query touches ~n_tables * sum(C(n_bits, i), i<=radius) / 2^n_bits
+    of the corpus.  Recall vs the brute-force baseline is asserted in
+    tests; the plumbing's exactness via :func:`ann_lsh_fullprobe`."""
+    qids, qmat = _load_queries(sf_dir, num_queries)
+    planes = [
+        _hyperplanes(qmat.shape[1], n_bits, seed=7 + 13 * t)
+        for t in range(n_tables)
+    ]
+    probe_sets = [
+        [
+            _probe_buckets(int(s), n_bits, radius)
+            for s in _signatures(qmat, planes[t])
+        ]
+        for t in range(n_tables)
+    ]  # [table][query] -> admissible bucket ids
+    state_ref = ray.put((qids, qmat, planes, probe_sets))
+
+    class LSHScorer:
+        def __init__(self, state_ref, k: int) -> None:
+            (self.qids, self.qmat, self.planes,
+             self.probe) = ray.get(state_ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            m = emb_matrix(batch["embedding"])
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            buckets = [_signatures(m, p) for p in self.planes]
+            sims = self.qmat @ m.T
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(self.qids)):
+                mask = np.zeros(len(ids), dtype=bool)
+                for t, bucket in enumerate(buckets):
+                    mask |= np.isin(bucket, self.probe[t][qi])
+                if not mask.any():
+                    continue
+                cand_ids = ids[mask]
+                cand_sims = sims[qi][mask]
+                kk = min(self.k, len(cand_ids))
+                order = np.lexsort((cand_ids, -cand_sims))[:kk]
+                out_q.append(np.full(kk, self.qids[qi], dtype=np.int64))
+                out_n.append(cand_ids[order])
+                out_s.append(cand_sims[order])
+            if not out_q:
+                return pa.table(
+                    {"query_id": pa.array([], pa.int64()),
+                     "neighbor_id": pa.array([], pa.int64()),
+                     "sim": pa.array([], pa.float64())}
+                )
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                    "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                    "sim": pa.array(np.concatenate(out_s), pa.float64()),
+                }
+            )
+
+    def lsh_batch(batch, state=None, k=k):
+        key = ("lsh_scorer",
+               state.hex() if hasattr(state, "hex") else id(state), k)
+        sc = _WORKER_MEMO.get(key)
+        if sc is None:
+            sc = _WORKER_MEMO[key] = LSHScorer(state, k)
+        return sc(batch)
+
+    return (
+        read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(
+            lsh_batch, fn_kwargs={"state": state_ref},
+            batch_format="pyarrow",
+        )
+        .groupby("query_id")
+        .map_groups(_merge_topk(k), batch_format="pandas")
+    )
+
+
+def ann_lsh_fullprobe(sf_dir: str, k: int = 10, num_queries: int = 8,
+                      n_bits: int = 8) -> ray.data.Dataset:
+    """LSH exactness invariant: radius = n_bits probes every bucket of
+    table 0, so the signature/probe/merge machinery must reproduce the
+    brute-force top-k bit-exactly (same SQL oracle as ``ann_topk``);
+    approximation quality at radius < n_bits stays covered by the
+    recall pytest."""
+    return ann_lsh(sf_dir, k=k, num_queries=num_queries,
+                   n_bits=n_bits, n_tables=1, radius=n_bits)
+
+
 def ann_ivf_fullprobe(sf_dir: str, k: int = 10, num_queries: int = 8,
                       n_centroids: int = 16) -> ray.data.Dataset:
     """IVF exactness invariant: probing ALL buckets reproduces the

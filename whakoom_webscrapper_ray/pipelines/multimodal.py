@@ -123,6 +123,110 @@ FROM documents
 """
 
 
+# ------------------------------------------------------- frame sample
+VIDEO_MAGIC = b"WKV0"
+_FRAME_STRIDE = 5  # sample every 5th frame
+
+
+def synth_video_batch(batch: pa.Table) -> pa.Table:
+    """documents → (doc_id, media: binary, media_kind='video') rows.
+
+    Payload: ``b"WKV0" + n_frames:uint16 + fps:uint16 + utf8(text)`` —
+    n_frames = 4 + doc_id % 28, fps = 24; the body stands in for the
+    encoded stream.
+    """
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    payloads = [
+        VIDEO_MAGIC + struct.pack("<HH", 4 + d % 28, 24)
+        + t.encode("utf-8")
+        for d, t in zip(ids, texts)
+    ]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "media_kind": pa.array(["video"] * len(ids), pa.string()),
+            "media": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage: decode the container header
+    once per payload, emit one row per SAMPLED frame (every
+    ``stride``-th), each with a content digest of the decoded frame.
+    Real deployments would seek the codec to the sampled timestamps in
+    ``__call__`` and hold the decoder in ``__init__``; the in-container
+    stub derives each frame's bytes deterministically from the body.
+    Output fans out rows (docs × frames/stride), so the caller keeps
+    ``batch_size`` payload-sized."""
+
+    def __init__(self, stride: int = _FRAME_STRIDE) -> None:
+        self.have_codec = HAVE_CODEC
+        self.stride = stride
+
+    def _frames(self, payload: bytes) -> tuple[int, int, bytes]:
+        if self.have_codec:
+            raise NotImplementedError(
+                "real video decode not exercised in this container"
+            )
+        if payload[:4] != VIDEO_MAGIC:
+            raise ValueError("bad video payload")
+        n_frames, fps = struct.unpack("<HH", payload[4:8])
+        return n_frames, fps, payload[8:]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        out_id, out_idx, out_md5 = [], [], []
+        for d, p in zip(ids, batch["media"].to_pylist()):
+            n_frames, _fps, body = self._frames(p)
+            for i in range(0, n_frames, self.stride):
+                out_id.append(d)
+                out_idx.append(i)
+                # digest of the decoded frame: canonical serialization
+                # doc|frame|body (the stub "decode" of frame i)
+                out_md5.append(hashlib.md5(
+                    b"%d|%d|" % (d, i) + body
+                ).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_idx, pa.int64()),
+                "frame_md5": pa.array(out_md5, pa.string()),
+            }
+        )
+
+
+# n_frames is pure doc_id arithmetic and the frame digest's canonical
+# serialization ("doc|idx|" + body) is md5(VARCHAR) over UTF-8 —
+# bit-exact vs FrameSampler's stub decode.
+ORACLE_FRAME_SAMPLE = f"""
+SELECT d.doc_id,
+       CAST(gs.i AS BIGINT)                   AS frame_idx,
+       md5(d.doc_id::VARCHAR || '|' || gs.i::VARCHAR || '|' || d.text)
+                                              AS frame_md5
+FROM documents d
+JOIN generate_series(0, 30, {_FRAME_STRIDE}) gs(i)
+  ON gs.i < 4 + d.doc_id % 28
+"""
+
+
+def frame_sample(sf_dir: str) -> ray.data.Dataset:
+    """documents → synth video payloads → actor-pool frame sampling.
+
+    The sampler fans out one row per sampled frame; batch_size stays
+    payload-sized for the same heap reasons as media_features.
+    """
+    return (
+        read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(synth_video_batch, batch_format="pyarrow")
+        .map_batches(
+            FrameSampler, concurrency=(1, 4), batch_size=256,
+            batch_format="pyarrow",
+        )
+    )
+
+
 def media_features(sf_dir: str) -> ray.data.Dataset:
     """documents → synth binary payloads → actor-pool decode features.
 
