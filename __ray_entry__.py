@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_fullprobe": _ann.ann_lsh_fullprobe,
         # ---- multimodal plumbing (stubbed codec)
         "media_features": _mm.media_features,
+        "media_resize": _mm.media_resize,
         "frame_sample": _mm.frame_sample,
         # ---- relational / streaming operators
         "docs_filter_project": _do.docs_filter_project,
@@ -286,5 +287,6 @@ def oracle_sql() -> dict[str, str]:
         "latest_order_before_event": _do.ORACLE_ASOF,
         "latest_user_state": _do.ORACLE_LATEST_USER_STATE,
         "media_features": _mm.ORACLE_MEDIA_FEATURES,
+        "media_resize": _mm.ORACLE_MEDIA_RESIZE,
         "frame_sample": _mm.ORACLE_FRAME_SAMPLE,
     }

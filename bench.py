@@ -47,7 +47,8 @@ BENCH_QUERIES = [
     "dedup_clusters", "embedding_clusters", "decontaminate",
     "quality_sample",
     "ann_topk", "ann_ivf", "ann_lsh",
-    "span_links", "span_kind_counts", "media_features", "frame_sample",
+    "span_links", "span_kind_counts", "media_features", "media_resize",
+    "frame_sample",
     "customers_no_big_orders", "top_parts", "docs_filter_project",
 ]
 

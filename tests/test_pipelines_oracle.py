@@ -27,7 +27,7 @@ QUERIES = [
     "dedup_clusters", "corpus_dedup",           # corpus curation
     "decontaminate", "quality_sample", "embedding_clusters",
     "ann_topk", "ann_lsh_fullprobe",            # similarity search
-    "frame_sample",                             # multimodal plumbing
+    "frame_sample", "media_resize",             # multimodal plumbing
     "pricing_summary", "junction_min_position",  # relational aggs
     "orders_by_month", "customers_no_big_orders",
     "events_hourly", "sessionize", "latest_user_state",  # streaming

@@ -123,6 +123,91 @@ FROM documents
 """
 
 
+# ------------------------------------------------------------- resize
+_RESIZE_MAX = 64  # fit-within target for the long edge
+
+
+class MediaResizer:
+    """Actor-pool resize stage: binary payload in, binary payload out
+    (the transform shape a real thumbnailer has — decode, scale to fit
+    ``max_edge``, re-encode).  The stub re-encodes our container with
+    the scaled header and untouched body; real deployments put the
+    codec in ``__init__`` and the pixel resample here."""
+
+    def __init__(self, max_edge: int = _RESIZE_MAX) -> None:
+        self.have_codec = HAVE_CODEC
+        self.max_edge = max_edge
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.have_codec:
+            raise NotImplementedError(
+                "real image resize not exercised in this container"
+            )
+        out = []
+        for p in batch["media"].to_pylist():
+            if p[:4] != MAGIC:
+                raise ValueError("bad media payload")
+            w, h = struct.unpack("<HH", p[4:8])
+            m = max(w, h)
+            if m > self.max_edge:
+                w = w * self.max_edge // m
+                h = h * self.max_edge // m
+            out.append(MAGIC + struct.pack("<HH", w, h) + p[8:])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "media_kind": batch["media_kind"],
+                "media": pa.array(out, pa.binary()),
+            }
+        )
+
+
+# The resized header is integer arithmetic over the synth dims
+# (floor-div scale to fit the 64px long edge), and the digest hashes
+# the same canonical decoded-field serialization media_features uses —
+# bit-exact vs MediaDecoder over MediaResizer output.
+ORACLE_MEDIA_RESIZE = f"""
+WITH dims AS (
+  SELECT doc_id, text,
+         16 + (doc_id % 64) * 8       AS w,
+         16 + ((doc_id * 7) % 48) * 8 AS h
+  FROM documents
+), scaled AS (
+  SELECT doc_id, text,
+         CASE WHEN greatest(w, h) > {_RESIZE_MAX}
+              THEN w * {_RESIZE_MAX} // greatest(w, h) ELSE w END AS rw,
+         CASE WHEN greatest(w, h) > {_RESIZE_MAX}
+              THEN h * {_RESIZE_MAX} // greatest(w, h) ELSE h END AS rh
+  FROM dims
+)
+SELECT doc_id,
+       8 + octet_length(encode(text)) AS n_bytes,
+       CAST(rw AS BIGINT)             AS width,
+       CAST(rh AS BIGINT)             AS height,
+       md5('WKM0|' || rw::VARCHAR || '|' || rh::VARCHAR || '|' || text)
+                                      AS payload_md5
+FROM scaled
+"""
+
+
+def media_resize(sf_dir: str) -> ray.data.Dataset:
+    """documents → synth payloads → actor-pool resize → decode features
+    of the RESIZED payload (the verification read a thumbnail pipeline
+    runs).  Two chained actor-pool stages over binary columns."""
+    return (
+        read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(synth_payload_batch, batch_format="pyarrow")
+        .map_batches(
+            MediaResizer, concurrency=(1, 4), batch_size=256,
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            MediaDecoder, concurrency=(1, 4), batch_size=256,
+            batch_format="pyarrow",
+        )
+    )
+
+
 # ------------------------------------------------------- frame sample
 VIDEO_MAGIC = b"WKV0"
 _FRAME_STRIDE = 5  # sample every 5th frame
