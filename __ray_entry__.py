@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count": _tx.bpe_token_count,
         "quality_score": _tx.quality_score,
         "langid": _tx.langid,
+        "lang_topk": _tx.lang_topk,
+        "token_quantiles": _tx.token_quantiles,
         "fingerprints": _tx.fingerprints,
         # ---- dedup family
         "exact_dedup": _dd.exact_dedup,
@@ -252,6 +254,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_count": _tx.ORACLE_BPE_TOKEN_COUNT,
         "quality_score": _tx.ORACLE_QUALITY_SCORE,
         "langid": _tx.langid_oracle_sql(),
+        "lang_topk": _tx.lang_topk_oracle_sql(),
+        "token_quantiles": _tx.ORACLE_TOKEN_QUANTILES,
         "fingerprints": _tx.fingerprints_oracle_sql(),
         "simhash": _dd.simhash_oracle_sql(),
         "simhash_dup_pairs": _dd.simhash_dup_pairs_oracle_sql(),

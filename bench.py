@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     # double-charge the cluster pipeline
     "dedup_clusters", "embedding_clusters", "decontaminate",
     "quality_sample",
+    "lang_topk", "token_quantiles",
     "ann_topk", "ann_ivf", "ann_lsh",
     "span_links", "span_kind_counts", "media_features", "media_resize",
     "frame_sample",

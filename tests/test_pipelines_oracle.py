@@ -21,7 +21,7 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 QUERIES = [
     "span_links", "span_kind_counts",           # interleaved spans
     "token_stats", "quality_score",             # text analysis
-    "bpe_token_count",
+    "bpe_token_count", "lang_topk", "token_quantiles",
     "exact_dedup", "embedding_dups",            # dedup family
     "simhash_dup_pairs",
     "dedup_clusters", "corpus_dedup",           # corpus curation

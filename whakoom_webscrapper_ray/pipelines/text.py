@@ -605,3 +605,150 @@ SELECT doc_id,
               THEN v - {m} ELSE v END AS BIGINT) AS fingerprint
 FROM fp
 """
+
+
+# ------------------------------------------------- grouped top-k
+_LANG_TOPK = 5
+
+
+def _lang_topk_combine(batch: pa.Table, k: int = _LANG_TOPK) -> pa.Table:
+    """Map-side combiner: per-batch top-k docs per language (longest by
+    n_tokens, ties by doc_id ascending).  Only k rows per language per
+    BLOCK reach the shuffle — the grouped-top-k analog of a
+    pre-aggregation, so the final groupby moves k x langs x blocks
+    rows, never the corpus."""
+    langs = batch["lang"].to_numpy(zero_copy_only=False)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    words = pc.split_pattern(batch["text"], " ")
+    n_tok = pc.list_value_length(words).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    # sort by (lang, -n_tokens, doc_id); first k rows of each lang run
+    # (langs encoded to int codes — lexsort on an object key is slow)
+    _, codes = np.unique(langs, return_inverse=True)
+    order = np.lexsort((ids, -n_tok, codes))
+    langs, ids, n_tok = langs[order], ids[order], n_tok[order]
+    codes = codes[order]
+    starts = np.flatnonzero(
+        np.r_[True, codes[1:] != codes[:-1]]
+    ) if len(langs) else np.empty(0, dtype=np.int64)
+    within = np.arange(len(langs)) - np.repeat(
+        starts, np.diff(np.r_[starts, len(langs)])
+    ) if len(langs) else np.empty(0, dtype=np.int64)
+    keep = within < k
+    return pa.table(
+        {
+            "lang": pa.array(langs[keep], pa.string()),
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "n_tokens": pa.array(n_tok[keep], pa.int64()),
+        }
+    )
+
+
+def _lang_topk_final(k: int = _LANG_TOPK):
+    import pandas as pd
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["lang", "doc_id", "n_tokens", "rank"]]
+
+    return final
+
+
+def lang_topk(sf_dir: str, k: int = _LANG_TOPK) -> ray.data.Dataset:
+    """(lang, doc_id, n_tokens, rank): the k longest documents per
+    language — the grouped-top-k operator (a per-language sample
+    inspection pass).  Map-side combiner + tiny final groupby.  Groups
+    by the ``lang`` label: the synthetic fixture's text is not
+    language-separable (one shared vocabulary), so pred_lang would
+    collapse to a single group and exercise nothing."""
+    return (
+        read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+        .map_batches(
+            _lang_topk_combine, fn_kwargs={"k": k},
+            batch_format="pyarrow",
+        )
+        .groupby("lang")
+        .map_groups(_lang_topk_final(k), batch_format="pandas")
+    )
+
+
+def lang_topk_oracle_sql(k: int = _LANG_TOPK) -> str:
+    return f"""
+SELECT lang, doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(row_number() OVER (
+         PARTITION BY lang
+         ORDER BY len(string_split(text, ' ')) DESC, doc_id ASC
+       ) AS BIGINT) AS rank
+FROM documents
+QUALIFY rank <= {k}
+"""
+
+
+# ------------------------------------------------- exact quantiles
+_QUANTILE_PCTS = (50, 90, 99)
+
+
+def token_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """(pct, value): EXACT token-count percentiles over the corpus via
+    distributed histogram combine — each block emits (value, count)
+    partials over the bounded integer domain, a small groupby sums
+    them, and the driver reads back only the distinct-value histogram
+    (never the corpus).  value = the ceil(pct/100 * n)-th smallest —
+    the explicit discrete-quantile definition the oracle mirrors."""
+    from ray.data.aggregate import Sum
+
+    from .common import collect_small
+
+    def hist(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        n_tok = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        v, c = np.unique(n_tok, return_counts=True)
+        return pa.table(
+            {"v": pa.array(v, pa.int64()),
+             "c": pa.array(c, pa.int64())}
+        )
+
+    partials = (
+        read(sf_dir, "documents", columns=["text"])
+        .map_batches(hist, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    t = collect_small(
+        partials, pa.schema([("v", pa.int64()), ("c", pa.int64())])
+    ).sort_by("v")
+    vals = t["v"].to_numpy(zero_copy_only=False)
+    cum = np.cumsum(t["c"].to_numpy(zero_copy_only=False))
+    n = int(cum[-1]) if len(cum) else 0
+    out_p, out_v = [], []
+    for pct in _QUANTILE_PCTS:
+        if n == 0:
+            continue
+        target = -(-pct * n // 100)  # ceil(pct*n/100)
+        out_p.append(pct)
+        out_v.append(int(vals[np.searchsorted(cum, target)]))
+    return ray.data.from_arrow(pa.table(
+        {"pct": pa.array(out_p, pa.int64()),
+         "value": pa.array(out_v, pa.int64())}
+    ))
+
+
+ORACLE_TOKEN_QUANTILES = f"""
+WITH t AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+  FROM documents
+),
+ord AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM t),
+n AS (SELECT count(*) AS c FROM t),
+p(pct) AS (VALUES (50), (90), (99))
+SELECT CAST(p.pct AS BIGINT) AS pct, o.v AS value
+FROM p CROSS JOIN n
+JOIN ord o ON o.rn = CAST(ceil(p.pct * n.c / 100.0) AS BIGINT)
+"""
