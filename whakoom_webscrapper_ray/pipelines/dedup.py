@@ -667,19 +667,54 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3
 
         return b.filter(pc.is_in(b["block_key"], value_set=deref(hot)))
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["doc_id"].to_numpy()
-        shv = g["simhash"].to_numpy().view(np.uint64)
-        order = np.argsort(ids)
-        ids, shv = ids[order], shv[order]
-        iu, ju = np.triu_indices(ids.size, k=1)
-        ham = _popcount64(shv[iu] ^ shv[ju])
-        keep = ham <= max_hamming
-        return pd.DataFrame(
+    # ONE vectorized task per coarse hash partition (not a pandas call
+    # per hot bucket — the per-group analog of a row loop); equal
+    # block_keys co-locate because the partition is a pure function of
+    # the key.  The inner per-bucket triu loop is fine: within-bucket
+    # work is quadratic anyway and buckets are verify-sized.
+    n_parts = 64
+
+    def add_part(b: pa.Table) -> pa.Table:
+        from .text import mix64
+
+        k = b["block_key"].to_numpy(zero_copy_only=False)
+        part = (mix64(k.view(np.uint64))
+                % np.uint64(n_parts)).astype(np.int64)
+        return b.append_column("part", pa.array(part))
+
+    def partition_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_a": pa.array([], pa.int64()),
+             "doc_b": pa.array([], pa.int64()),
+             "hamming": pa.array([], pa.int64())}
+        )
+        if g.num_rows == 0:
+            return empty
+        key = g["block_key"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        shv = g["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.lexsort((ids, key))
+        key, ids, shv = key[order], ids[order], shv[order]
+        bounds = np.flatnonzero(np.r_[True, key[1:] != key[:-1], True])
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            iu, ju = np.triu_indices(e - s, k=1)
+            ham = _popcount64(shv[s:e][iu] ^ shv[s:e][ju])
+            keep = ham <= max_hamming
+            out_a.append(ids[s:e][iu[keep]])
+            out_b.append(ids[s:e][ju[keep]])
+            out_h.append(ham[keep])
+        if not out_a:
+            return empty
+        return pa.table(
             {
-                "doc_a": ids[iu[keep]],
-                "doc_b": ids[ju[keep]],
-                "hamming": ham[keep],
+                "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "hamming": pa.array(
+                    np.concatenate(out_h).astype(np.int64), pa.int64()
+                ),
             }
         )
 
@@ -687,8 +722,9 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3
         bands.map_batches(
             keep_hot, fn_kwargs={"hot": hot_ref}, batch_format="pyarrow"
         )
-        .groupby("block_key")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(partition_pairs, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Min("hamming", alias_name="hamming"))
     )
