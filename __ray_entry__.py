@@ -196,6 +196,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_dedup": _cu.corpus_dedup,
         "decontaminate": _cu.decontaminate,
         "quality_sample": _cu.quality_sample,
+        "split_assign": _cu.split_assign,
+        "corpus_shuffle": _cu.corpus_shuffle,
         # ---- similarity search
         "ann_topk": _ann.ann_topk,
         "ann_ivf": _ann.ann_ivf,
@@ -220,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _do.events_sliding,
         "latest_order_before_event": _do.latest_order_before_event,
         "latest_user_state": _do.latest_user_state,
+        "revenue_by_nation": _do.revenue_by_nation,
     }
 
 
@@ -268,6 +271,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_dedup": _cu.ORACLE_CORPUS_DEDUP,
         "decontaminate": _cu.ORACLE_DECONTAMINATE,
         "quality_sample": _cu.quality_sample_oracle_sql(),
+        "split_assign": _cu.split_assign_oracle_sql(),
+        "corpus_shuffle": _cu.corpus_shuffle_oracle_sql(),
         "ann_topk": _ann.oracle_ann_topk(),
         # full-probe IVF must equal the exact top-k bit for bit — the
         # IVF machinery's hard oracle (approximation quality itself
@@ -290,6 +295,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": _do.ORACLE_EVENTS_SLIDING,
         "latest_order_before_event": _do.ORACLE_ASOF,
         "latest_user_state": _do.ORACLE_LATEST_USER_STATE,
+        "revenue_by_nation": _do.ORACLE_REVENUE_BY_NATION,
         "media_features": _mm.ORACLE_MEDIA_FEATURES,
         "media_resize": _mm.ORACLE_MEDIA_RESIZE,
         "frame_sample": _mm.ORACLE_FRAME_SAMPLE,

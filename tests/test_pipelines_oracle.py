@@ -26,6 +26,8 @@ QUERIES = [
     "simhash_dup_pairs",
     "dedup_clusters", "corpus_dedup",           # corpus curation
     "decontaminate", "quality_sample", "embedding_clusters",
+    "split_assign", "corpus_shuffle",           # deterministic split/order
+    "revenue_by_nation",                        # large x large hash join
     "ann_topk", "ann_lsh_fullprobe",            # similarity search
     "frame_sample", "media_resize",             # multimodal plumbing
     "pricing_summary", "junction_min_position",  # relational aggs

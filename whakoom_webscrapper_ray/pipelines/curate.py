@@ -506,6 +506,140 @@ def quality_sample(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# ----------------------------------- deterministic split / shuffle
+_SPLIT_SEED = 0x9E3779B97F4A7C15   # golden-ratio odd constant
+_SHUF_SEED = 0xD1B54A32D192ED03    # distinct seed: split ⟂ shuffle order
+
+
+def split_assign(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, split) — deterministic 80/10/10 train/val/test
+    assignment by ``fmix64(doc_id ^ seed) % 100``.  Pure map, no
+    shuffle, reproducible across runs and cluster sizes (the property
+    RNG-based splits lose when block boundaries move); id-keyed (not
+    content-keyed) so re-crawled versions of a document stay in the
+    same split and never leak train→test."""
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        h = mix64(ids.view(np.uint64) ^ np.uint64(_SPLIT_SEED))
+        bucket = (h % np.uint64(100)).astype(np.int64)
+        split = np.where(
+            bucket < 80, "train", np.where(bucket < 90, "val", "test")
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+
+def split_assign_oracle_sql() -> str:
+    from .text import fmix64_docid_ctes
+
+    ctes, final = fmix64_docid_ctes(_SPLIT_SEED, "sp")
+    return f"""
+WITH {ctes}
+SELECT doc_id,
+       CASE WHEN h % 100 < 80 THEN 'train'
+            WHEN h % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM {final}
+"""
+
+
+# Range partitions for the distributed rank: keys are fmix64-uniform,
+# so the TOP bits of the key range-partition the corpus evenly AND
+# preserve global order across partitions (partition i's keys all sort
+# before partition i+1's).  Raise with corpus size so one partition
+# fits a worker's heap (4096 parts ≈ 25 GB/part at 100 TB).
+_SHUF_PART_BITS = 6
+
+
+def corpus_shuffle(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, position) — deterministic global training order:
+    position = rank of ``fmix64(doc_id ^ seed)`` (ties by doc_id).
+
+    A seeded hash ORDER, not ``random_shuffle()``: the permutation is a
+    pure function of the ids, so a resumed or re-sharded run (or the
+    DuckDB oracle) reproduces it exactly.  Distributed rank in ONE
+    all-to-all: (1) tiny map-side partial counts per range partition →
+    driver cumsum → broadcast offsets (≤2^bits rows, never doc rows);
+    (2) groupby(part) ranks each partition locally and adds its
+    offset.  Top-bits range partitioning keeps cross-partition order,
+    so ranks are globally correct without a global sort.
+    """
+    docs = read(sf_dir, "documents", columns=["doc_id"])
+    shift = np.uint64(64 - _SHUF_PART_BITS)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        h = mix64(ids.view(np.uint64) ^ np.uint64(_SHUF_SEED))
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                # int64 view is order-safe INSIDE a partition: all keys
+                # there share the top bits, hence the sign bit
+                "h": pa.array(h.view(np.int64), pa.int64()),
+                "part": pa.array((h >> shift).astype(np.int64)),
+            }
+        )
+
+    keyed_ds = docs.map_batches(keyed, batch_format="pyarrow")
+
+    def part_counts(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b, ["part"]).aggregate([([], "count_all")])
+        return pa.table({"part": g["part"], "n": g["count_all"]})
+
+    cnt = collect_small(
+        keyed_ds.map_batches(part_counts, batch_format="pyarrow"),
+        pa.schema([("part", pa.int64()), ("n", pa.int64())]),
+    )
+    totals = np.zeros(1 << _SHUF_PART_BITS, dtype=np.int64)
+    np.add.at(totals, cnt["part"].to_numpy(zero_copy_only=False),
+              cnt["n"].to_numpy(zero_copy_only=False))
+    offsets = ray.put(np.r_[0, np.cumsum(totals)][:-1])
+
+    def rank_part(g: pa.Table, offs=None) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "position": pa.array([], pa.int64())})
+        offs = deref(offs)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        h = g["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.lexsort((ids, h))
+        base = int(offs[int(g["part"][0].as_py())])
+        pos = np.empty(ids.size, dtype=np.int64)
+        pos[order] = base + np.arange(ids.size, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "position": pa.array(pos, pa.int64()),
+            }
+        )
+
+    return keyed_ds.groupby("part").map_groups(
+        rank_part, batch_format="pyarrow", fn_kwargs={"offs": offsets}
+    )
+
+
+def corpus_shuffle_oracle_sql() -> str:
+    from .text import fmix64_docid_ctes
+
+    ctes, final = fmix64_docid_ctes(_SHUF_SEED, "sh")
+    return f"""
+WITH {ctes}
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT)
+         AS position
+FROM {final}
+"""
+
+
 def quality_sample_oracle_sql() -> str:
     """Quality CTE + bit-exact fingerprint CTE → stratified keep."""
     two64 = "18446744073709551616::HUGEINT"

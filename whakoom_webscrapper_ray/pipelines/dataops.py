@@ -683,3 +683,133 @@ QUALIFY row_number() OVER (
   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
 ) = 1
 """
+
+
+# ----------------------------- multi-way join (TPC-H Q5 shape, J5+J2)
+def revenue_by_nation(sf_dir: str, region: str = "ASIA",
+                      year: int = 1996,
+                      num_partitions: int = 8) -> ray.data.Dataset:
+    """Local-supplier revenue per nation for one region/year — the
+    large×large distributed-join shape (TPC-H Q5) the broadcast
+    operators above cannot express.
+
+    Join strategy by side size (the 100 TB plan):
+
+    - nation ⋈ region (25 × 5 rows) resolves driver-side into one
+      broadcast lookup, like :func:`customer_rollup`;
+    - supplier is the small fact-dim → broadcast suppkey→nationkey
+      probe inside the lineitem projection (no shuffle);
+    - orders ⋈ customer and lineitem ⋈ (orders⋈customer) are BOTH
+      sides unbounded at scale → Ray's hash ``join`` co-partitions
+      each pair by the join key (the only two all-to-all exchanges);
+      filters (region, year) are pushed below the shuffles so only
+      surviving rows move.
+
+    Revenue is exact integer cents: floor(extprice · (1−disc) · 100)
+    with the identical IEEE-double evaluation order on the SQL side.
+    """
+    import pyarrow.parquet as pq
+
+    from .common import table_path
+
+    nation = pq.read_table(table_path(sf_dir, "nation")).combine_chunks()
+    reg = pq.read_table(table_path(sf_dir, "region")).combine_chunks()
+    rkey = reg.filter(pc.equal(reg["r_name"], region))["r_regionkey"]
+    nat = nation.filter(pc.is_in(nation["n_regionkey"], value_set=rkey))
+    nat_keys = nat["n_nationkey"].combine_chunks()
+    sup = pq.read_table(table_path(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_nationkey"])
+    sup = sup.filter(pc.is_in(sup["s_nationkey"], value_set=nat_keys))
+    lk_ref = ray.put({
+        "nat_keys": nat_keys,
+        "nat_names": nat["n_name"].combine_chunks(),
+        "sup_keys": sup["s_suppkey"].combine_chunks(),
+        "sup_nat": sup["s_nationkey"].combine_chunks(),
+    })
+
+    def cust_in_region(b: pa.Table, lk=None) -> pa.Table:
+        lk = deref(lk)
+        b = b.filter(pc.is_in(b["c_nationkey"], value_set=lk["nat_keys"]))
+        return pa.table({
+            "c_custkey": b["c_custkey"],
+            "c_nationkey": pc.cast(b["c_nationkey"], pa.int32()),
+        })
+
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+                ).map_batches(cust_in_region, fn_kwargs={"lk": lk_ref},
+                              batch_format="pyarrow")
+
+    import datetime
+
+    lo = pa.scalar(datetime.datetime(year, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(year + 1, 1, 1), pa.timestamp("us"))
+
+    def orders_in_year(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(b["o_orderdate"], lo),
+                       pc.less(b["o_orderdate"], hi))
+        b = b.filter(keep)
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+        })
+
+    orders = read(sf_dir, "orders",
+                  columns=["o_orderkey", "o_custkey", "o_orderdate"]
+                  ).map_batches(orders_in_year, batch_format="pyarrow")
+    oc = orders.join(cust, "inner", num_partitions,
+                     on=("o_custkey",), right_on=("c_custkey",))
+
+    def line_project(b: pa.Table, lk=None) -> pa.Table:
+        lk = deref(lk)
+        idx = pc.index_in(b["l_suppkey"], value_set=lk["sup_keys"])
+        keep = pc.is_valid(idx)
+        b, idx = b.filter(keep), idx.filter(keep)
+        rev = pc.cast(pc.floor(pc.multiply(pc.multiply(
+            b["l_extendedprice"], pc.subtract(
+                pa.scalar(1.0), b["l_discount"])), 100.0)), pa.int64())
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "s_nationkey": lk["sup_nat"].take(idx),
+            "revenue_cents": rev,
+        })
+
+    line = read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(line_project, fn_kwargs={"lk": lk_ref},
+                  batch_format="pyarrow")
+    j = line.join(oc, "inner", num_partitions,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def local_tag(b: pa.Table, lk=None) -> pa.Table:
+        lk = deref(lk)
+        b = b.filter(pc.equal(b["s_nationkey"], b["c_nationkey"]))
+        nidx = pc.index_in(b["s_nationkey"], value_set=lk["nat_keys"])
+        return pa.table({
+            "nation_name": lk["nat_names"].take(nidx),
+            "revenue_cents": b["revenue_cents"],
+        })
+
+    tagged = j.map_batches(local_tag, fn_kwargs={"lk": lk_ref},
+                           batch_format="pyarrow")
+    return two_phase_agg(tagged, ["nation_name"],
+                         sums={"revenue_cents": "revenue_cents"})
+
+
+ORACLE_REVENUE_BY_NATION = """
+SELECT n_name AS nation_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""

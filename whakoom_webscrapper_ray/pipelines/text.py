@@ -465,6 +465,45 @@ def mix64(h: np.ndarray) -> np.ndarray:
     return h
 
 
+def fmix64_docid_ctes(seed: int, prefix: str = "mix") -> tuple[str, str]:
+    """CTE chain computing ``h = fmix64(doc_id XOR seed)`` (UBIGINT) for
+    every documents row — the SQL twin of ``mix64(ids ^ seed)``,
+    verified bit-exact against numpy.  xor/shift run on UBIGINT; the
+    two mod-2**64 multiplies split each factor at 2**32 so every
+    HUGEINT partial product stays below 2**64 (same construction as
+    dedup.simhash_oracle_sql).  Returns ``(ctes, final_name)``; the
+    final CTE has columns ``(doc_id, h)``.
+    """
+    m = "18446744073709551616::HUGEINT"  # 2**64
+
+    def mulmod(c: int) -> str:
+        lo, hi = c % (1 << 32), c >> 32
+        return (
+            f"((h % 4294967296) * {lo}::HUGEINT"
+            f" + (((h % 4294967296) * {hi}::HUGEINT"
+            f"     + (h // 4294967296) * {lo}::HUGEINT) % 4294967296)"
+            f"   * 4294967296::HUGEINT) % {m}"
+        )
+
+    p = prefix
+    ctes = f"""{p}0 AS (
+    SELECT doc_id,
+           xor(CAST(doc_id AS UBIGINT), {seed}::UBIGINT) AS h
+    FROM documents
+),
+{p}1 AS (SELECT doc_id, CAST(xor(h, h >> 33) AS HUGEINT) AS h FROM {p}0),
+{p}2 AS (SELECT doc_id, {mulmod(0xFF51AFD7ED558CCD)} AS h FROM {p}1),
+{p}3 AS (SELECT doc_id,
+                CAST(xor(CAST(h AS UBIGINT), CAST(h AS UBIGINT) >> 33)
+                     AS HUGEINT) AS h
+         FROM {p}2),
+{p}4 AS (SELECT doc_id, {mulmod(0xC4CEB9FE1A85EC53)} AS h FROM {p}3),
+{p}5 AS (SELECT doc_id,
+                xor(CAST(h AS UBIGINT), CAST(h AS UBIGINT) >> 33) AS h
+         FROM {p}4)"""
+    return ctes, f"{p}5"
+
+
 def char_poly_hashes(flat: pa.Array) -> np.ndarray:
     """Per-token Horner hash over raw bytes, mod 2**64.
 
