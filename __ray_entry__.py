@@ -182,6 +182,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _tx.langid,
         "lang_topk": _tx.lang_topk,
         "token_quantiles": _tx.token_quantiles,
+        "ngram_df_topk": _tx.ngram_df_topk,
+        "vocab_size": _tx.vocab_size,
+        "hll_vocab": _tx.hll_vocab,
         "fingerprints": _tx.fingerprints,
         # ---- dedup family
         "exact_dedup": _dd.exact_dedup,
@@ -259,6 +262,11 @@ def oracle_sql() -> dict[str, str]:
         "langid": _tx.langid_oracle_sql(),
         "lang_topk": _tx.lang_topk_oracle_sql(),
         "token_quantiles": _tx.ORACLE_TOKEN_QUANTILES,
+        "ngram_df_topk": _tx.ngram_df_topk_oracle_sql(),
+        # hll_vocab: deterministic sketch, not SQL-expressible — its
+        # machinery is hard-checked by the exact vocab_size row plus
+        # the relative-error pytest bound (test_text_ops.py)
+        "vocab_size": _tx.ORACLE_VOCAB_SIZE,
         "fingerprints": _tx.fingerprints_oracle_sql(),
         "simhash": _dd.simhash_oracle_sql(),
         "simhash_dup_pairs": _dd.simhash_dup_pairs_oracle_sql(),

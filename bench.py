@@ -46,7 +46,9 @@ BENCH_QUERIES = [
     # double-charge the cluster pipeline
     "dedup_clusters", "embedding_clusters", "decontaminate",
     "quality_sample",
-    "lang_topk", "token_quantiles",
+    "lang_topk", "token_quantiles", "ngram_df_topk",
+    "vocab_size", "hll_vocab",
+    "split_assign", "corpus_shuffle", "revenue_by_nation",
     "ann_topk", "ann_ivf", "ann_lsh",
     "span_links", "span_kind_counts", "media_features", "media_resize",
     "frame_sample",

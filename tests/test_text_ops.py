@@ -200,6 +200,32 @@ def test_simhash_near_dup_property():
     assert d_ab <= 16
 
 
+def test_clz64_exact():
+    from whakoom_webscrapper_ray.pipelines.text import _clz64
+
+    vals = np.array(
+        [0, 1, 2, 3, (1 << 63), (1 << 63) - 1, (1 << 60) - 1,
+         (1 << 52) + 1, 0xFFFFFFFFFFFFFFFF],
+        dtype=np.uint64,
+    )
+    got = _clz64(vals)
+    want = [64 if v == 0 else 64 - int(v).bit_length()
+            for v in vals.tolist()]
+    assert got.tolist() == want
+
+
+def test_hll_vocab_error_bound(ray_session):
+    """HLL estimate within 5% of the exact distinct-token count
+    (4096 registers → ~1.6% standard error)."""
+    from whakoom_webscrapper_ray.pipelines.text import hll_vocab, vocab_size
+
+    sf = "/root/testdata/sf0.001"
+    exact = vocab_size(sf).take_all()[0]["vocab"]
+    est = hll_vocab(sf).take_all()[0]["vocab_estimate"]
+    assert exact > 0
+    assert abs(est - exact) / exact < 0.05
+
+
 if __name__ == "__main__":
     import sys
 

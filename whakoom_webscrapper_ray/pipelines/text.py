@@ -791,3 +791,214 @@ SELECT CAST(p.pct AS BIGINT) AS pct, o.v AS value
 FROM p CROSS JOIN n
 JOIN ord o ON o.rn = CAST(ceil(p.pct * n.c / 100.0) AS BIGINT)
 """
+
+
+# ----------------------------------------- frequent n-grams (df top-k)
+_NGRAM_TOPK = 20
+
+
+def _doc_grams_str(b: pa.Table) -> tuple[pa.Array, np.ndarray]:
+    """Per-doc DISTINCT word-3-gram strings for a whole batch, zero row
+    loops: grams are built by element-wise joining three shifted slices
+    of the flat token array (positions whose window stays inside one
+    doc), docs with <3 tokens contribute their whole-token join —
+    exactly the oracle's ``grams`` CTE (dedup.JACCARD_CTES).  Returns
+    (flat gram strings, row index of each gram's doc).
+    """
+    words = pc.split_pattern(b["text"], " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = pc.list_flatten(words)
+    offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offs)
+    n = len(flat)
+    doc_of = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+    if n >= 3:
+        g3 = pc.binary_join_element_wise(
+            flat.slice(0, n - 2), flat.slice(1, n - 2),
+            flat.slice(2, n - 2), "\x1f",
+        )
+        in_doc = doc_of[:-2] == doc_of[2:]
+        g3 = g3.filter(pa.array(in_doc))
+        g3_doc = doc_of[:-2][in_doc]
+    else:
+        g3 = pa.array([], pa.string())
+        g3_doc = np.empty(0, dtype=np.int64)
+    short = lens < 3
+    if short.any():
+        gs = pc.binary_join(words.filter(pa.array(short)), "\x1f")
+        gs_doc = np.flatnonzero(short).astype(np.int64)
+    else:
+        gs = pa.array([], pa.string())
+        gs_doc = np.empty(0, dtype=np.int64)
+    grams = pa.concat_arrays([
+        g3.combine_chunks() if isinstance(g3, pa.ChunkedArray) else g3,
+        gs.combine_chunks() if isinstance(gs, pa.ChunkedArray) else gs,
+    ])
+    gdoc = np.concatenate([g3_doc, gs_doc])
+    # per-doc distinct (docs never span batches, so block-local dedup
+    # is globally exact): group on (doc row, gram) with no aggregates
+    t = pa.TableGroupBy(
+        pa.table({"d": pa.array(gdoc), "gram": grams}), ["d", "gram"]
+    ).aggregate([])
+    return t["gram"].combine_chunks(), t["d"].to_numpy(
+        zero_copy_only=False
+    )
+
+
+def ngram_df_topk(sf_dir: str, k: int = _NGRAM_TOPK) -> ray.data.Dataset:
+    """(gram, df): the k most document-frequent word-3-grams — the
+    boilerplate-detection operator (frequent-ngram mining).  Map-side
+    partial counts collapse each block to its distinct grams before
+    the shuffle; a groupby sums partials; a per-block top-k combiner +
+    single tiny merge sort picks the winners (ties by gram ascending),
+    so the final sort never sees more than k × blocks rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        grams, _ = _doc_grams_str(b)
+        g = pa.TableGroupBy(
+            pa.table({"gram": grams}), ["gram"]
+        ).aggregate([([], "count_all")])
+        return pa.table({"gram": g["gram"], "df_p": g["count_all"]})
+
+    agg = (
+        read(sf_dir, "documents", columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("df_p", alias_name="df"))
+    )
+
+    def local_top(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        df = b["df"].to_numpy(zero_copy_only=False)
+        gr = b["gram"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((gr, -df))[:k]
+        return b.take(pa.array(np.sort(order), pa.int64()))
+
+    return (
+        agg.map_batches(local_top, batch_format="pyarrow")
+        .repartition(1)
+        .sort(["df", "gram"], descending=[True, False])
+        .limit(k)
+        .select_columns(["gram", "df"])
+    )
+
+
+def ngram_df_topk_oracle_sql(k: int = _NGRAM_TOPK) -> str:
+    from .dedup import JACCARD_CTES
+
+    return f"""
+WITH {JACCARD_CTES}
+SELECT g AS gram, count(*) AS df
+FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
+GROUP BY g
+ORDER BY df DESC, gram ASC
+LIMIT {k}
+"""
+
+
+# ------------------------------------- vocabulary size (exact + HLL)
+def vocab_size(sf_dir: str) -> ray.data.Dataset:
+    """One row (vocab): exact distinct-token count.  Blocks collapse to
+    their distinct tokens map-side, one shuffle dedups globally (the
+    groupby moves distinct-per-block tokens, never corpus positions).
+    The exact companion (and driver oracle anchor) for
+    :func:`hll_vocab`."""
+
+    def distinct_tokens(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = pc.list_flatten(words)
+        return pa.table({"token": pc.unique(flat)})
+
+    from ray.data.aggregate import Count
+
+    n = (
+        read(sf_dir, "documents", columns=["text"])
+        .map_batches(distinct_tokens, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Count(alias_name="c"))
+        .count()
+    )
+    return ray.data.from_arrow(
+        pa.table({"vocab": pa.array([n], pa.int64())})
+    )
+
+
+ORACLE_VOCAB_SIZE = """
+SELECT CAST(count(DISTINCT t) AS BIGINT) AS vocab
+FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+"""
+
+_HLL_P = 12  # 4096 registers; standard error 1.04/sqrt(4096) ~ 1.6%
+
+
+def _clz64(v: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros on uint64 (exact — no float
+    round-trip, whose mantissa rounding can carry into the exponent)."""
+    lz = np.zeros(v.shape, dtype=np.int64)
+    x = v.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        hi = x >> np.uint64(64 - s)
+        zero = hi == np.uint64(0)
+        lz += np.where(zero, s, 0)
+        x = np.where(zero, x << np.uint64(s), x)
+    return np.where(v == np.uint64(0), 64, lz)
+
+
+def hll_vocab(sf_dir: str, p: int = _HLL_P) -> ray.data.Dataset:
+    """One row (vocab_estimate): HyperLogLog distinct-token estimate
+    (Flajolet et al. 2007, with the small-range linear-counting
+    correction).  The sketch shape for 100 TB: each block reduces to at
+    most 2**p (register, max-rho) rows, registers merge by MAX in one
+    tiny groupby, and the driver folds 2**p rows — corpus tokens never
+    shuffle at all (vs :func:`vocab_size`'s distinct-token exchange).
+    Deterministic (SipHash token hashes), but not SQL-expressible —
+    its hard check is the exact :func:`vocab_size` row plus the
+    relative-error pytest bound."""
+    from ray.data.aggregate import Max
+
+    from .common import collect_small
+
+    m = 1 << p
+
+    def registers(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        h = token_hashes(
+            pc.list_flatten(words).to_numpy(zero_copy_only=False)
+        )
+        if h.size == 0:
+            return pa.table({"reg": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rho = np.minimum(_clz64(h << np.uint64(p)) + 1, 64 - p + 1)
+        regs = np.zeros(m, dtype=np.int64)
+        np.maximum.at(regs, idx, rho)
+        nz = np.flatnonzero(regs)
+        return pa.table({"reg": pa.array(nz, pa.int64()),
+                         "rho": pa.array(regs[nz], pa.int64())})
+
+    merged = collect_small(
+        read(sf_dir, "documents", columns=["text"])
+        .map_batches(registers, batch_format="pyarrow")
+        .groupby("reg")
+        .aggregate(Max("rho", alias_name="rho")),
+        pa.schema([("reg", pa.int64()), ("rho", pa.int64())]),
+    )
+    regs = np.zeros(m, dtype=np.int64)
+    regs[merged["reg"].to_numpy(zero_copy_only=False)] = (
+        merged["rho"].to_numpy(zero_copy_only=False)
+    )
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return ray.data.from_arrow(pa.table(
+        {"vocab_estimate": pa.array([int(round(est))], pa.int64())}
+    ))
