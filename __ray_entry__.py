@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_sample": _cu.quality_sample,
         "split_assign": _cu.split_assign,
         "corpus_shuffle": _cu.corpus_shuffle,
+        "lang_balanced_sample": _cu.lang_balanced_sample,
         # ---- similarity search
         "ann_topk": _ann.ann_topk,
         "ann_ivf": _ann.ann_ivf,
@@ -281,6 +282,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_sample": _cu.quality_sample_oracle_sql(),
         "split_assign": _cu.split_assign_oracle_sql(),
         "corpus_shuffle": _cu.corpus_shuffle_oracle_sql(),
+        "lang_balanced_sample": _cu.lang_balanced_sample_oracle_sql(),
         "ann_topk": _ann.oracle_ann_topk(),
         # full-probe IVF must equal the exact top-k bit for bit — the
         # IVF machinery's hard oracle (approximation quality itself

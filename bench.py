@@ -48,7 +48,8 @@ BENCH_QUERIES = [
     "quality_sample",
     "lang_topk", "token_quantiles", "ngram_df_topk",
     "vocab_size", "hll_vocab",
-    "split_assign", "corpus_shuffle", "revenue_by_nation",
+    "split_assign", "corpus_shuffle", "lang_balanced_sample",
+    "revenue_by_nation",
     "ann_topk", "ann_ivf", "ann_lsh",
     "span_links", "span_kind_counts", "media_features", "media_resize",
     "frame_sample",

@@ -268,3 +268,54 @@ def test_label_join_lossless_above_2_53(ray_session):
     out = {r["doc_id"]: r["cluster_id"]
            for r in _label_join(base, labels, "doc_id", 2).take_all()}
     assert out == {1: 1, big: big2, big2: big2, 7: 3}
+
+
+def test_split_assign_partition_and_ratios(ray_session):
+    """Every doc gets exactly one split; fractions track 80/10/10."""
+    from whakoom_webscrapper_ray.pipelines.curate import split_assign
+
+    rows = split_assign("/root/testdata/sf0.001").take_all()
+    n = len(rows)
+    assert n > 0
+    counts = {"train": 0, "val": 0, "test": 0}
+    for r in rows:
+        counts[r["split"]] += 1
+    # fmix64 is uniform; at n=500 allow generous binomial slack
+    assert 0.70 <= counts["train"] / n <= 0.90
+    assert counts["val"] / n <= 0.20
+    assert counts["test"] / n <= 0.20
+
+
+def test_corpus_shuffle_is_permutation(ray_session):
+    """Positions are exactly 0..n-1 (global rank, no gaps or dups) and
+    the order is reproducible across runs."""
+    from whakoom_webscrapper_ray.pipelines.curate import corpus_shuffle
+
+    a = {r["doc_id"]: r["position"]
+         for r in corpus_shuffle("/root/testdata/sf0.001").take_all()}
+    assert sorted(a.values()) == list(range(len(a)))
+    b = {r["doc_id"]: r["position"]
+         for r in corpus_shuffle("/root/testdata/sf0.001").take_all()}
+    assert a == b
+
+
+def test_lang_balanced_sample_caps(ray_session):
+    """No language exceeds the cap; languages under the cap keep all
+    their documents; selection is deterministic."""
+    import duckdb
+
+    from whakoom_webscrapper_ray.pipelines.curate import (
+        lang_balanced_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cap = 30
+    rows = lang_balanced_sample(sf, cap=cap).take_all()
+    got = {}
+    for r in rows:
+        got.setdefault(r["lang"], set()).add(r["doc_id"])
+    totals = dict(duckdb.sql(
+        f"SELECT lang, count(*) FROM '{sf}/documents.parquet' GROUP BY lang"
+    ).fetchall())
+    for lang, total in totals.items():
+        assert len(got.get(lang, set())) == min(cap, total)

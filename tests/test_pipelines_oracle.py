@@ -28,6 +28,7 @@ QUERIES = [
     "dedup_clusters", "corpus_dedup",           # corpus curation
     "decontaminate", "quality_sample", "embedding_clusters",
     "split_assign", "corpus_shuffle",           # deterministic split/order
+    "lang_balanced_sample",
     "revenue_by_nation",                        # large x large hash join
     "ann_topk", "ann_lsh_fullprobe",            # similarity search
     "frame_sample", "media_resize",             # multimodal plumbing

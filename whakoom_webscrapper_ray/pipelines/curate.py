@@ -640,6 +640,102 @@ FROM {final}
 """
 
 
+_BAL_CAP = 120  # per-language document cap
+_BAL_SEED = 0xA24BAED4963EE407
+
+
+def lang_balanced_sample(sf_dir: str, cap: int = _BAL_CAP
+                         ) -> ray.data.Dataset:
+    """(doc_id, lang) — language-balanced subcorpus: at most ``cap``
+    documents per language, selected deterministically by
+    ``fmix64(doc_id ^ seed)`` order (ties by doc_id) — the corpus
+    re-balancing pass that stops a head language from drowning the
+    tail.  Hash order makes the per-language selection a uniform
+    random-without-RNG sample that is stable across runs and cluster
+    sizes.
+
+    Distributed shape: a map-side combiner keeps only each block's
+    first ``cap`` rows per language BEFORE the shuffle (the grouped
+    top-k prune — the exchange moves ≤ cap × langs × blocks rows,
+    never the corpus), then one groupby(lang) finishes the selection
+    per group."""
+    from .text import mix64
+
+    def keyed_prune(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        h = mix64(ids.view(np.uint64) ^ np.uint64(_BAL_SEED))
+        langs = b["lang"].to_numpy(zero_copy_only=False)
+        _, codes = np.unique(langs, return_inverse=True)
+        order = np.lexsort((ids, h.view(np.int64), codes))
+        # h int64 view vs uint64 order: within the lexsort we only
+        # need SOME total order per lang for the local prune to be a
+        # superset of the global winners — and the final per-group
+        # sort below uses the same int64-view key, so local and
+        # global orders agree and the prune is lossless.
+        starts = np.flatnonzero(
+            np.r_[True, codes[order][1:] != codes[order][:-1]]
+        ) if len(codes) else np.empty(0, dtype=np.int64)
+        within = (
+            np.arange(len(codes)) - np.repeat(
+                starts, np.diff(np.r_[starts, len(codes)])
+            ) if len(codes) else np.empty(0, dtype=np.int64)
+        )
+        keep = np.sort(order[within < cap])
+        t = b.take(pa.array(keep, pa.int64()))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "h": pa.array(
+                    h[keep].view(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def per_lang(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        h = g["h"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))[:cap]
+        t = g.take(pa.array(np.sort(order), pa.int64()))
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"]})
+
+    return (
+        read(sf_dir, "documents", columns=["doc_id", "lang"])
+        .map_batches(keyed_prune, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(per_lang, batch_format="pyarrow")
+    )
+
+
+def lang_balanced_sample_oracle_sql(cap: int = _BAL_CAP) -> str:
+    """row_number over the SAME int64-view hash order the engine uses:
+    the engine compares fmix64 keys as SIGNED int64 (a fixed bijective
+    re-ordering, still a uniform sample), so the oracle wraps h to
+    signed before ranking."""
+    from .text import fmix64_docid_ctes
+
+    ctes, final = fmix64_docid_ctes(_BAL_SEED, "bal")
+    two64 = "18446744073709551616::HUGEINT"
+    return f"""
+WITH {ctes},
+signed AS (
+  SELECT doc_id,
+         CAST(CASE WHEN h >= 9223372036854775808::UBIGINT
+                   THEN CAST(h AS HUGEINT) - {two64}
+                   ELSE CAST(h AS HUGEINT) END AS BIGINT) AS hs
+  FROM {final}
+),
+ranked AS (
+  SELECT d.doc_id, d.lang,
+         row_number() OVER (
+           PARTITION BY d.lang ORDER BY s.hs, d.doc_id
+         ) AS rn
+  FROM documents d JOIN signed s USING (doc_id)
+)
+SELECT doc_id, lang FROM ranked WHERE rn <= {cap}
+"""
+
+
 def quality_sample_oracle_sql() -> str:
     """Quality CTE + bit-exact fingerprint CTE → stratified keep."""
     two64 = "18446744073709551616::HUGEINT"
