@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_topk": _tx.lang_topk,
         "token_quantiles": _tx.token_quantiles,
         "ngram_df_topk": _tx.ngram_df_topk,
+        "redact_terms": _tx.redact_terms,
         "vocab_size": _tx.vocab_size,
         "hll_vocab": _tx.hll_vocab,
         "fingerprints": _tx.fingerprints,
@@ -264,6 +265,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_topk": _tx.lang_topk_oracle_sql(),
         "token_quantiles": _tx.ORACLE_TOKEN_QUANTILES,
         "ngram_df_topk": _tx.ngram_df_topk_oracle_sql(),
+        "redact_terms": _tx.ORACLE_REDACT_TERMS,
         # hll_vocab: deterministic sketch, not SQL-expressible — its
         # machinery is hard-checked by the exact vocab_size row plus
         # the relative-error pytest bound (test_text_ops.py)

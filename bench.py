@@ -47,7 +47,7 @@ BENCH_QUERIES = [
     "dedup_clusters", "embedding_clusters", "decontaminate",
     "quality_sample",
     "lang_topk", "token_quantiles", "ngram_df_topk",
-    "vocab_size", "hll_vocab",
+    "vocab_size", "hll_vocab", "redact_terms",
     "split_assign", "corpus_shuffle", "lang_balanced_sample",
     "revenue_by_nation",
     "ann_topk", "ann_ivf", "ann_lsh",

@@ -22,7 +22,7 @@ QUERIES = [
     "span_links", "span_kind_counts",           # interleaved spans
     "token_stats", "quality_score",             # text analysis
     "bpe_token_count", "lang_topk", "token_quantiles",
-    "ngram_df_topk", "vocab_size",
+    "ngram_df_topk", "vocab_size", "redact_terms",
     "exact_dedup", "embedding_dups",            # dedup family
     "simhash_dup_pairs",
     "dedup_clusters", "corpus_dedup",           # corpus curation

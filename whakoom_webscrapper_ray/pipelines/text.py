@@ -933,6 +933,53 @@ SELECT CAST(count(DISTINCT t) AS BIGINT) AS vocab
 FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
 """
 
+# ------------------------------------------- denylist redaction
+# The text-REWRITE operator (PII-scrub shape): replace denylisted
+# terms, count the hits.  Both sides are RE2 — pyarrow.compute's
+# replace_substring_regex and DuckDB's regexp_replace share the
+# engine, so the oracle is semantics-exact, same contract as
+# bpe_token_count's pre-tokenizer.
+_REDACT_PATTERN = r"\b(customer|order)\b"
+_REDACT_TOKEN = "<REDACTED>"
+
+
+def redact_terms(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, clean_text, n_redactions): denylist scrub over the
+    corpus — the PII-redaction pipeline shape (the fixture corpus has
+    no emails/numbers, so the denylist is term-based; the machinery —
+    compiled-RE2 global rewrite + match count, fully vectorized, no
+    per-row Python — is the real surface)."""
+
+    def scrub(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "clean_text": pc.replace_substring_regex(
+                    b["text"], pattern=_REDACT_PATTERN,
+                    replacement=_REDACT_TOKEN,
+                ),
+                "n_redactions": pc.cast(
+                    pc.count_substring_regex(
+                        b["text"], pattern=_REDACT_PATTERN
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return read(sf_dir, "documents", columns=["doc_id", "text"]
+                ).map_batches(scrub, batch_format="pyarrow")
+
+
+ORACLE_REDACT_TERMS = f"""
+SELECT doc_id,
+       regexp_replace(text, '{_REDACT_PATTERN}', '{_REDACT_TOKEN}', 'g')
+         AS clean_text,
+       CAST(len(regexp_extract_all(text, '{_REDACT_PATTERN}'))
+            AS BIGINT) AS n_redactions
+FROM documents
+"""
+
 _HLL_P = 12  # 4096 registers; standard error 1.04/sqrt(4096) ~ 1.6%
 
 
