@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _dd.simhash,
         "simhash_dup_pairs": _dd.simhash_dup_pairs,
         "ngram_jaccard_pairs": _dd.ngram_jaccard_pairs,
+        "incremental_dedup": _dd.incremental_dedup,
         "embedding_dups": _dd.embedding_dup_pairs,
         # ---- corpus curation (clusters → dedup → decontaminate → sample)
         "dedup_clusters": _cu.dedup_clusters,
@@ -276,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": _dd.ORACLE_EXACT_DEDUP,
         "minhash_lsh_pairs": _dd.ORACLE_JACCARD_PAIRS,
         "ngram_jaccard_pairs": _dd.ORACLE_JACCARD_PAIRS,
+        "incremental_dedup": _dd.incremental_dedup_oracle_sql(),
         "embedding_dups": _dd.ORACLE_EMBEDDING_DUPS,
         "dedup_clusters": _cu.ORACLE_DEDUP_CLUSTERS,
         "embedding_clusters": _cu.ORACLE_EMBEDDING_CLUSTERS,

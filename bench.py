@@ -41,7 +41,7 @@ BENCH_QUERIES = [
     "events_sliding", "latest_order_before_event",
     "token_stats", "bpe_token_count", "langid", "simhash", "fingerprints",
     "exact_dedup", "minhash_lsh_pairs", "simhash_dup_pairs",
-    "embedding_dups",
+    "embedding_dups", "incremental_dedup",
     # corpus_dedup is dedup_clusters + one groupby — timing both would
     # double-charge the cluster pipeline
     "dedup_clusters", "embedding_clusters", "decontaminate",

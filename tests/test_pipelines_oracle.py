@@ -24,6 +24,7 @@ QUERIES = [
     "bpe_token_count", "lang_topk", "token_quantiles",
     "ngram_df_topk", "vocab_size", "redact_terms",
     "exact_dedup", "embedding_dups",            # dedup family
+    "incremental_dedup",
     "simhash_dup_pairs",
     "dedup_clusters", "corpus_dedup",           # corpus curation
     "decontaminate", "quality_sample", "embedding_clusters",

@@ -330,11 +330,6 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, num_bands: int = 16,
     # driver-side result, not a corpus materialization — which is also
     # why cross-band duplicate pairs are dropped HERE with one
     # np.unique instead of paying a second all-to-all groupby.
-    # Candidate texts are then fetched by a distributed semi-join: the
-    # documents dataset STREAMS through an is_in filter (broadcast
-    # sorted id array) that also computes each survivor's shingle set
-    # map-side — the full corpus is never pulled to the driver or
-    # broadcast.
     from .common import collect_small
 
     cand_tbl = collect_small(
@@ -351,6 +346,21 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, num_bands: int = 16,
                 "doc_b": pa.array(uniq[:, 1], pa.int64()),
             }
         )
+    return _verify_candidate_pairs(docs, cand_tbl, threshold, k)
+
+
+def _verify_candidate_pairs(docs: ray.data.Dataset, cand_tbl: pa.Table,
+                            threshold: float, k: int
+                            ) -> ray.data.Dataset:
+    """Exact-Jaccard verify of a small candidate pair table
+    (doc_a, doc_b) → Dataset (doc_a, doc_b, jaccard ≥ threshold).
+
+    Candidate texts are fetched by a distributed semi-join: the
+    documents dataset STREAMS through an is_in filter (broadcast
+    sorted id array) that also computes each survivor's shingle set
+    map-side — the full corpus is never pulled to the driver or
+    broadcast.  Shared by :func:`minhash_lsh_pairs` and
+    :func:`incremental_dedup` (same recall contract)."""
     if cand_tbl.num_rows == 0:
         return ray.data.from_arrow(
             pa.table(
@@ -438,6 +448,157 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, num_bands: int = 16,
         fn_kwargs={"sh": sh_ref, "threshold": threshold},
         batch_format="pyarrow",
     )
+
+
+# -------------------------------------------- incremental ingest dedup
+_INC_MOD = 2  # fixture split: odd doc_ids play the "new batch" role
+
+
+def incremental_dedup(sf_dir: str, num_perm: int = 64,
+                      num_bands: int = 16, threshold: float = 0.8,
+                      k: int = 3) -> ray.data.Dataset:
+    """(doc_id, dup_of, jaccard): for each NEW document, its smallest
+    near-duplicate in the EXISTING corpus — the daily-ingest dedup
+    path.  Fixture split: odd doc_ids are the incoming batch, even the
+    stored corpus.
+
+    The asymmetric LSH shape that makes incremental ingest cheap at
+    100 TB: the corpus's band table is NEVER shuffled or re-paired
+    against itself.  The new batch (small by definition — one day's
+    ingest) computes its bands, which are collected and broadcast once
+    as a sorted-key lookup; corpus bands then STREAM through a
+    vectorized probe (searchsorted + repeat/cumsum pair expansion) —
+    one pass over the stored band table, zero all-to-all.  Candidate
+    (new, corpus) pairs are exact-Jaccard verified by the same
+    candidate-only semi-join as :func:`minhash_lsh_pairs`; per new doc
+    the minimum corpus id wins.  At scale the corpus band table is the
+    persisted LSH index (storage seam) rather than recomputed.
+    """
+    rows_per_band = num_perm // num_bands
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def side_bands(parity: int):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            b = b.filter(pa.array(ids % _INC_MOD == parity))
+            key = ("minhasher", num_perm, k)
+            mh = _WORKER_MEMO.get(key)
+            if mh is None:
+                mh = _WORKER_MEMO[key] = MinHasher(num_perm=num_perm, k=k)
+            return _band_flat_map(mh(b), num_bands, rows_per_band)
+
+        return f
+
+    from .common import collect_small, deref
+
+    new_tbl = collect_small(
+        docs.map_batches(side_bands(1), batch_format="pyarrow"),
+        pa.schema([("band_key", pa.int64()), ("doc_id", pa.int64())]),
+    )
+    if new_tbl.num_rows == 0:
+        return ray.data.from_arrow(pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "dup_of": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        ))
+    nk_all = new_tbl["band_key"].to_numpy(zero_copy_only=False)
+    nid_all = new_tbl["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((nid_all, nk_all))
+    nk_s, nid_s = nk_all[order], nid_all[order]
+    uk_starts = np.flatnonzero(np.r_[True, nk_s[1:] != nk_s[:-1]])
+    lk_ref = ray.put({
+        "nk": nk_s[uk_starts],                       # unique sorted keys
+        "starts": np.r_[uk_starts, nk_s.size],       # group bounds
+        "flat": nid_s,                               # new ids per key
+    })
+
+    def probe(b: pa.Table, lk=None) -> pa.Table:
+        lk = deref(lk)
+        keys = b["band_key"].to_numpy(zero_copy_only=False)
+        cid = b["doc_id"].to_numpy(zero_copy_only=False)
+        nk = lk["nk"]
+        pos = np.searchsorted(nk, keys)
+        pos_c = np.minimum(pos, max(nk.size - 1, 0))
+        valid = (pos < nk.size) & (nk[pos_c] == keys)
+        pos, cid = pos_c[valid], cid[valid]
+        s, e = lk["starts"][pos], lk["starts"][pos + 1]
+        cnt = e - s
+        total = int(cnt.sum())
+        base = np.repeat(s, cnt)
+        within = (np.arange(total, dtype=np.int64)
+                  - np.repeat(np.r_[0, np.cumsum(cnt)][:-1], cnt))
+        return pa.table({
+            "doc_a": pa.array(lk["flat"][base + within], pa.int64()),
+            "doc_b": pa.array(np.repeat(cid, cnt), pa.int64()),
+        })
+
+    cand = collect_small(
+        docs.map_batches(side_bands(0), batch_format="pyarrow")
+        .map_batches(probe, fn_kwargs={"lk": lk_ref},
+                     batch_format="pyarrow"),
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
+    )
+    if cand.num_rows:
+        uniq = np.unique(np.stack(
+            [cand["doc_a"].to_numpy(zero_copy_only=False),
+             cand["doc_b"].to_numpy(zero_copy_only=False)], axis=1
+        ), axis=0)
+        cand = pa.table({"doc_a": pa.array(uniq[:, 0], pa.int64()),
+                         "doc_b": pa.array(uniq[:, 1], pa.int64())})
+    verified = collect_small(
+        _verify_candidate_pairs(docs, cand, threshold, k),
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                   ("jaccard", pa.float64())]),
+    )
+    if verified.num_rows == 0:
+        return ray.data.from_arrow(pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "dup_of": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        ))
+    a = verified["doc_a"].to_numpy(zero_copy_only=False)
+    bcol = verified["doc_b"].to_numpy(zero_copy_only=False)
+    j = verified["jaccard"].to_numpy(zero_copy_only=False)
+    o = np.lexsort((bcol, a))
+    a, bcol, j = a[o], bcol[o], j[o]
+    first = np.r_[True, a[1:] != a[:-1]]
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(a[first], pa.int64()),
+        "dup_of": pa.array(bcol[first], pa.int64()),
+        "jaccard": pa.array(j[first], pa.float64()),
+    }))
+
+
+def incremental_dedup_oracle_sql() -> str:
+    """Cross-side exact Jaccard (new = odd ids vs corpus = even ids),
+    min corpus id per new doc — same recall caveat as
+    ORACLE_JACCARD_PAIRS (fixture dups sit at J ≥ 0.9 where 16-band/
+    4-row LSH recall > 0.99997)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3 THEN
+           list_distinct(list_transform(range(1, len(ws) - 1),
+              i -> ws[i] || chr(31) || ws[i+1] || chr(31) || ws[i+2]))
+         ELSE [array_to_string(ws, chr(31))] END AS gs
+  FROM toks
+),
+xp AS (
+  SELECT n.doc_id AS nid, c.doc_id AS cid,
+         CAST(len(list_intersect(n.gs, c.gs)) AS DOUBLE)
+           / (len(n.gs) + len(c.gs) - len(list_intersect(n.gs, c.gs)))
+           AS j
+  FROM (SELECT * FROM grams WHERE doc_id % {_INC_MOD} = 1) n
+  JOIN (SELECT * FROM grams WHERE doc_id % {_INC_MOD} = 0) c ON true
+)
+SELECT nid AS doc_id, cid AS dup_of, round(j, 6) AS jaccard
+FROM xp
+WHERE j >= 0.8
+QUALIFY row_number() OVER (PARTITION BY nid ORDER BY cid) = 1
+"""
 
 
 # Exact all-pairs word-3-gram Jaccard at the 0.8 threshold.  This is
