@@ -16,6 +16,8 @@ sums are order-independent and hash-comparable; see common.cents.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -688,7 +690,8 @@ QUALIFY row_number() OVER (
 # ----------------------------- multi-way join (TPC-H Q5 shape, J5+J2)
 def revenue_by_nation(sf_dir: str, region: str = "ASIA",
                       year: int = 1996,
-                      num_partitions: int = 8) -> ray.data.Dataset:
+                      num_partitions: int | None = None
+                      ) -> ray.data.Dataset:
     """Local-supplier revenue per nation for one region/year — the
     large×large distributed-join shape (TPC-H Q5) the broadcast
     operators above cannot express.
@@ -711,6 +714,15 @@ def revenue_by_nation(sf_dir: str, region: str = "ASIA",
     import pyarrow.parquet as pq
 
     from .common import table_path
+
+    if num_partitions is None:
+        # join aggregators carry a fixed per-partition cost, so size
+        # the partition count to the probe side: ~128 MB of lineitem
+        # per partition (at 100 TB this lands in the hundreds; at the
+        # test fixtures it stays at the 2-partition floor)
+        num_partitions = max(
+            2, os.path.getsize(table_path(sf_dir, "lineitem")) >> 27
+        )
 
     nation = pq.read_table(table_path(sf_dir, "nation")).combine_chunks()
     reg = pq.read_table(table_path(sf_dir, "region")).combine_chunks()
