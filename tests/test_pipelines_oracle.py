@@ -105,6 +105,25 @@ def test_embedding_dups_multiblock(entry, ddb):
     pd.testing.assert_frame_equal(got, exp, check_dtype=True)
 
 
+def test_incremental_dedup_persisted_index(entry):
+    """The stored-LSH-index path returns exactly the recompute path's
+    result: build_lsh_index persists corpus bands through the storage
+    seam, incremental_dedup(index_dir=...) probes the stored table."""
+    import tempfile
+
+    from whakoom_webscrapper_ray.pipelines.dedup import (
+        build_lsh_index, incremental_dedup,
+    )
+
+    fresh = canon(incremental_dedup(SF_DIR).to_pandas())
+    with tempfile.TemporaryDirectory(prefix="wkm_lsh_idx_") as idx:
+        build_lsh_index(SF_DIR, idx)
+        stored = canon(
+            incremental_dedup(SF_DIR, index_dir=idx).to_pandas()
+        )
+    pd.testing.assert_frame_equal(stored, fresh, check_dtype=True)
+
+
 def test_feed_export_manifest(entry):
     """The sink writes real partitioned files (manifest side) and the
     query surface reports matching round-trip facts per format."""

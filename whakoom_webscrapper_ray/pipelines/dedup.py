@@ -454,9 +454,38 @@ def _verify_candidate_pairs(docs: ray.data.Dataset, cand_tbl: pa.Table,
 _INC_MOD = 2  # fixture split: odd doc_ids play the "new batch" role
 
 
+def build_lsh_index(sf_dir: str, index_dir: str, num_perm: int = 64,
+                    num_bands: int = 16, k: int = 3,
+                    parity: int = 0) -> None:
+    """Persist the corpus side's LSH band table (band_key, doc_id) as
+    a partitioned table through the storage seam — the stored index
+    :func:`incremental_dedup` probes instead of recomputing bands per
+    ingest batch.  Streaming sink: workers write their own fragments;
+    re-ingesting new corpus docs appends bands for those docs only
+    (the band table is append-only — doc edits are new doc_ids)."""
+    from .. import storage
+
+    rows_per_band = num_perm // num_bands
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ids % _INC_MOD == parity))
+        key = ("minhasher", num_perm, k)
+        mh = _WORKER_MEMO.get(key)
+        if mh is None:
+            mh = _WORKER_MEMO[key] = MinHasher(num_perm=num_perm, k=k)
+        return _band_flat_map(mh(b), num_bands, rows_per_band)
+
+    storage.backend().write_dataset(
+        docs.map_batches(f, batch_format="pyarrow"), index_dir
+    )
+
+
 def incremental_dedup(sf_dir: str, num_perm: int = 64,
                       num_bands: int = 16, threshold: float = 0.8,
-                      k: int = 3) -> ray.data.Dataset:
+                      k: int = 3, index_dir: str | None = None
+                      ) -> ray.data.Dataset:
     """(doc_id, dup_of, jaccard): for each NEW document, its smallest
     near-duplicate in the EXISTING corpus — the daily-ingest dedup
     path.  Fixture split: odd doc_ids are the incoming batch, even the
@@ -471,8 +500,10 @@ def incremental_dedup(sf_dir: str, num_perm: int = 64,
     one pass over the stored band table, zero all-to-all.  Candidate
     (new, corpus) pairs are exact-Jaccard verified by the same
     candidate-only semi-join as :func:`minhash_lsh_pairs`; per new doc
-    the minimum corpus id wins.  At scale the corpus band table is the
-    persisted LSH index (storage seam) rather than recomputed.
+    the minimum corpus id wins.  With ``index_dir`` the corpus bands
+    are READ from the persisted LSH index (:func:`build_lsh_index`,
+    storage seam) instead of recomputed — the steady-state ingest
+    path: per batch, cost = one streamed pass over the stored index.
     """
     rows_per_band = num_perm // num_bands
     docs = read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -532,10 +563,19 @@ def incremental_dedup(sf_dir: str, num_perm: int = 64,
             "doc_b": pa.array(np.repeat(cid, cnt), pa.int64()),
         })
 
+    if index_dir is not None:
+        from .. import storage
+
+        corpus_bands = storage.backend().read_dataset(
+            index_dir, columns=["band_key", "doc_id"]
+        )
+    else:
+        corpus_bands = docs.map_batches(
+            side_bands(0), batch_format="pyarrow"
+        )
     cand = collect_small(
-        docs.map_batches(side_bands(0), batch_format="pyarrow")
-        .map_batches(probe, fn_kwargs={"lk": lk_ref},
-                     batch_format="pyarrow"),
+        corpus_bands.map_batches(probe, fn_kwargs={"lk": lk_ref},
+                                 batch_format="pyarrow"),
         pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
     )
     if cand.num_rows:
