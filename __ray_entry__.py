@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_order_before_event": _do.latest_order_before_event,
         "latest_user_state": _do.latest_user_state,
         "revenue_by_nation": _do.revenue_by_nation,
+        "link_rank": _do.link_rank,
     }
 
 
@@ -310,6 +311,7 @@ def oracle_sql() -> dict[str, str]:
         "latest_order_before_event": _do.ORACLE_ASOF,
         "latest_user_state": _do.ORACLE_LATEST_USER_STATE,
         "revenue_by_nation": _do.ORACLE_REVENUE_BY_NATION,
+        "link_rank": _do.link_rank_oracle_sql(),
         "media_features": _mm.ORACLE_MEDIA_FEATURES,
         "media_resize": _mm.ORACLE_MEDIA_RESIZE,
         "frame_sample": _mm.ORACLE_FRAME_SAMPLE,

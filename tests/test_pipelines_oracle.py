@@ -31,6 +31,7 @@ QUERIES = [
     "split_assign", "corpus_shuffle",           # deterministic split/order
     "lang_balanced_sample",
     "revenue_by_nation",                        # large x large hash join
+    "link_rank",                                # iterative graph rank
     "ann_topk", "ann_lsh_fullprobe",            # similarity search
     "frame_sample", "media_resize",             # multimodal plumbing
     "pricing_summary", "junction_min_position",  # relational aggs

@@ -809,6 +809,327 @@ def revenue_by_nation(sf_dir: str, region: str = "ASIA",
                          sums={"revenue_cents": "revenue_cents"})
 
 
+# --------------------------------- iterative graph rank (fixed-point)
+_RANK_ITERS = 3
+_RANK_BASE = 1_000_000_000          # initial rank (fixed-point 1e9)
+_RANK_TELEPORT = 150_000_000        # 0.15 in the same fixed-point
+
+
+def link_rank(sf_dir: str, iters: int = _RANK_ITERS,
+              num_partitions: int | None = None) -> ray.data.Dataset:
+    """(node, rank): PageRank-style importance over the undirected
+    customer↔part purchase graph — the ITERATIVE distributed
+    algorithm shape (repeated join + aggregate until the iteration
+    budget).  node = 2·custkey for customers, 2·partkey+1 for parts.
+
+    Exactness: INTEGER fixed-point update
+    ``r' = 150_000_000 + (85 · Σ_in (r_src // deg_src)) // 100`` —
+    integer sums are order-independent and floor-divisions are exact,
+    so the distributed result equals the DuckDB chained-CTE oracle bit
+    for bit (a float PageRank could never hash-compare: float sums
+    depend on reduction order).
+
+    Scale shape per iteration: ranks ⋈ edges on src (both unbounded →
+    distributed hash join), contribution projection, groupby(dst) sum;
+    zero-contribution rows for every node ride the same union so
+    in-edge-less nodes keep the teleport mass without a left join.
+    Rank state is materialized per iteration (checkpointing the
+    iteration, keeping the plan shallow).  Edges and degrees are
+    computed once and reused across iterations.
+    """
+    if num_partitions is None:
+        num_partitions = max(
+            2, os.path.getsize(
+                os.path.join(sf_dir, "lineitem.parquet")
+            ) >> 27
+        )
+
+    def edge_project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "src": pc.multiply(b["o_custkey"], 2),
+        })
+
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]
+                  ).map_batches(edge_project, batch_format="pyarrow")
+
+    def line_project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "dst": pc.add(pc.multiply(b["l_partkey"], 2), 1),
+        })
+
+    line = read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]
+                ).map_batches(line_project, batch_format="pyarrow")
+    pairs = line.join(orders, "inner", num_partitions,
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        s = b["src"].combine_chunks() if isinstance(
+            b["src"], pa.ChunkedArray) else b["src"]
+        d = b["dst"].combine_chunks() if isinstance(
+            b["dst"], pa.ChunkedArray) else b["dst"]
+        return pa.table({
+            "src": pa.concat_arrays([s, d]),
+            "dst": pa.concat_arrays([d, s]),
+        })
+
+    # distinct undirected edges: hash-partition by edge key so ONE
+    # vectorized task dedups every edge group in its partition (a
+    # per-edge map_groups would pay a Python frame per edge — the
+    # per-group analog of a row loop; same pattern as curate._CC_PARTS)
+    dedup_parts = 64
+
+    def edge_part(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            key = (s.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                   + d.astype(np.uint64))
+        return b.append_column(
+            "part", pa.array((key % np.uint64(dedup_parts)).astype(
+                np.int64))
+        )
+
+    def dedup_part(g: pa.Table) -> pa.Table:
+        s = g["src"].to_numpy(zero_copy_only=False)
+        d = g["dst"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(np.stack([s, d], axis=1), axis=0)
+        return pa.table({
+            "src": pa.array(uniq[:, 0], pa.int64()),
+            "dst": pa.array(uniq[:, 1], pa.int64()),
+        })
+
+    edges = (
+        pairs.map_batches(both_dirs, batch_format="pyarrow")
+        .map_batches(edge_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dedup_part, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # Iteration transport: NOT Ray's hash join (heavy aggregator
+    # machinery per iteration) but the tag-union co-partitioned join
+    # the as-of operator already uses — rank rows and edge rows ride
+    # ONE shuffle keyed by mix64(src) % parts, and one vectorized task
+    # per partition joins them (searchsorted) and partial-sums
+    # contributions per dst, so the second (dst) groupby moves at most
+    # |nodes| rows per partition, never |edges|.
+    from .curate import _CC_PARTS  # same coarse-partition constant
+
+    def with_part(b: pa.Table, col: str) -> pa.Array:
+        from .text import mix64
+
+        v = b[col].to_numpy(zero_copy_only=False)
+        return pa.array(
+            (mix64(v.view(np.uint64)) % np.uint64(_CC_PARTS)).astype(
+                np.int64
+            )
+        )
+
+    def tag_edges(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "part": with_part(b, "src"),
+            "is_rank": pa.array(
+                np.zeros(b.num_rows, dtype=np.int8)
+            ),
+            "a": b["src"],
+            "b": b["dst"],
+            "c": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+        })
+
+    edges_tagged = edges.map_batches(
+        tag_edges, batch_format="pyarrow"
+    ).materialize()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        from .text import mix64
+
+        g = pa.TableGroupBy(b, ["src"]).aggregate([([], "count_all")])
+        v = g["src"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": g["src"], "d_p": g["count_all"],
+            "part": pa.array(
+                (mix64(v.view(np.uint64)) % np.uint64(_CC_PARTS))
+                .astype(np.int64)
+            ),
+        })
+
+    def deg_reduce(g: pa.Table) -> pa.Table:
+        # vectorized partial-sum merge per hash partition (not Ray's
+        # per-key aggregate — src cardinality is |nodes|)
+        if g.num_rows == 0:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "deg": pa.array([], pa.int64())})
+        s = g["src"].to_numpy(zero_copy_only=False)
+        d = g["d_p"].to_numpy(zero_copy_only=False)
+        us, inv = np.unique(s, return_inverse=True)
+        sums = np.zeros(us.size, dtype=np.int64)
+        np.add.at(sums, inv, d)
+        return pa.table({"src": pa.array(us, pa.int64()),
+                         "deg": pa.array(sums, pa.int64())})
+
+    degrees = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("part").map_groups(deg_reduce, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # rank state carries deg so no per-iteration degree join is needed
+    ranks = degrees.map_batches(
+        lambda b: pa.table({
+            "node": b["src"],
+            "r": pa.array(
+                np.full(b.num_rows, _RANK_BASE, dtype=np.int64)
+            ),
+            "deg": b["deg"],
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # zero-contribution rows keep in-edge-less nodes at teleport mass
+    # AND carry deg through the dst aggregate (Max picks it up; edge
+    # contributions carry deg=0)
+    zero = degrees.map_batches(
+        lambda b: pa.table({
+            "dst": b["src"],
+            "c": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            "deg": b["deg"],
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def tag_ranks(b: pa.Table) -> pa.Table:
+        r = b["r"].to_numpy(zero_copy_only=False)
+        d = b["deg"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": with_part(b, "node"),
+            "is_rank": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+            "a": b["node"],
+            "b": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            "c": pa.array(r // d, pa.int64()),
+        })
+
+    def co_join(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "dst": pa.array([], pa.int64()),
+            "c": pa.array([], pa.int64()),
+            "deg": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        is_rank = g["is_rank"].to_numpy(zero_copy_only=False) == 1
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b_ = g["b"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        rsrc, rval = a[is_rank], c[is_rank]
+        ro = np.argsort(rsrc)
+        rsrc, rval = rsrc[ro], rval[ro]
+        esrc, edst = a[~is_rank], b_[~is_rank]
+        if esrc.size == 0 or rsrc.size == 0:
+            return empty
+        idx = np.searchsorted(rsrc, esrc)
+        # every edge src has a rank row (nodes come FROM edges)
+        contrib_v = rval[idx]
+        # partial-sum per dst inside the task: the global groupby then
+        # moves unique-dst rows, not edge rows
+        ud, inv = np.unique(edst, return_inverse=True)
+        sums = np.zeros(ud.size, dtype=np.int64)
+        np.add.at(sums, inv, contrib_v)
+        return pa.table({
+            "dst": pa.array(ud, pa.int64()),
+            "c": pa.array(sums, pa.int64()),
+            "deg": pa.array(np.zeros(ud.size, dtype=np.int64)),
+        })
+
+    def dst_part(b: pa.Table) -> pa.Table:
+        from .text import mix64
+
+        v = b["dst"].to_numpy(zero_copy_only=False)
+        return b.append_column("part", pa.array(
+            (mix64(v.view(np.uint64)) % np.uint64(_CC_PARTS)).astype(
+                np.int64
+            )
+        ))
+
+    def reduce_update(g: pa.Table) -> pa.Table:
+        # vectorized per-dst (sum c, max deg) + the fixed-point rank
+        # update fused into ONE task per hash partition — Ray's
+        # generic multi-aggregate pays per-key overhead at 10^4+
+        # groups, this pays one numpy pass (same rationale as the
+        # hash-to-min star rounds, curate._star_part)
+        if g.num_rows == 0:
+            return pa.table({
+                "node": pa.array([], pa.int64()),
+                "r": pa.array([], pa.int64()),
+                "deg": pa.array([], pa.int64()),
+            })
+        d = g["dst"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        dg = g["deg"].to_numpy(zero_copy_only=False)
+        ud, inv = np.unique(d, return_inverse=True)
+        sums = np.zeros(ud.size, dtype=np.int64)
+        np.add.at(sums, inv, c)
+        degs = np.zeros(ud.size, dtype=np.int64)
+        np.maximum.at(degs, inv, dg)
+        return pa.table({
+            "node": pa.array(ud, pa.int64()),
+            "r": pa.array(
+                _RANK_TELEPORT + (85 * sums) // 100, pa.int64()
+            ),
+            "deg": pa.array(degs, pa.int64()),
+        })
+
+    for _ in range(iters):
+        tagged = ranks.map_batches(
+            tag_ranks, batch_format="pyarrow"
+        ).union(edges_tagged)
+        ranks = (
+            tagged.groupby("part")
+            .map_groups(co_join, batch_format="pyarrow")
+            .union(zero)
+            .map_batches(dst_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(reduce_update, batch_format="pyarrow")
+            .materialize()
+        )
+    return ranks.map_batches(
+        lambda b: pa.table({"node": b["node"], "r": b["r"]}),
+        batch_format="pyarrow",
+    )
+
+
+def link_rank_oracle_sql(iters: int = _RANK_ITERS) -> str:
+    """Chained-CTE power iteration mirroring the integer fixed-point
+    update exactly (DuckDB sums BIGINT into HUGEINT; the 85·S//100 is
+    evaluated in HUGEINT then wrapped back — values stay < 2**63)."""
+    ctes = [f"""e0 AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+r0 AS (SELECT node, {_RANK_BASE}::BIGINT AS r FROM nodes)"""]
+    for i in range(iters):
+        ctes.append(f"""r{i + 1} AS (
+  SELECT n.node,
+         CAST({_RANK_TELEPORT} + (85 * COALESCE(s.s, 0)) // 100
+              AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.r // deg.d) AS s
+    FROM e
+    JOIN r{i} r ON r.node = e.src
+    JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) s USING (node)
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, r FROM r{iters}"
+    )
+
+
 ORACLE_REVENUE_BY_NATION = """
 SELECT n_name AS nation_name,
        CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
