@@ -124,6 +124,80 @@ def two_phase_agg(ds: ray.data.Dataset, keys: list[str],
     )
 
 
+def hash_keyed_agg(ds: ray.data.Dataset, key: str,
+                   sums: dict[str, str] | None = None,
+                   count_alias: str | None = None,
+                   parts: int = 64) -> ray.data.Dataset:
+    """Exact groupby sum/count for HIGH-cardinality int64 keys.
+
+    Ray's generic ``groupby(key).aggregate(...)`` pays per-group
+    overhead that dominates beyond ~10⁴ groups (measured 8.7 s for a
+    35k-group Sum+Max at sf0.1).  This is the engine's coarse-partition
+    alternative: per-block Arrow ``group_by`` partials, ONE shuffle
+    keyed by ``mix64(key) % parts``, then one vectorized numpy merge
+    per partition (``np.unique`` + ``np.add.at``) — per-partition
+    work, never per-key work.  Raise ``parts`` with key cardinality so
+    a partition's distinct keys fit one worker's heap.
+
+    ``sums`` maps input column → output alias (int64 columns — exact,
+    order-independent); ``count_alias`` adds a row count.
+    """
+    import numpy as np
+
+    from whakoom_webscrapper_ray.pipelines.text import mix64
+
+    sums = sums or {}
+
+    def partial(b: pa.Table) -> pa.Table:
+        aggs = [(c, "sum") for c in sums]
+        if count_alias:
+            aggs.append(([], "count_all"))
+        g = pa.TableGroupBy(b, [key]).aggregate(aggs)
+        v = g[key].to_numpy(zero_copy_only=False)
+        cols = {key: g[key]}
+        for c in sums:
+            cols[f"{c}_p"] = g[f"{c}_sum"]
+        if count_alias:
+            cols["_n_p"] = g["count_all"]
+        cols["part"] = pa.array(
+            (mix64(v.view(np.uint64)) % np.uint64(parts)).astype(
+                np.int64
+            )
+        )
+        return pa.table(cols)
+
+    out_names = list(sums.values()) + (
+        [count_alias] if count_alias else []
+    )
+
+    def reduce_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            cols = {key: pa.array([], pa.int64())}
+            for a in out_names:
+                cols[a] = pa.array([], pa.int64())
+            return pa.table(cols)
+        k = g[key].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(k, return_inverse=True)
+        cols = {key: pa.array(uk, pa.int64())}
+        for c, alias in sums.items():
+            s = np.zeros(uk.size, dtype=np.int64)
+            np.add.at(s, inv,
+                      g[f"{c}_p"].to_numpy(zero_copy_only=False))
+            cols[alias] = pa.array(s, pa.int64())
+        if count_alias:
+            n = np.zeros(uk.size, dtype=np.int64)
+            np.add.at(n, inv,
+                      g["_n_p"].to_numpy(zero_copy_only=False))
+            cols[count_alias] = pa.array(n, pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(reduce_part, batch_format="pyarrow")
+    )
+
+
 def cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
     """double currency → exact integer cents (order-independent sums).
 

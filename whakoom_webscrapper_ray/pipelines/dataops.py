@@ -113,14 +113,16 @@ def top_customers(sf_dir: str, n: int = 10) -> ray.data.Dataset:
             }
         )
 
-    agg = (
+    from .common import hash_keyed_agg
+
+    # o_custkey is high-cardinality (every customer): the coarse-
+    # partition vectorized aggregate, not Ray's per-key path
+    agg = hash_keyed_agg(
         read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-        .map_batches(project, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(
-            Sum("price_cents", alias_name="revenue_cents"),
-            Count(alias_name="n_orders"),
-        )
+        .map_batches(project, batch_format="pyarrow"),
+        "o_custkey",
+        sums={"price_cents": "revenue_cents"},
+        count_alias="n_orders",
     )
 
     # Limit pushdown instead of a global sort: each block emits its

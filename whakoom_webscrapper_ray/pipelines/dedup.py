@@ -293,11 +293,13 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, num_bands: int = 16,
     # map_batches (the seen-set anti-join pattern), (3) pair generation
     # runs only over the surviving rows.
     bands_mat = bands.materialize()
-    hot = (
-        bands_mat.groupby("band_key")
-        .aggregate(Count(alias_name="n"))
-        .filter(expr="n >= 2")
-    )
+    from .common import hash_keyed_agg
+
+    # band_key cardinality ~ docs x bands: the coarse-partition
+    # vectorized count, not Ray's per-key aggregate
+    hot = hash_keyed_agg(
+        bands_mat, "band_key", count_alias="n"
+    ).filter(expr="n >= 2")
     hot_ref = ray.put(
         pa.array(
             sorted(r["band_key"] for r in hot.take_all()), pa.int64()
