@@ -312,16 +312,17 @@ def corpus_dedup(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, n_members): the deduplicated corpus — one representative
     (= component-min doc_id) per near-dup cluster, with its member
     count.  The materialized output a dedup pass feeds to training."""
-    return (
-        dedup_clusters(sf_dir)
-        .groupby("cluster_id")
-        .aggregate(Count(alias_name="n_members"))
-        .map_batches(
-            lambda b: pa.table(
-                {"doc_id": b["cluster_id"], "n_members": b["n_members"]}
-            ),
-            batch_format="pyarrow",
-        )
+    from .common import hash_keyed_agg
+
+    # cluster_id cardinality ~ |docs|: coarse-partition vectorized
+    # count, not Ray's per-key aggregate
+    return hash_keyed_agg(
+        dedup_clusters(sf_dir), "cluster_id", count_alias="n_members"
+    ).map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["cluster_id"], "n_members": b["n_members"]}
+        ),
+        batch_format="pyarrow",
     )
 
 

@@ -853,20 +853,45 @@ def ngram_df_topk(sf_dir: str, k: int = _NGRAM_TOPK) -> ray.data.Dataset:
     the shuffle; a groupby sums partials; a per-block top-k combiner +
     single tiny merge sort picks the winners (ties by gram ascending),
     so the final sort never sees more than k × blocks rows."""
-    from ray.data.aggregate import Sum
+    # gram cardinality is corpus-sized: per-block partial counts, one
+    # shuffle keyed by a coarse hash of the gram STRING, and one
+    # vectorized numpy merge per partition (the string-key analog of
+    # common.hash_keyed_agg — Ray's per-key aggregate pays a Python
+    # frame per distinct gram)
+    parts = 64
 
     def partial(b: pa.Table) -> pa.Table:
         grams, _ = _doc_grams_str(b)
         g = pa.TableGroupBy(
             pa.table({"gram": grams}), ["gram"]
         ).aggregate([([], "count_all")])
-        return pa.table({"gram": g["gram"], "df_p": g["count_all"]})
+        h = token_hashes(
+            g["gram"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table({
+            "gram": g["gram"], "df_p": g["count_all"],
+            "part": pa.array(
+                (h % np.uint64(parts)).astype(np.int64)
+            ),
+        })
+
+    def reduce_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        gr = g["gram"].to_numpy(zero_copy_only=False)
+        d = g["df_p"].to_numpy(zero_copy_only=False)
+        ug, inv = np.unique(gr, return_inverse=True)
+        s = np.zeros(ug.size, dtype=np.int64)
+        np.add.at(s, inv, d)
+        return pa.table({"gram": pa.array(ug, pa.string()),
+                         "df": pa.array(s, pa.int64())})
 
     agg = (
         read(sf_dir, "documents", columns=["text"])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("gram")
-        .aggregate(Sum("df_p", alias_name="df"))
+        .groupby("part")
+        .map_groups(reduce_part, batch_format="pyarrow")
     )
 
     def local_top(b: pa.Table) -> pa.Table:
