@@ -1200,20 +1200,40 @@ class CrawlEngine:
                 }
             )
 
-        import pandas as pd
+        # last-writer-wins per list via the coarse-hash-partition
+        # pattern: ONE vectorized task per partition picks each list's
+        # max-seq row (at crawl scale list_id cardinality is
+        # output-table-sized; a per-list map_groups pays a Python
+        # frame per list)
+        def _lists_part(b: pa.Table) -> pa.Table:
+            from .text import mix64
 
-        def last_writer(g: pd.DataFrame) -> pd.DataFrame:
-            return g.sort_values("seq").tail(1)
+            lid = b["list_id"].to_numpy(zero_copy_only=False)
+            return b.append_column("part", pa.array(
+                (mix64(lid.astype(np.uint64)) % np.uint64(64)).astype(
+                    np.int64
+                )
+            ))
 
-        def lists_final(t: pa.Table) -> pa.Table:
-            n = t.num_rows
+        def _lists_reduce(g: pa.Table) -> pa.Table:
+            n = g.num_rows
+            if n:
+                lid = g["list_id"].to_numpy(zero_copy_only=False)
+                seq = g["seq"].to_numpy(zero_copy_only=False)
+                # last of each (list_id, seq)-sorted run = max seq —
+                # the last-writer row (seq is unique per list)
+                order = np.lexsort((seq, lid))
+                lid_s = lid[order]
+                last = np.r_[lid_s[1:] != lid_s[:-1], True]
+                g = g.take(pa.array(order[last], pa.int64()))
+                n = g.num_rows
             return pa.table(
                 {
-                    "list_id": pc.cast(t["list_id"], pa.int64()),
-                    "title": pc.cast(t["title"], pa.string()),
-                    "url": pc.cast(t["url"], pa.string()),
+                    "list_id": pc.cast(g["list_id"], pa.int64()),
+                    "title": pc.cast(g["title"], pa.string()),
+                    "url": pc.cast(g["url"], pa.string()),
                     "user_profile": pc.cast(
-                        t["user_profile"], pa.string()
+                        g["user_profile"], pa.string()
                     ),
                     "scrape_status": pa.array(
                         ["completed"] * n, pa.string()
@@ -1227,9 +1247,9 @@ class CrawlEngine:
 
         lists_ds = (
             docs.map_batches(lists_stage, batch_format="pyarrow")
-            .groupby("list_id")
-            .map_groups(last_writer, batch_format="pandas")
-            .map_batches(lists_final, batch_format="pyarrow")
+            .map_batches(_lists_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(_lists_reduce, batch_format="pyarrow")
         )
 
         # ---- junction + titles: list-page title links in document order
@@ -1303,42 +1323,111 @@ class CrawlEngine:
         tl = docs.map_batches(title_links_stage, batch_format="pyarrow")
         tl_mat = tl.materialize()
 
-        from ray.data.aggregate import Count, Min
+        # Both finalize reductions use the coarse-hash-partition
+        # pattern (one vectorized task per partition) — at crawl scale
+        # (list_id, title_id) and title_id cardinalities are
+        # output-table-sized, where Ray's per-key aggregate/map_groups
+        # pays a Python frame per key (common.hash_keyed_agg rationale).
+        _FIN_PARTS = 64
 
-        def junction_final(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "list_id": pc.cast(t["list_id"], pa.int64()),
-                    "title_id": pc.cast(t["title_id"], pa.int64()),
-                    "position": pc.cast(t["position"], pa.int32()),
-                }
+        def _junction_part(b: pa.Table) -> pa.Table:
+            from .text import mix64
+
+            lid = b["list_id"].to_numpy(zero_copy_only=False)
+            tid = b["title_id"].to_numpy(zero_copy_only=False)
+            with np.errstate(over="ignore"):
+                key = mix64(
+                    lid.astype(np.uint64)
+                    * np.uint64(0x9E3779B97F4A7C15)
+                    + tid.astype(np.uint64)
+                )
+            return pa.table({
+                "list_id": b["list_id"],
+                "title_id": b["title_id"],
+                "position": b["position"],
+                "part": pa.array(
+                    (key % np.uint64(_FIN_PARTS)).astype(np.int64)
+                ),
+            })
+
+        def _junction_reduce(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0:
+                return pa.table({
+                    "list_id": pa.array([], pa.int64()),
+                    "title_id": pa.array([], pa.int64()),
+                    "position": pa.array([], pa.int32()),
+                })
+            lid = g["list_id"].to_numpy(zero_copy_only=False).astype(
+                np.int64
             )
+            tid = g["title_id"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            pos = g["position"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            pairs = np.stack([lid, tid], axis=1)
+            uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+            mins = np.full(uniq.shape[0], np.iinfo(np.int64).max)
+            np.minimum.at(mins, inv, pos)
+            return pa.table({
+                "list_id": pa.array(uniq[:, 0], pa.int64()),
+                "title_id": pa.array(uniq[:, 1], pa.int64()),
+                "position": pa.array(mins.astype(np.int32),
+                                     pa.int32()),
+            })
 
         junction_ds = (
-            tl_mat.groupby(["list_id", "title_id"])
-            .aggregate(Min("position", alias_name="position"))
-            .map_batches(junction_final, batch_format="pyarrow")
+            tl_mat.map_batches(_junction_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(_junction_reduce, batch_format="pyarrow")
         )
 
-        def first_seen(g: pd.DataFrame) -> pd.DataFrame:
-            return g.sort_values("ok").head(1)
+        def _titles_part(b: pa.Table) -> pa.Table:
+            from .text import mix64
 
-        def titles_final(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "title_id": pc.cast(t["title_id"], pa.int64()),
-                    "title": pc.cast(t["title"], pa.string()),
-                    "url": pc.cast(t["url"], pa.string()),
-                    "scrape_status": pa.array(
-                        ["pending"] * t.num_rows, pa.string()
-                    ),
-                }
-            )
+            tid = b["title_id"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "title_id": b["title_id"],
+                "title": b["title"],
+                "url": b["url"],
+                "ok": b["ok"],
+                "part": pa.array(
+                    (mix64(tid.astype(np.uint64))
+                     % np.uint64(_FIN_PARTS)).astype(np.int64)
+                ),
+            })
+
+        def _titles_reduce(g: pa.Table) -> pa.Table:
+            # first-seen row per title = min ok (ok is unique by
+            # construction: seq<<SHIFT | offset)
+            if g.num_rows == 0:
+                return pa.table({
+                    "title_id": pa.array([], pa.int64()),
+                    "title": pa.array([], pa.string()),
+                    "url": pa.array([], pa.string()),
+                    "scrape_status": pa.array([], pa.string()),
+                })
+            tid = g["title_id"].to_numpy(zero_copy_only=False)
+            ok = g["ok"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ok, tid))
+            tid_s = tid[order]
+            first = np.r_[True, tid_s[1:] != tid_s[:-1]]
+            take = order[first]
+            t = g.take(pa.array(take, pa.int64()))
+            return pa.table({
+                "title_id": pc.cast(t["title_id"], pa.int64()),
+                "title": pc.cast(t["title"], pa.string()),
+                "url": pc.cast(t["url"], pa.string()),
+                "scrape_status": pa.array(
+                    ["pending"] * t.num_rows, pa.string()
+                ),
+            })
 
         titles_ds = (
-            tl_mat.groupby("title_id")
-            .map_groups(first_seen, batch_format="pandas")
-            .map_batches(titles_final, batch_format="pyarrow")
+            tl_mat.map_batches(_titles_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(_titles_reduce, batch_format="pyarrow")
         )
 
         # ---- title_metadata: leaf-page spec extraction (each title page
@@ -1398,6 +1487,8 @@ class CrawlEngine:
                     "additional_data": pc.cast(blobs, pa.string()),
                 }
             )
+
+        from ray.data.aggregate import Count, Min
 
         enriched_ds = (
             volumes_ds.groupby("title_id")
