@@ -127,6 +127,7 @@ def two_phase_agg(ds: ray.data.Dataset, keys: list[str],
 def hash_keyed_agg(ds: ray.data.Dataset, key: str,
                    sums: dict[str, str] | None = None,
                    count_alias: str | None = None,
+                   mins: dict[str, str] | None = None,
                    parts: int = 64) -> ray.data.Dataset:
     """Exact groupby sum/count for HIGH-cardinality int64 keys.
 
@@ -139,24 +140,27 @@ def hash_keyed_agg(ds: ray.data.Dataset, key: str,
     work, never per-key work.  Raise ``parts`` with key cardinality so
     a partition's distinct keys fit one worker's heap.
 
-    ``sums`` maps input column → output alias (int64 columns — exact,
-    order-independent); ``count_alias`` adds a row count.
+    ``sums`` / ``mins`` map input column → output alias (int64 columns
+    — exact, order-independent); ``count_alias`` adds a row count.
     """
     import numpy as np
 
     from whakoom_webscrapper_ray.pipelines.text import mix64
 
     sums = sums or {}
+    mins = mins or {}
 
     def partial(b: pa.Table) -> pa.Table:
-        aggs = [(c, "sum") for c in sums]
+        aggs = [(c, "sum") for c in sums] + [(c, "min") for c in mins]
         if count_alias:
             aggs.append(([], "count_all"))
         g = pa.TableGroupBy(b, [key]).aggregate(aggs)
         v = g[key].to_numpy(zero_copy_only=False)
         cols = {key: g[key]}
         for c in sums:
-            cols[f"{c}_p"] = g[f"{c}_sum"]
+            cols[f"{c}_sp"] = g[f"{c}_sum"]
+        for c in mins:
+            cols[f"{c}_mp"] = g[f"{c}_min"]
         if count_alias:
             cols["_n_p"] = g["count_all"]
         cols["part"] = pa.array(
@@ -166,9 +170,8 @@ def hash_keyed_agg(ds: ray.data.Dataset, key: str,
         )
         return pa.table(cols)
 
-    out_names = list(sums.values()) + (
-        [count_alias] if count_alias else []
-    )
+    out_names = (list(sums.values()) + list(mins.values())
+                 + ([count_alias] if count_alias else []))
 
     def reduce_part(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
@@ -182,8 +185,17 @@ def hash_keyed_agg(ds: ray.data.Dataset, key: str,
         for c, alias in sums.items():
             s = np.zeros(uk.size, dtype=np.int64)
             np.add.at(s, inv,
-                      g[f"{c}_p"].to_numpy(zero_copy_only=False))
+                      g[f"{c}_sp"].to_numpy(zero_copy_only=False))
             cols[alias] = pa.array(s, pa.int64())
+        for c, alias in mins.items():
+            m = np.full(uk.size, np.iinfo(np.int64).max)
+            np.minimum.at(
+                m, inv,
+                g[f"{c}_mp"].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+            )
+            cols[alias] = pa.array(m, pa.int64())
         if count_alias:
             n = np.zeros(uk.size, dtype=np.int64)
             np.add.at(n, inv,

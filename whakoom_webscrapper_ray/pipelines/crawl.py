@@ -1488,16 +1488,14 @@ class CrawlEngine:
                 }
             )
 
-        from ray.data.aggregate import Count, Min
+        from .common import hash_keyed_agg
 
-        enriched_ds = (
-            volumes_ds.groupby("title_id")
-            .aggregate(
-                Count(alias_name="n_volumes"),
-                Min("year", alias_name="first_year"),
-            )
-            .map_batches(enriched_final, batch_format="pyarrow")
-        )
+        # per-title (count, min year): coarse-partition vectorized
+        # aggregate — title cardinality is output-table-sized
+        enriched_ds = hash_keyed_agg(
+            volumes_ds, "title_id",
+            count_alias="n_volumes", mins={"year": "first_year"},
+        ).map_batches(enriched_final, batch_format="pyarrow")
 
         out = {
             "lists": lists_ds,

@@ -55,14 +55,54 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     documents.  Survivor = min doc_id (deterministic first-writer, the
     reference's first-seen-wins semantics, pipelines.py:152).
     """
+    # digest cardinality is corpus-sized: per-block Arrow partials +
+    # one coarse-hash shuffle + one vectorized merge per partition
+    # (string-key analog of common.hash_keyed_agg)
+    parts = 64
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b, ["text_md5"]).aggregate(
+            [("doc_id", "min"), ([], "count_all")]
+        )
+        import pandas as pd
+
+        h = pd.util.hash_array(
+            np.asarray(g["text_md5"].to_numpy(zero_copy_only=False),
+                       dtype=object)
+        ).astype(np.uint64)
+        return pa.table({
+            "text_md5": g["text_md5"],
+            "m_p": g["doc_id_min"],
+            "n_p": g["count_all"],
+            "part": pa.array((h % np.uint64(parts)).astype(np.int64)),
+        })
+
+    def reduce_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "text_md5": pa.array([], pa.string()),
+                "keep_doc_id": pa.array([], pa.int64()),
+                "n_dups": pa.array([], pa.int64()),
+            })
+        d = g["text_md5"].to_numpy(zero_copy_only=False)
+        ud, inv = np.unique(d, return_inverse=True)
+        m = np.full(ud.size, np.iinfo(np.int64).max)
+        np.minimum.at(m, inv,
+                      g["m_p"].to_numpy(zero_copy_only=False))
+        n = np.zeros(ud.size, dtype=np.int64)
+        np.add.at(n, inv, g["n_p"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "text_md5": pa.array(ud, pa.string()),
+            "keep_doc_id": pa.array(m, pa.int64()),
+            "n_dups": pa.array(n, pa.int64()),
+        })
+
     return (
         read(sf_dir, "documents", columns=["doc_id", "text"])
         .map_batches(_md5_batch, batch_format="pyarrow")
-        .groupby("text_md5")
-        .aggregate(
-            Min("doc_id", alias_name="keep_doc_id"),
-            Count(alias_name="n_dups"),
-        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(reduce_part, batch_format="pyarrow")
     )
 
 
@@ -847,11 +887,12 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3
         )
 
     bands = sh.map_batches(blocks, batch_format="pyarrow").materialize()
-    hot = (
-        bands.groupby("block_key")
-        .aggregate(Count(alias_name="n"))
-        .filter(expr="n >= 2")
-    )
+    from .common import hash_keyed_agg
+
+    # block_key cardinality ~ docs x blocks: coarse-partition count
+    hot = hash_keyed_agg(
+        bands, "block_key", count_alias="n"
+    ).filter(expr="n >= 2")
     hot_keys = sorted(r["block_key"] for r in hot.take_all())
     if not hot_keys:
         return ray.data.from_arrow(
