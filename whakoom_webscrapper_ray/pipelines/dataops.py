@@ -611,33 +611,71 @@ def latest_order_before_event(sf_dir: str) -> ray.data.Dataset:
         orders.map_batches(tag_orders, batch_format="pyarrow")
     )
 
-    def sweep(g: pd.DataFrame) -> pd.DataFrame:
-        ev = g[g["side"] == 0]
-        od = g[g["side"] == 1].sort_values("ts")
-        if ev.empty:
-            return pd.DataFrame(
-                {"event_id": pd.array([], dtype="int64"),
-                 "user_id": pd.array([], dtype="int64"),
-                 "ts": pd.array([], dtype="datetime64[us]"),
-                 "last_order_date": pd.array([], dtype="datetime64[us]"),
-                 "n_orders_before": pd.array([], dtype="int64")}
-            )
-        odt = od["ts"].to_numpy()
-        pos = np.searchsorted(odt, ev["ts"].to_numpy(), side="right")
-        last = np.full(len(ev), np.datetime64("NaT", "us"))
-        nz = pos > 0
-        last[nz] = odt[pos[nz] - 1]
-        return pd.DataFrame(
+    # Coarse-hash partition by user, then ONE vectorized sweep per
+    # partition via surrogate keys: per-partition-local user index u
+    # and us-epoch timestamps t collapse to s = u·SPAN + (t − tmin),
+    # which orders (user, ts) pairs globally within the partition —
+    # one sort + one searchsorted serves EVERY user at once (the old
+    # per-user pandas map_groups paid a Python frame + frame
+    # conversion per user).
+    def add_part(b: pa.Table) -> pa.Table:
+        from .text import mix64
+
+        k = b["key"].to_numpy(zero_copy_only=False)
+        return b.append_column("part", pa.array(
+            (mix64(k.view(np.uint64)) % np.uint64(64)).astype(np.int64)
+        ))
+
+    def sweep_part(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"event_id": pa.array([], pa.int64()),
+             "user_id": pa.array([], pa.int64()),
+             "ts": pa.array([], pa.timestamp("us")),
+             "last_order_date": pa.array([], pa.timestamp("us")),
+             "n_orders_before": pa.array([], pa.int64())}
+        )
+        if g.num_rows == 0:
+            return empty
+        side = g["side"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).view(np.int64)
+        ev = side == 0
+        if not ev.any():
+            return empty
+        ekey, ets = key[ev], ts[ev]
+        okey, ots = key[~ev], ts[~ev]
+        eids = g["event_id"].to_numpy(zero_copy_only=False)[ev]
+        tmin = int(ts.min())
+        span = int(ts.max()) - tmin + 2
+        uk = np.unique(key)
+        eu = np.searchsorted(uk, ekey).astype(np.int64)
+        ou = np.searchsorted(uk, okey).astype(np.int64)
+        es = eu * span + (ets - tmin)
+        osur = np.sort(ou * span + (ots - tmin))
+        pos = np.searchsorted(osur, es, side="right")
+        base = np.searchsorted(osur, eu * span)
+        n_before = (pos - base).astype(np.int64)
+        last = np.full(eids.size, np.iinfo(np.int64).min)  # NaT
+        nz = n_before > 0
+        prev = osur[pos[nz] - 1]
+        last[nz] = (prev % span) + tmin
+        return pa.table(
             {
-                "event_id": ev["event_id"].to_numpy(),
-                "user_id": ev["key"].to_numpy(),
-                "ts": ev["ts"].to_numpy(),
-                "last_order_date": last,
-                "n_orders_before": pos.astype(np.int64),
+                "event_id": pa.array(eids, pa.int64()),
+                "user_id": pa.array(ekey, pa.int64()),
+                "ts": pa.array(ets.view("datetime64[us]")),
+                "last_order_date": pa.array(
+                    last.view("datetime64[us]")
+                ),
+                "n_orders_before": pa.array(n_before, pa.int64()),
             }
         )
 
-    return both.groupby("key").map_groups(sweep, batch_format="pandas")
+    return both.map_batches(add_part, batch_format="pyarrow").groupby(
+        "part"
+    ).map_groups(sweep_part, batch_format="pyarrow")
 
 
 ORACLE_ASOF = """
