@@ -19,7 +19,6 @@ from __future__ import annotations
 import os
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -441,27 +440,71 @@ def sessionize(sf_dir: str) -> ray.data.Dataset:
     independently; skewed users would be range-split by time with
     boundary-session stitching.
     """
-    def assign(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff().dt.total_seconds().fillna(np.inf)
-        session = (gaps > SESSION_GAP_S).cumsum().astype(np.int64)
-        g = g.assign(session_id=session)
-        out = (
-            g.groupby("session_id", as_index=False)
-            .agg(
-                n_events=("event_id", "size"),
-                start_ts=("ts", "min"),
-                end_ts=("ts", "max"),
+    def add_part(b: pa.Table) -> pa.Table:
+        from .text import mix64
+
+        k = b["user_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("part", pa.array(
+            (mix64(k.view(np.uint64)) % np.uint64(64)).astype(np.int64)
+        ))
+
+    gap_us = SESSION_GAP_S * 1_000_000
+
+    def assign_part(g: pa.Table) -> pa.Table:
+        # ONE vectorized pass sessionizes EVERY user in the partition:
+        # lexsort (user, ts, event_id), session breaks at user
+        # boundaries or >gap deltas, sessions = contiguous runs —
+        # per-user cumsum via a global cumsum minus its value at each
+        # user's first row (the old per-user pandas map_groups paid a
+        # Python frame + two pandas groupbys per user)
+        if g.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "session_id": pa.array([], pa.int64()),
+                 "n_events": pa.array([], pa.int64()),
+                 "start_ts": pa.array([], pa.timestamp("us")),
+                 "end_ts": pa.array([], pa.timestamp("us"))}
             )
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).view(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        gap = np.r_[np.int64(0), ts[1:] - ts[:-1]]
+        new_s = new_user | (gap > gap_us)
+        cs = np.cumsum(new_s)
+        ustart_cs = cs[np.flatnonzero(new_user)]
+        # session_id restarts at 1 per user: cs minus the cs value at
+        # the user's first row, +1
+        per_user_base = np.repeat(
+            ustart_cs,
+            np.diff(np.r_[np.flatnonzero(new_user), uid.size]),
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        out["n_events"] = out["n_events"].astype(np.int64)
-        return out
+        sess = cs - per_user_base + 1
+        starts = np.flatnonzero(new_s)
+        lens = np.diff(np.r_[starts, uid.size])
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "session_id": pa.array(sess[starts], pa.int64()),
+                "n_events": pa.array(lens, pa.int64()),
+                "start_ts": pa.array(
+                    ts[starts].view("datetime64[us]")
+                ),
+                "end_ts": pa.array(
+                    ts[starts + lens - 1].view("datetime64[us]")
+                ),
+            }
+        )
 
     return (
         read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
-        .groupby("user_id")
-        .map_groups(assign, batch_format="pandas")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(assign_part, batch_format="pyarrow")
     )
 
 
@@ -694,24 +737,52 @@ def latest_user_state(sf_dir: str) -> ray.data.Dataset:
     """Per-user last event — the upsert/last-writer-wins merge of the
     reference (queries/lists.sql:1-9): groupby key, keep max by the
     total order (ts, event_id)."""
-    def lww(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).tail(1)
-        return pd.DataFrame(
+    def add_part(b: pa.Table) -> pa.Table:
+        from .text import mix64
+
+        k = b["user_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("part", pa.array(
+            (mix64(k.view(np.uint64)) % np.uint64(64)).astype(np.int64)
+        ))
+
+    def lww_part(g: pa.Table) -> pa.Table:
+        # last-writer row per user: lexsort (user, ts, event_id), the
+        # last row of each user run wins — one vectorized task per
+        # hash partition, not a pandas frame per user
+        if g.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "last_event_type": pa.array([], pa.string()),
+                 "last_value_cents": pa.array([], pa.int64()),
+                 "last_ts": pa.array([], pa.timestamp("us"))}
+            )
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).view(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid_s = uid[order]
+        last = np.r_[uid_s[1:] != uid_s[:-1], True]
+        t = g.take(pa.array(order[last], pa.int64()))
+        return pa.table(
             {
-                "user_id": g["user_id"].values,
-                "last_event_type": g["event_type"].values,
-                "last_value_cents": np.floor(
-                    g["value"].values * 100
-                ).astype(np.int64),
-                "last_ts": g["ts"].values,
+                "user_id": t["user_id"],
+                "last_event_type": t["event_type"],
+                "last_value_cents": pc.cast(
+                    pc.floor(pc.multiply(t["value"], 100.0)),
+                    pa.int64(),
+                ),
+                "last_ts": t["ts"],
             }
         )
 
     return (
         read(sf_dir, "events",
              columns=["event_id", "ts", "user_id", "event_type", "value"])
-        .groupby("user_id")
-        .map_groups(lww, batch_format="pandas")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lww_part, batch_format="pyarrow")
     )
 
 
