@@ -932,22 +932,35 @@ def vocab_size(sf_dir: str) -> ray.data.Dataset:
     The exact companion (and driver oracle anchor) for
     :func:`hll_vocab`."""
 
+    parts = 64
+
     def distinct_tokens(b: pa.Table) -> pa.Table:
         words = pc.split_pattern(b["text"], " ")
         if isinstance(words, pa.ChunkedArray):
             words = words.combine_chunks()
-        flat = pc.list_flatten(words)
-        return pa.table({"token": pc.unique(flat)})
+        toks = pc.unique(pc.list_flatten(words))
+        h = token_hashes(toks.to_numpy(zero_copy_only=False))
+        return pa.table({
+            "token": toks,
+            "part": pa.array((h % np.uint64(parts)).astype(np.int64)),
+        })
 
-    from ray.data.aggregate import Count
+    def count_part(g: pa.Table) -> pa.Table:
+        # token cardinality is vocabulary-sized at corpus scale: one
+        # vectorized distinct-count per hash partition, not Ray's
+        # per-key aggregate
+        n = np.unique(
+            g["token"].to_numpy(zero_copy_only=False)
+        ).size if g.num_rows else 0
+        return pa.table({"n": pa.array([n], pa.int64())})
 
-    n = (
+    partials = (
         read(sf_dir, "documents", columns=["text"])
         .map_batches(distinct_tokens, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Count(alias_name="c"))
-        .count()
+        .groupby("part")
+        .map_groups(count_part, batch_format="pyarrow")
     )
+    n = sum(r["n"] for r in partials.take_all())
     return ray.data.from_arrow(
         pa.table({"vocab": pa.array([n], pa.int64())})
     )
