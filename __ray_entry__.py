@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_big_orders": _do.customers_no_big_orders,
         "top_parts": _do.top_parts,
         "events_hourly": _do.events_hourly,
+        "props_field_stats": _do.props_field_stats,
         "sessionize": _do.sessionize,
         "events_sliding": _do.events_sliding,
         "latest_order_before_event": _do.latest_order_before_event,
@@ -306,6 +307,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_no_big_orders": _do.ORACLE_CUSTOMERS_NO_BIG,
         "top_parts": _do.ORACLE_TOP_PARTS,
         "events_hourly": _do.ORACLE_EVENTS_HOURLY,
+        "props_field_stats": _do.ORACLE_PROPS_FIELD_STATS,
         "sessionize": _do.ORACLE_SESSIONIZE,
         "events_sliding": _do.ORACLE_EVENTS_SLIDING,
         "latest_order_before_event": _do.ORACLE_ASOF,

@@ -418,6 +418,73 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
                          count_alias="n_events")
 
 
+# -------------------------------------- JSON-field extraction (F-family)
+def props_field_stats(sf_dir: str) -> ray.data.Dataset:
+    """(event_type, n_events, k_sum, k_min, k_max): aggregate a field
+    extracted from the free-form JSON-as-TEXT ``props`` column — the
+    read-side analog of the reference's ``title_enriched
+    .additional_data`` JSON column (001_initial_schema.sql:92,
+    README.md:140).  Extraction is a vectorized RE2 kernel
+    (``pc.extract_regex``), not per-row ``json.loads``; DuckDB's
+    ``regexp_extract`` shares the RE2 engine so the oracle is
+    semantics-exact (same contract as redact_terms)."""
+    pattern = r'"k":\s*(?P<k>[0-9]+)'
+
+    def extract(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["props"], pattern=pattern)
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        keep = pc.is_valid(k)
+        return pa.table({
+            "event_type": b["event_type"],
+            "k": k,
+        }).filter(keep)
+
+    ext = read(sf_dir, "events", columns=["event_type", "props"]
+               ).map_batches(extract, batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b, ["event_type"]).aggregate(
+            [("k", "sum"), ("k", "min"), ("k", "max"),
+             ([], "count_all")]
+        )
+        return pa.table({
+            "event_type": g["event_type"],
+            "s_p": g["k_sum"], "mn_p": g["k_min"],
+            "mx_p": g["k_max"], "n_p": g["count_all"],
+        })
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    # event_type is low-cardinality: map-side partials + tiny groupby
+    return (
+        ext.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_p", alias_name="n_events"),
+            Sum("s_p", alias_name="k_sum"),
+            Min("mn_p", alias_name="k_min"),
+            Max("mx_p", alias_name="k_max"),
+        )
+    )
+
+
+ORACLE_PROPS_FIELD_STATS = r"""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       CAST(min(k) AS BIGINT) AS k_min,
+       CAST(max(k) AS BIGINT) AS k_max
+FROM (
+  SELECT event_type,
+         CAST(NULLIF(regexp_extract(props, '"k":\s*([0-9]+)', 1), '')
+              AS BIGINT) AS k
+  FROM events
+)
+WHERE k IS NOT NULL
+GROUP BY event_type
+"""
+
+
 ORACLE_EVENTS_HOURLY = """
 SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour, event_type,
        count(*) AS n_events,
