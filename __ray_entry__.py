@@ -204,6 +204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": _cu.split_assign,
         "corpus_shuffle": _cu.corpus_shuffle,
         "lang_balanced_sample": _cu.lang_balanced_sample,
+        "source_mix_sample": _cu.source_mix_sample,
+        "sequence_pack": _cu.sequence_pack,
         # ---- similarity search
         "ann_topk": _ann.ann_topk,
         "ann_ivf": _ann.ann_ivf,
@@ -289,6 +291,8 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": _cu.split_assign_oracle_sql(),
         "corpus_shuffle": _cu.corpus_shuffle_oracle_sql(),
         "lang_balanced_sample": _cu.lang_balanced_sample_oracle_sql(),
+        "source_mix_sample": _cu.source_mix_sample_oracle_sql(),
+        "sequence_pack": _cu.sequence_pack_oracle_sql(),
         "ann_topk": _ann.oracle_ann_topk(),
         # full-probe IVF must equal the exact top-k bit for bit — the
         # IVF machinery's hard oracle (approximation quality itself

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "lang_topk", "token_quantiles", "ngram_df_topk",
     "vocab_size", "hll_vocab", "redact_terms",
     "split_assign", "corpus_shuffle", "lang_balanced_sample",
+    "source_mix_sample", "sequence_pack",
     "revenue_by_nation", "link_rank",
     "ann_topk", "ann_ivf", "ann_lsh",
     "span_links", "span_kind_counts", "media_features", "media_resize",

@@ -29,7 +29,7 @@ QUERIES = [
     "dedup_clusters", "corpus_dedup",           # corpus curation
     "decontaminate", "quality_sample", "embedding_clusters",
     "split_assign", "corpus_shuffle",           # deterministic split/order
-    "lang_balanced_sample",
+    "lang_balanced_sample", "source_mix_sample", "sequence_pack",
     "revenue_by_nation",                        # large x large hash join
     "link_rank",                                # iterative graph rank
     "ann_topk", "ann_lsh_fullprobe",            # similarity search

@@ -737,6 +737,148 @@ SELECT doc_id, lang FROM ranked WHERE rn <= {cap}
 """
 
 
+_MIX_SEED = 0x6A09E667F3BCC909
+
+
+def source_mix_sample(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, source) — deterministic data-mixing downsample: each
+    source s survives at its own rate (basis points derived from the
+    source's numeric id: 1000 + 557·(id mod 16)), selected by
+    ``fmix64(doc_id ^ seed) % 10000``.  The training-mixture
+    composition pass: pure map, no shuffle, reproducible across runs
+    and cluster sizes, and per-source proportions hold exactly in
+    expectation regardless of how rows are sharded."""
+    from .text import mix64
+
+    def sample(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["source"], pattern=r"(?P<n>[0-9]+)")
+        srcnum = pc.cast(pc.struct_field(m, "n"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        rate = 1000 + 557 * (srcnum % 16)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        h = mix64(ids.view(np.uint64) ^ np.uint64(_MIX_SEED))
+        keep = (h % np.uint64(10000)).astype(np.int64) < rate
+        return pa.table(
+            {"doc_id": b["doc_id"], "source": b["source"]}
+        ).filter(pa.array(keep))
+
+    return read(sf_dir, "documents", columns=["doc_id", "source"]
+                ).map_batches(sample, batch_format="pyarrow")
+
+
+def source_mix_sample_oracle_sql() -> str:
+    from .text import fmix64_docid_ctes
+
+    ctes, final = fmix64_docid_ctes(_MIX_SEED, "mx")
+    return f"""
+WITH {ctes}
+SELECT d.doc_id, d.source
+FROM documents d JOIN {final} h USING (doc_id)
+WHERE h.h % 10000
+      < 1000 + 557 * (CAST(regexp_extract(d.source, '([0-9]+)', 1)
+                           AS BIGINT) % 16)
+"""
+
+
+_PACK_BUDGET = 1024  # token budget per packed training sequence
+
+
+def sequence_pack(sf_dir: str, budget: int = _PACK_BUDGET
+                  ) -> ray.data.Dataset:
+    """(doc_id, pack_id) — context-window packing: documents are laid
+    out in the deterministic :func:`corpus_shuffle` order and chunked
+    into packs by a running token budget (pack_id = exclusive prefix
+    token sum ÷ budget).  The sequence-packing pass a training
+    pipeline runs before tokenization.
+
+    Distributed exact prefix sums, same two-level shape as
+    corpus_shuffle's rank: top-bits range partitioning preserves the
+    global hash order, tiny per-partition token totals cumsum on the
+    driver into partition offsets, and each partition computes its
+    exclusive prefix sums locally (one vectorized task)."""
+    from .text import mix64
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    shift = np.uint64(64 - _SHUF_PART_BITS)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        h = mix64(ids.view(np.uint64) ^ np.uint64(_SHUF_SEED))
+        words = pc.split_pattern(b["text"], " ")
+        n_tok = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "h": pa.array(h.view(np.int64), pa.int64()),
+                "part": pa.array((h >> shift).astype(np.int64)),
+                "n_tok": pa.array(n_tok, pa.int64()),
+            }
+        )
+
+    keyed_ds = docs.map_batches(keyed, batch_format="pyarrow")
+
+    def part_tok(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b, ["part"]).aggregate([("n_tok", "sum")])
+        return pa.table({"part": g["part"], "t": g["n_tok_sum"]})
+
+    cnt = collect_small(
+        keyed_ds.map_batches(part_tok, batch_format="pyarrow"),
+        pa.schema([("part", pa.int64()), ("t", pa.int64())]),
+    )
+    totals = np.zeros(1 << _SHUF_PART_BITS, dtype=np.int64)
+    np.add.at(totals, cnt["part"].to_numpy(zero_copy_only=False),
+              cnt["t"].to_numpy(zero_copy_only=False))
+    offsets = ray.put(np.r_[0, np.cumsum(totals)][:-1])
+
+    def pack_part(g: pa.Table, offs=None) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pack_id": pa.array([], pa.int64())})
+        offs = deref(offs)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        h = g["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        nt = g["n_tok"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        base = int(offs[int(g["part"][0].as_py())])
+        prefix_excl = base + np.cumsum(nt[order]) - nt[order]
+        pack = np.empty(ids.size, dtype=np.int64)
+        pack[order] = prefix_excl // budget
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "pack_id": pa.array(pack, pa.int64()),
+            }
+        )
+
+    return keyed_ds.groupby("part").map_groups(
+        pack_part, batch_format="pyarrow", fn_kwargs={"offs": offsets}
+    )
+
+
+def sequence_pack_oracle_sql(budget: int = _PACK_BUDGET) -> str:
+    """Window prefix-sum over the SAME unsigned hash order the engine
+    packs in (corpus_shuffle order: uint64 h ascending)."""
+    from .text import fmix64_docid_ctes
+
+    ctes, final = fmix64_docid_ctes(_SHUF_SEED, "pk")
+    return f"""
+WITH {ctes},
+toks AS (
+  SELECT d.doc_id, f.h,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+  FROM documents d JOIN {final} f USING (doc_id)
+)
+SELECT doc_id,
+       CAST((sum(n_tok) OVER (ORDER BY h, doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok)
+            // {budget} AS BIGINT) AS pack_id
+FROM toks
+"""
+
+
 def quality_sample_oracle_sql() -> str:
     """Quality CTE + bit-exact fingerprint CTE → stratified keep."""
     two64 = "18446744073709551616::HUGEINT"
