@@ -329,3 +329,38 @@ def test_upsert_key_after_nested_column(tmp_path):
         for r in bk.read_fragment(f).to_pylist()
     }
     assert got == {100: "old", 200: "new", 300: "new"}
+
+
+def test_hash_keyed_agg_matches_ray_aggregate(ray_session):
+    """Property: the coarse-partition vectorized aggregate equals
+    Ray's generic per-key aggregate (sum/min/count) on random data
+    with duplicate keys across blocks."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Min, Sum
+
+    from whakoom_webscrapper_ray.pipelines.common import hash_keyed_agg
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 400, n), pa.int64()),
+        "v": pa.array(rng.integers(-1000, 1000, n), pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(8)
+    got = {
+        r["k"]: (r["s"], r["m"], r["n"])
+        for r in hash_keyed_agg(
+            ds, "k", sums={"v": "s"}, mins={"v": "m"},
+            count_alias="n", parts=16,
+        ).take_all()
+    }
+    want = {
+        r["k"]: (r["s"], r["m"], r["n"])
+        for r in ds.groupby("k").aggregate(
+            Sum("v", alias_name="s"), Min("v", alias_name="m"),
+            Count(alias_name="n"),
+        ).take_all()
+    }
+    assert got == want
