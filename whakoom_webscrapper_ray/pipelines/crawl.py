@@ -36,25 +36,17 @@ from __future__ import annotations
 
 import json
 import os
-import pickle
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from ..functions.canonicalize import (
-    canonicalize_arrow,
-    canonicalize_batch,
-    canonicalize_table,
-)
+from ..functions.canonicalize import canonicalize_arrow, canonicalize_batch
 from ..functions.robots import RobotsRules, offsite_mask, offsite_mask_arrow
 from ..storage import backend as storage_backend
 from ..stages.extract import (
-    LIST_RE,
-    PROFILE_RE,
     extract_profile_sections,
     extract_title_links,
     extract_title_metadata,

@@ -30,7 +30,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count
 
 from .common import collect_small, deref, read
 from .dedup import JACCARD_CTES, _gram_hashes_flat, minhash_lsh_pairs

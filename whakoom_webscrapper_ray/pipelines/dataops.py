@@ -23,7 +23,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
 
 from .common import deref, read, two_phase_agg
 

@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Min
 
 from .common import read
 from .text import token_hashes

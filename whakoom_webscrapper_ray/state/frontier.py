@@ -43,7 +43,6 @@ from the base shard (SURVEY.md §4.3) — applies when a single shard's
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 
