@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _tx.langid,
         "lang_topk": _tx.lang_topk,
         "token_quantiles": _tx.token_quantiles,
+        "lang_token_quantiles": _tx.lang_token_quantiles,
         "ngram_df_topk": _tx.ngram_df_topk,
         "redact_terms": _tx.redact_terms,
         "vocab_size": _tx.vocab_size,
@@ -208,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": _cu.sequence_pack,
         # ---- similarity search
         "ann_topk": _ann.ann_topk,
+        "ann_topk_filtered": _ann.ann_topk_filtered,
         "ann_ivf": _ann.ann_ivf,
         "ann_ivf_fullprobe": _ann.ann_ivf_fullprobe,
         "ann_lsh": _ann.ann_lsh,
@@ -269,6 +271,7 @@ def oracle_sql() -> dict[str, str]:
         "langid": _tx.langid_oracle_sql(),
         "lang_topk": _tx.lang_topk_oracle_sql(),
         "token_quantiles": _tx.ORACLE_TOKEN_QUANTILES,
+        "lang_token_quantiles": _tx.ORACLE_LANG_TOKEN_QUANTILES,
         "ngram_df_topk": _tx.ngram_df_topk_oracle_sql(),
         "redact_terms": _tx.ORACLE_REDACT_TERMS,
         # hll_vocab: deterministic sketch, not SQL-expressible — its
@@ -294,6 +297,7 @@ def oracle_sql() -> dict[str, str]:
         "source_mix_sample": _cu.source_mix_sample_oracle_sql(),
         "sequence_pack": _cu.sequence_pack_oracle_sql(),
         "ann_topk": _ann.oracle_ann_topk(),
+        "ann_topk_filtered": _ann.oracle_ann_topk_filtered(),
         # full-probe IVF must equal the exact top-k bit for bit — the
         # IVF machinery's hard oracle (approximation quality itself
         # stays a recall pytest on the nprobe<K path)

@@ -47,12 +47,13 @@ BENCH_QUERIES = [
     # double-charge the cluster pipeline
     "dedup_clusters", "embedding_clusters", "decontaminate",
     "quality_sample",
-    "lang_topk", "token_quantiles", "ngram_df_topk",
+    "lang_topk", "token_quantiles", "lang_token_quantiles",
+    "ngram_df_topk",
     "vocab_size", "hll_vocab", "redact_terms",
     "split_assign", "corpus_shuffle", "lang_balanced_sample",
     "source_mix_sample", "sequence_pack",
     "revenue_by_nation", "link_rank",
-    "ann_topk", "ann_ivf", "ann_lsh",
+    "ann_topk", "ann_topk_filtered", "ann_ivf", "ann_lsh",
     "span_links", "span_kind_counts", "media_features", "media_resize",
     "frame_sample",
     "customers_no_big_orders", "top_parts", "docs_filter_project",

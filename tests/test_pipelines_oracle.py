@@ -22,6 +22,7 @@ QUERIES = [
     "span_links", "span_kind_counts",           # interleaved spans
     "token_stats", "quality_score",             # text analysis
     "bpe_token_count", "lang_topk", "token_quantiles",
+    "lang_token_quantiles",
     "ngram_df_topk", "vocab_size", "redact_terms",
     "exact_dedup", "embedding_dups",            # dedup family
     "incremental_dedup",
@@ -32,7 +33,7 @@ QUERIES = [
     "lang_balanced_sample", "source_mix_sample", "sequence_pack",
     "revenue_by_nation",                        # large x large hash join
     "link_rank",                                # iterative graph rank
-    "ann_topk", "ann_lsh_fullprobe",            # similarity search
+    "ann_topk", "ann_topk_filtered", "ann_lsh_fullprobe",  # similarity
     "frame_sample", "media_resize",             # multimodal plumbing
     "pricing_summary", "junction_min_position",  # relational aggs
     "orders_by_month", "customers_no_big_orders",

@@ -151,6 +151,64 @@ QUALIFY rank <= {k}
 """
 
 
+def ann_topk_filtered(sf_dir: str, k: int = 10, num_queries: int = 8,
+                      label_mod: int = 3) -> ray.data.Dataset:
+    """(query_id, neighbor_id, rank) — FILTERED vector search: exact
+    cosine top-k restricted to rows passing a metadata predicate
+    (label % mod == 0), with the filter pushed BELOW the scorer (each
+    batch filters before the matmul — at scale the predicate prunes
+    compute and shuffle, it is never post-filtering a top-k that
+    could then come up short)."""
+    q_ref = ray.put(_load_queries(sf_dir, num_queries))
+
+    def filtered_score(batch, q_ref=None, k=10):
+        lab = batch["label"].to_numpy(zero_copy_only=False)
+        batch = batch.filter(
+            pa.array(lab.astype(np.int64) % label_mod == 0)
+        )
+        if batch.num_rows == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        return _scorer_batch(
+            batch.select(["vec_id", "embedding"]), q_ref=q_ref, k=k
+        )
+
+    return (
+        read(sf_dir, "embeddings",
+             columns=["vec_id", "embedding", "label"])
+        .map_batches(
+            filtered_score, fn_kwargs={"q_ref": q_ref, "k": k},
+            batch_format="pyarrow",
+        )
+        .groupby("query_id")
+        .map_groups(_merge_topk(k), batch_format="pandas")
+    )
+
+
+def oracle_ann_topk_filtered(k: int = 10, num_queries: int = 8,
+                             label_mod: int = 3) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings ORDER BY vec_id LIMIT {num_queries}
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.label % {label_mod} = 0
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+       ) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
 # ----------------------------------------------------------------- IVF
 def _kmeans(mat: np.ndarray, n_centroids: int, iters: int = 5,
             seed: int = 42) -> np.ndarray:

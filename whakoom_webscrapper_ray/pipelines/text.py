@@ -793,6 +793,82 @@ JOIN ord o ON o.rn = CAST(ceil(p.pct * n.c / 100.0) AS BIGINT)
 """
 
 
+def lang_token_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """(lang, pct, value): per-language EXACT token-count percentiles —
+    the grouped form of :func:`token_quantiles`, same distributed
+    histogram combine: blocks emit (lang, value, count) partials over
+    the bounded integer domain, a small groupby sums them, and the
+    driver folds only the per-language distinct-value histograms
+    (langs × values rows, never the corpus)."""
+    from ray.data.aggregate import Sum
+
+    from .common import collect_small
+
+    def hist(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        n_tok = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        t = pa.TableGroupBy(
+            pa.table({"lang": b["lang"],
+                      "v": pa.array(n_tok, pa.int64())}),
+            ["lang", "v"],
+        ).aggregate([([], "count_all")])
+        return pa.table({"lang": t["lang"], "v": t["v"],
+                         "c": t["count_all"]})
+
+    partials = (
+        read(sf_dir, "documents", columns=["text", "lang"])
+        .map_batches(hist, batch_format="pyarrow")
+        .groupby(["lang", "v"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    t = collect_small(
+        partials,
+        pa.schema([("lang", pa.string()), ("v", pa.int64()),
+                   ("c", pa.int64())]),
+    )
+    langs = t["lang"].to_numpy(zero_copy_only=False)
+    vs = t["v"].to_numpy(zero_copy_only=False)
+    cs = t["c"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((vs, langs))
+    langs, vs, cs = langs[order], vs[order], cs[order]
+    out_l, out_p, out_v = [], [], []
+    starts = np.flatnonzero(np.r_[True, langs[1:] != langs[:-1]]) \
+        if len(langs) else np.empty(0, dtype=np.int64)
+    for i, s in enumerate(starts):
+        e = starts[i + 1] if i + 1 < len(starts) else len(langs)
+        cum = np.cumsum(cs[s:e])
+        n = int(cum[-1])
+        for pct in _QUANTILE_PCTS:
+            target = -(-pct * n // 100)
+            out_l.append(langs[s])
+            out_p.append(pct)
+            out_v.append(int(vs[s:e][np.searchsorted(cum, target)]))
+    return ray.data.from_arrow(pa.table(
+        {"lang": pa.array(out_l, pa.string()),
+         "pct": pa.array(out_p, pa.int64()),
+         "value": pa.array(out_v, pa.int64())}
+    ))
+
+
+ORACLE_LANG_TOKEN_QUANTILES = f"""
+WITH t AS (
+  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+  FROM documents
+),
+ord AS (SELECT lang, v,
+               row_number() OVER (PARTITION BY lang ORDER BY v) AS rn
+        FROM t),
+n AS (SELECT lang, count(*) AS c FROM t GROUP BY lang),
+p(pct) AS (VALUES (50), (90), (99))
+SELECT o.lang, CAST(p.pct AS BIGINT) AS pct, o.v AS value
+FROM p CROSS JOIN n
+JOIN ord o ON o.lang = n.lang
+          AND o.rn = CAST(ceil(p.pct * n.c / 100.0) AS BIGINT)
+"""
+
+
 # ----------------------------------------- frequent n-grams (df top-k)
 _NGRAM_TOPK = 20
 
