@@ -589,7 +589,12 @@ def corpus_shuffle(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    keyed_ds = docs.map_batches(keyed, batch_format="pyarrow")
+    # two consumers (partial counts + the rank groupby): materialize
+    # the slim keyed rows (24 B/doc) once instead of re-reading and
+    # re-hashing the corpus for each
+    keyed_ds = docs.map_batches(
+        keyed, batch_format="pyarrow"
+    ).materialize()
 
     def part_counts(b: pa.Table) -> pa.Table:
         g = pa.TableGroupBy(b, ["part"]).aggregate([([], "count_all")])
@@ -817,7 +822,12 @@ def sequence_pack(sf_dir: str, budget: int = _PACK_BUDGET
             }
         )
 
-    keyed_ds = docs.map_batches(keyed, batch_format="pyarrow")
+    # two consumers (token totals + the packing groupby): materialize
+    # the slim keyed rows once — the text column never leaves the
+    # first pass
+    keyed_ds = docs.map_batches(
+        keyed, batch_format="pyarrow"
+    ).materialize()
 
     def part_tok(b: pa.Table) -> pa.Table:
         g = pa.TableGroupBy(b, ["part"]).aggregate([("n_tok", "sum")])
