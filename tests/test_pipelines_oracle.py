@@ -137,12 +137,12 @@ def test_feed_export_manifest(entry):
 
     with tempfile.TemporaryDirectory(prefix="wkm_feed_t_") as out:
         m = export_dataset(span_links(SF_DIR), out).to_pandas()
-    assert set(m["format"]) == {"parquet", "json"}
+    assert set(m["format"]) == {"parquet", "json", "csv"}
     assert (m["n_files"] > 0).all()
     assert (m["n_bytes"] > 0).all()
 
     facts = entry.queries()["feed_export"](SF_DIR).to_pandas()
-    assert set(facts["format"]) == {"parquet", "json"}
+    assert set(facts["format"]) == {"parquet", "json", "csv"}
     assert facts["n_rows"].nunique() == 1          # both formats agree
     assert facts["content_sum"].nunique() == 1
     assert (facts["n_rows"] > 0).all()

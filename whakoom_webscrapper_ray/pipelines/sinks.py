@@ -26,15 +26,18 @@ from .interleaved import span_links
 
 
 def export_dataset(ds: ray.data.Dataset, out_dir: str) -> pa.Table:
-    """Write ``ds`` as partitioned parquet AND json; return the manifest."""
+    """Write ``ds`` as partitioned parquet, json AND csv; return the
+    manifest."""
     rows = []
-    for fmt in ("parquet", "json"):
+    for fmt in ("parquet", "json", "csv"):
         d = os.path.join(out_dir, fmt)
         os.makedirs(d, exist_ok=True)
         if fmt == "parquet":
             ds.write_parquet(d)
-        else:
+        elif fmt == "json":
             ds.write_json(d)
+        else:
+            ds.write_csv(d)
         files = sorted(glob.glob(os.path.join(d, "*")))
         rows.append(
             {
@@ -81,7 +84,8 @@ def feed_export(sf_dir: str) -> pa.Table:
         export_dataset(span_links(sf_dir), out)
         rows = []
         for fmt, reader in (("json", ray.data.read_json),
-                            ("parquet", ray.data.read_parquet)):
+                            ("parquet", ray.data.read_parquet),
+                            ("csv", ray.data.read_csv)):
             parts = (
                 reader(os.path.join(out, fmt))
                 .map_batches(_digest_batch, batch_format="pyarrow")
@@ -117,5 +121,5 @@ WITH agg AS (
   FROM ({ORACLE_SPAN_LINKS})
 )
 SELECT t.format, agg.n_rows, agg.content_sum
-FROM (VALUES ('json'), ('parquet')) AS t(format), agg
+FROM (VALUES ('json'), ('parquet'), ('csv')) AS t(format), agg
 """
