@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _do.events_hourly,
         "props_field_stats": _do.props_field_stats,
         "sessionize": _do.sessionize,
+        "user_running_total": _do.user_running_total,
         "events_sliding": _do.events_sliding,
         "latest_order_before_event": _do.latest_order_before_event,
         "latest_user_state": _do.latest_user_state,
@@ -317,6 +318,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _do.ORACLE_EVENTS_HOURLY,
         "props_field_stats": _do.ORACLE_PROPS_FIELD_STATS,
         "sessionize": _do.ORACLE_SESSIONIZE,
+        "user_running_total": _do.ORACLE_USER_RUNNING_TOTAL,
         "events_sliding": _do.ORACLE_EVENTS_SLIDING,
         "latest_order_before_event": _do.ORACLE_ASOF,
         "latest_user_state": _do.ORACLE_LATEST_USER_STATE,

@@ -38,7 +38,7 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BENCH_QUERIES = [
     "pricing_summary", "junction_min_position", "top_customers",
     "orders_by_month", "events_hourly", "props_field_stats",
-    "sessionize", "latest_user_state",
+    "sessionize", "latest_user_state", "user_running_total",
     "events_sliding", "latest_order_before_event",
     "token_stats", "bpe_token_count", "langid", "simhash", "fingerprints",
     "exact_dedup", "minhash_lsh_pairs", "simhash_dup_pairs",

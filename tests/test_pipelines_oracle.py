@@ -38,6 +38,7 @@ QUERIES = [
     "pricing_summary", "junction_min_position",  # relational aggs
     "orders_by_month", "customers_no_big_orders",
     "events_hourly", "sessionize", "latest_user_state",  # streaming
+    "user_running_total",
     "props_field_stats",                        # JSON-field extraction
     "events_sliding", "latest_order_before_event",  # window / as-of
 ]

@@ -364,3 +364,28 @@ def test_hash_keyed_agg_matches_ray_aggregate(ray_session):
         ).take_all()
     }
     assert got == want
+
+    # skew: one key owns 90% of rows — the hot key's partials still
+    # combine map-side, so one partition holds |blocks| partial rows,
+    # not the row count, and the result stays exact
+    hot = pa.table({
+        "k": pa.array(
+            np.where(rng.random(n) < 0.9, 7, rng.integers(0, 50, n)),
+            pa.int64(),
+        ),
+        "v": pa.array(rng.integers(-5, 5, n), pa.int64()),
+    })
+    hds = ray.data.from_arrow(hot).repartition(8)
+    g2 = {
+        r["k"]: (r["s"], r["n"])
+        for r in hash_keyed_agg(
+            hds, "k", sums={"v": "s"}, count_alias="n", parts=16
+        ).take_all()
+    }
+    w2 = {
+        r["k"]: (r["s"], r["n"])
+        for r in hds.groupby("k").aggregate(
+            Sum("v", alias_name="s"), Count(alias_name="n"),
+        ).take_all()
+    }
+    assert g2 == w2

@@ -596,6 +596,86 @@ GROUP BY user_id, session_id
 """
 
 
+# ------------------------------------- cumulative window (running total)
+def user_running_total(sf_dir: str) -> ray.data.Dataset:
+    """(event_id, user_id, ts, running_cents, running_n): per-user
+    cumulative value sum and event count in (ts, event_id) order — the
+    CUMULATIVE window shape (ROWS UNBOUNDED PRECEDING), completing the
+    window family (tumbling events_hourly, sliding events_sliding,
+    session sessionize).  Same coarse-hash-partition transport as
+    sessionize: one lexsorted vectorized pass per partition computes
+    every user's prefix sums (global cumsum minus its value at each
+    user's first row), exact in integer cents."""
+
+    def add_part(b: pa.Table) -> pa.Table:
+        from .text import mix64
+
+        k = b["user_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("part", pa.array(
+            (mix64(k.view(np.uint64)) % np.uint64(64)).astype(np.int64)
+        ))
+
+    def running_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()),
+                 "user_id": pa.array([], pa.int64()),
+                 "ts": pa.array([], pa.timestamp("us")),
+                 "running_cents": pa.array([], pa.int64()),
+                 "running_n": pa.array([], pa.int64())}
+            )
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).view(np.int64)
+        cents_v = np.floor(
+            g["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, cents_s = uid[order], cents_v[order]
+        new_user = np.r_[True, uid_s[1:] != uid_s[:-1]]
+        cs = np.cumsum(cents_s)
+        cn = np.arange(1, uid_s.size + 1, dtype=np.int64)
+        ustarts = np.flatnonzero(new_user)
+        lens = np.diff(np.r_[ustarts, uid_s.size])
+        # exclusive base at each user's first row
+        base_c = np.repeat(cs[ustarts] - cents_s[ustarts], lens)
+        base_n = np.repeat(cn[ustarts] - 1, lens)
+        run_c = np.empty(uid_s.size, dtype=np.int64)
+        run_n = np.empty(uid_s.size, dtype=np.int64)
+        run_c[order] = cs - base_c
+        run_n[order] = cn - base_n
+        return pa.table(
+            {
+                "event_id": g["event_id"],
+                "user_id": g["user_id"],
+                "ts": g["ts"],
+                "running_cents": pa.array(run_c, pa.int64()),
+                "running_n": pa.array(run_n, pa.int64()),
+            }
+        )
+
+    return (
+        read(sf_dir, "events",
+             columns=["event_id", "ts", "user_id", "value"])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(running_part, batch_format="pyarrow")
+    )
+
+
+ORACLE_USER_RUNNING_TOTAL = """
+SELECT event_id, user_id, ts,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS running_cents,
+       CAST(count(*) OVER w AS BIGINT) AS running_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)
+"""
+
+
 # ------------------------------------------- sliding window (custom op)
 def events_sliding(sf_dir: str) -> ray.data.Dataset:
     """1-hour windows sliding every 30 min over the event stream.
