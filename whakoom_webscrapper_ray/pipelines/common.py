@@ -144,6 +144,7 @@ def hash_keyed_agg(ds: ray.data.Dataset, key: str,
     — exact, order-independent); ``count_alias`` adds a row count.
     """
     import numpy as np
+    import pyarrow.compute as pc
 
     from whakoom_webscrapper_ray.pipelines.text import mix64
 
@@ -188,14 +189,21 @@ def hash_keyed_agg(ds: ray.data.Dataset, key: str,
                       g[f"{c}_sp"].to_numpy(zero_copy_only=False))
             cols[alias] = pa.array(s, pa.int64())
         for c, alias in mins.items():
+            # an all-null group yields a NULL block partial; NaN.astype
+            # (int64) is undefined (typically int64 min, which would
+            # silently win every merge) — drop null partials and emit
+            # NULL for groups with no valid value (ADVICE r3 low)
+            col = g[f"{c}_mp"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            valid = (np.ones(len(col), dtype=bool) if col.null_count == 0
+                     else pc.is_valid(col).to_numpy(zero_copy_only=False))
+            vals = col.to_numpy(zero_copy_only=False)
             m = np.full(uk.size, np.iinfo(np.int64).max)
-            np.minimum.at(
-                m, inv,
-                g[f"{c}_mp"].to_numpy(zero_copy_only=False).astype(
-                    np.int64
-                ),
-            )
-            cols[alias] = pa.array(m, pa.int64())
+            np.minimum.at(m, inv[valid], vals[valid].astype(np.int64))
+            seen = np.zeros(uk.size, dtype=bool)
+            seen[inv[valid]] = True
+            cols[alias] = pa.array(m, pa.int64(), mask=~seen)
         if count_alias:
             n = np.zeros(uk.size, dtype=np.int64)
             np.add.at(n, inv,
