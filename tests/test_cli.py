@@ -83,7 +83,16 @@ def test_cli_max_pages_budget(ray_session, tmp_path, capsys):
     assert main(["crawl", "--synth", "SMALL", "--checkpoint", ckpt,
                  "--num-shards", "2", "--max-pages-per-host", "7"]) == 0
     out = _last_json(capsys)
-    assert out["rounds"] == 2 and out["scheduled"] == 56
+    # golden numbers from the sequential oracle under the same budget
+    from whakoom_webscrapper_ray.oracle import run_oracle
+    from whakoom_webscrapper_ray.sources.synth import SMALL, generate_web
+
+    w = generate_web(SMALL)
+    g = run_oracle(w["pages"], w["seeds"], w["robots"],
+                   max_pages_per_host=7)
+    want_rounds = max(r for *_, r in g.crawl_order) + 1
+    assert out["scheduled"] == len(g.crawl_order) == 56
+    assert out["rounds"] == want_rounds
 
 
 def test_cli_resume(ray_session, tmp_path, capsys):

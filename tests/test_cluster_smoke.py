@@ -124,4 +124,6 @@ def test_crawl_cli_on_two_node_cluster(two_node_cluster, tmp_path):
     assert out["scheduled"] == 168
     by_round = [(s["scheduled"], s["fetched"], s["missing"])
                 for s in out["stats"]]
-    assert by_round == [(8, 8, 0), (48, 32, 16), (112, 112, 0)]
+    # robots Allow/wildcard fixture: one settings candidate blocked,
+    # one /comics/*0$ title carved back in
+    assert by_round == [(8, 8, 0), (47, 32, 15), (113, 113, 0)]

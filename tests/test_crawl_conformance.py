@@ -152,16 +152,29 @@ def test_volumes_equality(engine_run, small_golden):
 
 
 def test_robots_disallow_nowhere(engine_run, small_web):
-    """Disallowed URLs are in neither seen nor output (FIXTURES.md §3)."""
+    """URLs the robots rules forbid (Allow/Disallow, longest-match,
+    wildcards) are in neither seen nor output; the fixture's Allow
+    carve-out is genuinely exercised (FIXTURES.md §3)."""
+    from urllib.parse import urlsplit
+
+    from whakoom_webscrapper_ray.functions.robots import RobotsRules
+
     eng, _ = engine_run
-    robots = small_web["robots"].to_pylist()
-    rules = [(r["host"], p) for r in robots for p in r["disallow"]]
-    assert rules  # fixture guarantees at least one disallow
+    rules = RobotsRules.from_table(small_web["robots"])
+    assert rules.rules  # fixture guarantees rule-bearing hosts
     seen_urls = eng.seen_table().column("canon_url").to_pylist()
-    for host, prefix in rules:
-        for u in seen_urls:
-            if host in u:
-                assert f"https://{host}{prefix}" not in u
+    for u in seen_urls:
+        sp = urlsplit(u)
+        assert rules.allowed(sp.hostname, sp.path), u
+    # the /comics/*0$ Allow override re-admits some title pages on the
+    # otherwise-disallowed host — they must actually appear
+    dis_host = small_web["robots"].to_pylist()[-1]["host"]
+    carved = [u for u in seen_urls
+              if f"//{dis_host}/comics/" in u and u.endswith("0")]
+    assert carved
+    blocked = [u for u in seen_urls
+               if f"//{dis_host}/comics/" in u and not u.endswith("0")]
+    assert not blocked
 
 
 def test_politeness_spacing(engine_run, small_web, small_golden):
@@ -571,3 +584,130 @@ def test_write_tables_overwrite_and_upsert_rerun(engine_run,
         assert got.num_rows == golden.num_rows, name
         pd.testing.assert_frame_equal(canon(got), canon(golden),
                                       check_dtype=False, obj=name)
+
+
+# ----------------------------------------------------------- S3 states
+def test_page_state_pagination_conformance(ray_session, small_web,
+                                           small_golden,
+                                           tmp_path_factory):
+    """S3 dynamic "Load more" pagination end-to-end: the stateful page
+    store (cumulative span prefixes per state, both reference stop
+    conditions — button absent AND click-loads-nothing) must produce
+    the IDENTICAL crawl to the stateless store: same crawl order, same
+    span sequences, and the oracle's own click-loop agrees."""
+    from whakoom_webscrapper_ray.oracle import run_oracle
+    from whakoom_webscrapper_ray.pipelines.crawl import CrawlEngine
+    from whakoom_webscrapper_ray.sources.synth import paginate_pages
+
+    staged = paginate_pages(small_web["pages"])
+    assert staged.num_rows > small_web["pages"].num_rows  # real states
+
+    golden = run_oracle(staged, small_web["seeds"], small_web["robots"])
+    # sequential click-loop reaches exactly the stateless content
+    assert golden.docs_out == small_golden.docs_out
+    assert golden.crawl_order == small_golden.crawl_order
+
+    ckpt = str(tmp_path_factory.mktemp("crawl_ckpt_s3"))
+    eng = CrawlEngine(
+        staged, small_web["seeds"], small_web["robots"],
+        checkpoint_dir=ckpt, num_shards=3, fetcher_concurrency=2,
+        batch_size=64,
+    )
+    eng.run()
+    got_order = list(zip(
+        eng.crawl_order().column("seq").to_pylist(),
+        eng.crawl_order().column("url").to_pylist(),
+        eng.crawl_order().column("host").to_pylist(),
+        eng.crawl_order().column("round").to_pylist(),
+    ))
+    assert got_order == golden.crawl_order
+    docs = eng.docs_dataset().to_pandas()
+    got = {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in r["spans"]
+        ]
+        for _, r in docs.iterrows()
+    }
+    want = {
+        d: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in sp]
+        for d, sp in golden.docs_out.items()
+    }
+    assert got == want
+
+
+def test_resolve_page_states_walk():
+    """Unit semantics of the state walk: cumulative growth advances,
+    equal-length next state stops (click loaded nothing), absence
+    stops (button gone), and n_clicks counts successful clicks."""
+    import pyarrow as pa
+
+    from whakoom_webscrapper_ray.sources.synth import PAGES_SCHEMA
+    from whakoom_webscrapper_ray.stages.fetch import resolve_page_states
+
+    def sp(n):
+        return [{"kind": "text", "text": f"t{i}", "media_ref": "",
+                 "offset": i} for i in range(n)]
+
+    t = pa.table({
+        "doc_id": pa.array(
+            ["a", "a", "a", "b", "b", "b", "c"], pa.string()
+        ),
+        "state": pa.array([0, 1, 2, 0, 1, 2, 0], pa.int64()),
+        "spans": pa.array(
+            # a: grows then the extra click loads nothing (len repeats)
+            # b: grows to absence;  c: static
+            [sp(2), sp(4), sp(4), sp(2), sp(4), sp(6), sp(3)],
+            PAGES_SCHEMA.field("spans").type,
+        ),
+    })
+    r = resolve_page_states(t)
+    got = {
+        d: (len(s), n) for d, s, n in zip(
+            r["doc_id"].to_pylist(), r["spans"].to_pylist(),
+            r["n_clicks"].to_pylist(),
+        )
+    }
+    assert got == {"a": (4, 1), "b": (6, 2), "c": (3, 0)}
+
+
+def test_robots_allow_wildcard_semantics():
+    """Allow overrides Disallow by longest match; * and $ wildcards;
+    tie goes to Allow; unmatched URLs pass (RFC 9309 semantics the
+    reference obeys via ROBOTSTXT_OBEY)."""
+    import pyarrow as pa
+
+    from whakoom_webscrapper_ray.functions.robots import RobotsRules
+
+    r = RobotsRules(
+        hosts=["a.example", "b.example"],
+        delays=[0.0, 0.0],
+        disallow=[["/comics/", "/tmp*"], ["/user*/settings$"]],
+        allow=[["/comics/*0$", "/tmp/keep"], []],
+    )
+    # longest-match allow override
+    assert not r.allowed("a.example", "/comics/x_123")
+    assert r.allowed("a.example", "/comics/x_120")
+    # wildcard disallow, allow carve-out by longer pattern
+    assert not r.allowed("a.example", "/tmpanything")
+    assert r.allowed("a.example", "/tmp/keeper")
+    # anchored wildcard
+    assert not r.allowed("b.example", "/user7_0/settings")
+    assert r.allowed("b.example", "/user7_0/settings/page")
+    # no rules host
+    assert r.allowed("c.example", "/anything")
+
+    # vectorized path agrees with the scalar path
+    hosts = pa.array(["a.example"] * 4 + ["b.example"] * 2 + ["c.example"])
+    urls = pa.array([
+        "https://a.example/comics/x_123",
+        "https://a.example/comics/x_120",
+        "https://a.example/tmpanything",
+        "https://a.example/tmp/keeper",
+        "https://b.example/user7_0/settings",
+        "https://b.example/user7_0/settings/page",
+        "https://c.example/anything",
+    ])
+    got = r.allowed_mask_arrow(hosts, urls).tolist()
+    assert got == [False, True, False, True, False, True, True]

@@ -386,3 +386,63 @@ def test_hash_keyed_agg_null_min(ray_session):
     assert out.k.tolist() == [1, 2, 3]
     assert out.vmin[0] == 5 and out.vmin[2] == 7
     assert pd.isna(out.vmin[1])
+
+
+# ------------------------------------------------ T5 adaptive throttle
+def test_adaptive_observe_latency_unit(ray_session):
+    """AutoThrottle EWMA semantics (reference settings.py:119-128):
+    new = (prev + latency/target)/2, clamped to [robots delay,
+    max_delay]; starts at start_delay."""
+    import ray
+
+    from whakoom_webscrapper_ray.state.frontier import FrontierShard
+
+    shard = FrontierShard.remote(
+        0, 1, {"h": 2.0},
+        adaptive={"start_delay": 5.0, "max_delay": 60.0,
+                  "target_concurrency": 1.0},
+    )
+    ray.get(shard.observe_latency.remote(["h", "g"], [1.0, 7.0]))
+    st = ray.get(shard.adaptive_state.remote())
+    assert st["h"] == 3.0      # (5+1)/2, above the 2.0 robots floor
+    assert st["g"] == 6.0      # (5+7)/2
+    ray.get(shard.observe_latency.remote(["h"], [0.0]))
+    assert ray.get(shard.adaptive_state.remote())["h"] == 2.0  # floor
+    ray.get(shard.observe_latency.remote(["g"], [200.0]))
+    assert ray.get(shard.adaptive_state.remote())["g"] == 60.0  # cap
+    ray.kill(shard)
+
+
+def test_adaptive_throttle_crawl_serialization(ray_session, small_web,
+                                               small_golden, tmp_path):
+    """Opt-in adaptive pacing must keep per-host serialization (fetch
+    times strictly increase within every host, spacing never below the
+    robots floor) and fetch exactly the canonical URL set — only the
+    ORDER may differ from the fixed-delay oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from whakoom_webscrapper_ray.pipelines.crawl import CrawlEngine
+
+    eng = CrawlEngine(
+        small_web["pages"], small_web["seeds"], small_web["robots"],
+        checkpoint_dir=str(tmp_path / "ckpt_adaptive"), num_shards=3,
+        fetcher_concurrency=2, batch_size=64, adaptive_throttle=True,
+    )
+    eng.run()
+    seen = set(eng.seen_table().column("canon_url").to_pylist())
+    assert seen == set(small_golden.seen.values())
+
+    parts = [eng._order_table(r) for r in range(eng.next_round)]
+    full = pa.concat_tables([t for t in parts if t is not None])
+    delays = {r["host"]: r["crawl_delay"]
+              for r in small_web["robots"].to_pylist()}
+    for h in set(full.column("host").to_pylist()):
+        sub = full.filter(pc.equal(full["host"], h))
+        # fetch_time reflects schedule order within the host
+        times = sorted(sub.column("fetch_time").to_pylist())
+        base = delays.get(h, 0.0)
+        for a, b in zip(times, times[1:]):
+            assert b > a            # strictly serialized per host
+            assert b - a >= base - 1e-9
+    eng.shutdown()

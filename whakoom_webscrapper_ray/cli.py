@@ -92,6 +92,7 @@ def cmd_crawl(args) -> int:
         num_shards=args.num_shards,
         run_id=args.run_id,
         max_pages_per_host=args.max_pages_per_host,
+        adaptive_throttle=args.adaptive_throttle,
     )
     t0 = time.perf_counter()
     if args.resume:
@@ -244,6 +245,12 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--max-pages-per-host", type=int, default=None,
                    help="O4 pagination budget: cap total pages "
                         "scheduled per host across all rounds")
+    c.add_argument("--adaptive-throttle", action="store_true",
+                   help="T5 AutoThrottle analog: per-host EWMA of "
+                        "observed fetch latency paces the politeness "
+                        "clock (reference settings.py:119-128 "
+                        "defaults; off = deterministic fixed-delay "
+                        "clock, the oracle-canonical mode)")
     c.set_defaults(fn=cmd_crawl)
 
     e = sub.add_parser("export", help="export finalized tables")

@@ -13,74 +13,133 @@ probe, so they appear in neither the seen set nor any output
 
 from __future__ import annotations
 
+import re as _re
 from urllib.parse import urlsplit
 
 import numpy as np
 import pyarrow as pa
 
+# extracts the path (no query/fragment) of a canonical URL; canonical
+# URLs always carry at least "/"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(?P<p>/[^?#]*)?"
+
+
+def _compile_rule(pat: str):
+    """robots pattern → fast path matcher.
+
+    Full robots wildcard grammar (RFC 9309 §2.2.3, what Scrapy's
+    ``ROBOTSTXT_OBEY`` honors via its parser): ``*`` matches any char
+    sequence, a trailing ``$`` anchors the end, otherwise the pattern
+    is a path prefix.  Plain prefixes take the C ``startswith`` path;
+    wildcard/anchored patterns compile once to a regex."""
+    if "*" not in pat and not pat.endswith("$"):
+        return None  # plain prefix — matched with startswith
+    anchored = pat.endswith("$")
+    body = pat[:-1] if anchored else pat
+    return _re.compile(
+        "^" + _re.escape(body).replace(r"\*", ".*")
+        + ("$" if anchored else "")
+    )
+
 
 class RobotsRules:
-    """Parsed per-host rules: crawl_delay + disallow path prefixes."""
+    """Parsed per-host rules: crawl_delay + Allow/Disallow patterns.
+
+    Reference behavior: the spider obeys the FULL robots protocol
+    (``ROBOTSTXT_OBEY = True``, settings.py:68) — Allow rules override
+    Disallow by longest-match precedence (RFC 9309 §2.2.2: the most
+    specific, i.e. longest, matching pattern wins; on a length tie
+    Allow wins), and patterns may use ``*`` / ``$`` wildcards.  A URL
+    matching no rule is allowed.
+    """
 
     def __init__(self, hosts: list[str], delays: list[float],
-                 disallow: list[list[str]]):
+                 disallow: list[list[str]],
+                 allow: list[list[str]] | None = None):
         self.delay = dict(zip(hosts, (float(d) for d in delays)))
-        self.disallow = {
-            h: tuple(d or ()) for h, d in zip(hosts, disallow)
-        }
+        if allow is None:
+            allow = [[] for _ in hosts]
+        # host -> [(pattern_len, is_allow, pattern, compiled|None)]
+        self.rules: dict[str, list] = {}
+        for h, dis, alw in zip(hosts, disallow, allow):
+            rs = [(len(p), False, p, _compile_rule(p))
+                  for p in (dis or [])]
+            rs += [(len(p), True, p, _compile_rule(p))
+                   for p in (alw or [])]
+            if rs:
+                # longest-first so the first match decides
+                self.rules[h] = sorted(
+                    rs, key=lambda r: (-r[0], not r[1])
+                )
 
     @classmethod
     def from_table(cls, tbl: pa.Table) -> "RobotsRules":
+        allow = (
+            tbl.column("allow").to_pylist()
+            if "allow" in tbl.column_names else None
+        )
         return cls(
             tbl.column("host").to_pylist(),
             tbl.column("crawl_delay").to_pylist(),
             tbl.column("disallow").to_pylist(),
+            allow,
         )
 
     def allowed(self, host: str, path: str) -> bool:
-        for prefix in self.disallow.get(host, ()):
-            if path.startswith(prefix):
-                return False
+        for _, is_allow, pat, rx in self.rules.get(host, ()):
+            if rx.match(path) if rx is not None else path.startswith(pat):
+                return is_allow
         return True
 
     def allowed_mask_arrow(self, host: pa.Array,
                            canon: pa.Array) -> np.ndarray:
         """Vectorized robots gate over Arrow columns.
 
-        Disallow rules exist for few hosts; each (host, prefix) pair is
-        one C ``equal`` + ``starts_with`` pass — no per-row Python.  A
-        canonical URL's path starts right after ``scheme://host``, so
-        ``path.startswith(prefix)`` ≡ URL starts with
-        ``scheme://host<prefix>`` for either scheme.
+        Rules exist for few hosts; each (host, pattern) pair is one C
+        ``equal`` + ``starts_with`` / RE2 pass — no per-row Python.
+        Longest-match precedence is evaluated per row with running
+        (best_len, best_allow) arrays, exactly :meth:`allowed`.
         """
         import pyarrow.compute as pc
 
         out = np.ones(len(canon), dtype=bool)
-        for h, prefixes in self.disallow.items():
-            if not prefixes:
-                continue
+        if not self.rules:
+            return out
+        paths = None
+        for h, rs in self.rules.items():
             hm = pc.equal(host, h).to_numpy(zero_copy_only=False)
+            hm = np.asarray(hm, dtype=bool)
             if not hm.any():
                 continue
-            for p in prefixes:
-                bad = np.zeros(len(canon), dtype=bool)
-                for scheme in ("https", "http"):
-                    bad |= pc.starts_with(
-                        canon, f"{scheme}://{h}{p}"
-                    ).to_numpy(zero_copy_only=False)
-                out &= ~(hm & bad)
+            if paths is None:
+                m = pc.extract_regex(canon, _PATH_RE)
+                p = pc.struct_field(m, "p")
+                paths = pc.fill_null(p, "/")
+                paths = pc.if_else(pc.equal(paths, ""), "/", paths)
+            best_len = np.full(len(canon), -1, dtype=np.int64)
+            best_allow = np.zeros(len(canon), dtype=bool)
+            for plen, is_allow, pat, rx in rs:
+                if rx is None:
+                    mk = pc.starts_with(paths, pat)
+                else:
+                    mk = pc.match_substring_regex(paths, rx.pattern)
+                mk = np.asarray(
+                    mk.to_numpy(zero_copy_only=False), dtype=bool
+                )
+                upd = mk & (
+                    (plen > best_len)
+                    | ((plen == best_len) & is_allow & ~best_allow)
+                )
+                best_len[upd] = plen
+                best_allow[upd] = is_allow
+            out &= ~(hm & (best_len >= 0) & ~best_allow)
         return out
 
     def allowed_mask(self, hosts: list[str], urls: list[str]) -> np.ndarray:
         out = np.ones(len(urls), dtype=bool)
         for i, (h, u) in enumerate(zip(hosts, urls)):
-            rules = self.disallow.get(h)
-            if rules:
-                path = urlsplit(u).path
-                for prefix in rules:
-                    if path.startswith(prefix):
-                        out[i] = False
-                        break
+            if h in self.rules:
+                out[i] = self.allowed(h, urlsplit(u).path)
         return out
 
 

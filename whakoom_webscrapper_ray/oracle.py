@@ -71,12 +71,35 @@ def run_oracle(
     Candidates beyond the budget are dropped at schedule time after
     being marked seen, exactly like the engine (state/frontier.py).
     """
-    page_spans = {
-        d: s
-        for d, s in zip(
-            pages.column("doc_id").to_pylist(), pages.column("spans").to_pylist()
-        )
-    }
+    if "state" in pages.column_names:
+        # Dynamic "Load more" pages (S3, publications.py:74-93): the
+        # sequential reference loop, verbatim — start at state 0,
+        # click while the next state exists AND loads new content,
+        # extract from the final accumulated page source.
+        staged: dict[str, dict[int, list]] = {}
+        for d, st, s in zip(
+            pages.column("doc_id").to_pylist(),
+            pages.column("state").to_pylist(),
+            pages.column("spans").to_pylist(),
+        ):
+            staged.setdefault(d, {})[int(st)] = s
+        page_spans = {}
+        for d, states in staged.items():
+            s_cur = 0
+            while (
+                s_cur + 1 in states
+                and len(states[s_cur + 1]) != len(states[s_cur])
+            ):
+                s_cur += 1
+            page_spans[d] = states[s_cur]
+    else:
+        page_spans = {
+            d: s
+            for d, s in zip(
+                pages.column("doc_id").to_pylist(),
+                pages.column("spans").to_pylist(),
+            )
+        }
     rules = RobotsRules.from_table(robots)
     profile_re = re.compile(PROFILE_RE)
     list_re = re.compile(LIST_RE)

@@ -97,12 +97,20 @@ class _TopKScorer:
 
 
 def _merge_topk(k: int):
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["sim", "neighbor_id"], ascending=[False, True]
-        ).head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
-        return g[["query_id", "neighbor_id", "rank"]]
+    # Arrow-native final merge (no pandas bounce): the groups are tiny
+    # post-partial-top-k, but the block format stays pyarrow end to end
+    def merge(g: pa.Table) -> pa.Table:
+        sim = g["sim"].to_numpy(zero_copy_only=False)
+        nid = g["neighbor_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, -sim))[:k]
+        t = g.take(pa.array(order, pa.int64()))
+        return pa.table({
+            "query_id": t["query_id"],
+            "neighbor_id": t["neighbor_id"],
+            "rank": pa.array(
+                np.arange(1, order.size + 1, dtype=np.int64), pa.int64()
+            ),
+        })
 
     return merge
 
@@ -128,7 +136,7 @@ def ann_topk(sf_dir: str, k: int = 10, num_queries: int = 8
             batch_format="pyarrow",
         )
         .groupby("query_id")
-        .map_groups(_merge_topk(k), batch_format="pandas")
+        .map_groups(_merge_topk(k), batch_format="pyarrow")
     )
 
 
@@ -184,7 +192,7 @@ def ann_topk_filtered(sf_dir: str, k: int = 10, num_queries: int = 8,
             batch_format="pyarrow",
         )
         .groupby("query_id")
-        .map_groups(_merge_topk(k), batch_format="pandas")
+        .map_groups(_merge_topk(k), batch_format="pyarrow")
     )
 
 
@@ -303,7 +311,7 @@ def ann_ivf(sf_dir: str, k: int = 10, num_queries: int = 8,
             batch_format="pyarrow",
         )
         .groupby("query_id")
-        .map_groups(_merge_topk(k), batch_format="pandas")
+        .map_groups(_merge_topk(k), batch_format="pyarrow")
     )
 
 
@@ -421,7 +429,7 @@ def ann_lsh(sf_dir: str, k: int = 10, num_queries: int = 8,
             batch_format="pyarrow",
         )
         .groupby("query_id")
-        .map_groups(_merge_topk(k), batch_format="pandas")
+        .map_groups(_merge_topk(k), batch_format="pyarrow")
     )
 
 

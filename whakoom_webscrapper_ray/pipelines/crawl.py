@@ -519,10 +519,38 @@ def _worker_router(engine_key, rules_ref, allowed, shards,
     return _WORKER_STATE[key]
 
 
+def _push_latency(batch: pa.Table, shards) -> None:
+    """T5 adaptive mode: report this batch's per-host mean fetch
+    latency to each host's home frontier shard (adaptive mode forces
+    host-hash routing, so ownership is single-shard).  Fire-and-forget
+    actor calls — an observation may land one round late, which is
+    fine for a heuristic throttle (Scrapy's AutoThrottle is equally
+    asynchronous)."""
+    hosts = batch["host"].to_numpy(zero_copy_only=False)
+    ms = batch["fetch_ms"].to_numpy(zero_copy_only=False)
+    hh = batch["host_hash"].to_numpy(zero_copy_only=False)
+    uniq, first, inv = np.unique(
+        hosts, return_index=True, return_inverse=True
+    )
+    sums = np.zeros(uniq.size)
+    np.add.at(sums, inv, ms)
+    cnt = np.zeros(uniq.size)
+    np.add.at(cnt, inv, 1.0)
+    lat_s = (sums / cnt) / 1000.0
+    shard = (hh[first].astype(np.uint64)
+             % np.uint64(len(shards))).astype(np.int64)
+    for s in range(len(shards)):
+        m = shard == s
+        if m.any():
+            shards[s].observe_latency.remote(
+                [str(u) for u in uniq[m]], lat_s[m].tolist()
+            )
+
+
 def _route_batch(batch: pa.Table, engine_key=None, rules_ref=None,
                  route_by_host=False,
                  allowed=None, shards=None, docs_dir=None,
-                 metrics_dir=None) -> pa.Table:
+                 metrics_dir=None, adaptive=False) -> pa.Table:
     """Side-write the fetched docs partition, then extract + route.
 
     The docs parquet is written per batch, named by the batch's seq
@@ -532,6 +560,8 @@ def _route_batch(batch: pa.Table, engine_key=None, rules_ref=None,
     the same way.
     """
     min_seq = int(pc.min(batch["seq"]).as_py())
+    if adaptive and batch.num_rows:
+        _push_latency(batch, shards)
     bk = storage_backend()
     dp = bk.fragment_path(docs_dir, f"part-{min_seq:010d}")
     mp = (
@@ -669,6 +699,7 @@ class CrawlEngine:
         spill_threshold_rows: int = 1 << 22,
         max_pages_per_host: int | None = None,
         pages_parts: "list[ray.ObjectRef] | None" = None,
+        adaptive_throttle: "bool | dict" = False,
     ) -> None:
         self.checkpoint_dir = checkpoint_dir
         os.makedirs(checkpoint_dir, exist_ok=True)
@@ -687,16 +718,31 @@ class CrawlEngine:
         self.delayed = frozenset(
             h for h, d in self.rules.delay.items() if d > 0
         )
-        # O4 pagination budget: counting scheduled pages per host needs
-        # each host on ONE shard, so budgeted crawls route strictly by
-        # host hash (no url-hash salting of zero-delay hosts).
+        # T5 adaptive politeness, OPT-IN (reference AutoThrottle
+        # defaults, settings.py:119-128: start 5 s, max 60 s, target
+        # concurrency 1.0).  Off by default: the fixed crawl-delay
+        # clock stays the canonical, oracle-comparable behavior.
+        if adaptive_throttle:
+            base = {"start_delay": 5.0, "max_delay": 60.0,
+                    "target_concurrency": 1.0}
+            if isinstance(adaptive_throttle, dict):
+                base.update(adaptive_throttle)
+            self.adaptive: dict | None = base
+        else:
+            self.adaptive = None
+        # O4 pagination budget / T5 adaptive pacing: counting scheduled
+        # pages (or owning a host's adaptive clock) needs each host on
+        # ONE shard, so these modes route strictly by host hash (no
+        # url-hash salting of zero-delay hosts).
         self.max_pages_per_host = max_pages_per_host
-        self._route_by_host = max_pages_per_host is not None
+        self._route_by_host = (max_pages_per_host is not None
+                               or self.adaptive is not None)
         self.frontier = Frontier(
             num_shards, self.rules.delay,
             spill_dir=os.path.join(checkpoint_dir, "spill"),
             spill_threshold_rows=spill_threshold_rows,
             max_pages_per_host=max_pages_per_host,
+            adaptive=self.adaptive,
         )
         # ``pages_parts``: reuse a prior engine's laid-out page store
         # (same pages/num_shards/routing — e.g. bench trials over one
@@ -866,6 +912,7 @@ class CrawlEngine:
                     "docs_dir": docs_dir,
                     "metrics_dir": metrics_dir,
                     "route_by_host": self._route_by_host,
+                    "adaptive": self.adaptive is not None,
                 },
                 batch_size=batch_size,
                 batch_format="pyarrow",

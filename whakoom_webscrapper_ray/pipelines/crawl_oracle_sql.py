@@ -35,7 +35,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-_FIXTURE_DIRNAME = "wkm_oracle_fixture_small_v1"
+_FIXTURE_DIRNAME = "wkm_oracle_fixture_small_v2"  # v2: robots Allow/wildcards + S3 states support
 
 # regexes shared by the SQL below (DuckDB RE2 syntax)
 _HOST = "'://(?:[^/@]*@)?([^/:]+)'"
@@ -84,8 +84,21 @@ def _prefix(fx: str) -> str:
     return f"""
 WITH RECURSIVE
 pages AS (SELECT * FROM read_parquet('{fx}/pages.parquet')),
-dis AS (SELECT host, unnest(disallow) AS prefix
-        FROM read_parquet('{fx}/robots.parquet')),
+rob_rules AS (
+  -- robots patterns → RE2: '*' ↔ '.*', trailing '$' is already the
+  -- RE2 anchor, everything else in the fixture grammar is
+  -- regex-inert ([a-z0-9/_-]).  Longest match wins, Allow on ties
+  -- (RFC 9309 §2.2.2) — evaluated by the _robots_ok predicate.
+  SELECT host, FALSE AS is_allow,
+         '^' || replace(pat, '*', '.*') AS re, length(pat) AS plen
+  FROM (SELECT host, unnest(disallow) AS pat
+        FROM read_parquet('{fx}/robots.parquet'))
+  UNION ALL
+  SELECT host, TRUE,
+         '^' || replace(pat, '*', '.*'), length(pat)
+  FROM (SELECT host, unnest("allow") AS pat
+        FROM read_parquet('{fx}/robots.parquet'))
+),
 seed_canon AS (
   SELECT DISTINCT
     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
@@ -118,20 +131,26 @@ ok_links AS (
   SELECT l.src, l.url
   FROM links l
   WHERE regexp_extract(l.url, {_HOST}, 1) IN (SELECT host FROM allowed)
-    AND NOT EXISTS (
-      SELECT 1 FROM dis d
-      WHERE d.host = regexp_extract(l.url, {_HOST}, 1)
-        AND coalesce(nullif(regexp_extract(l.url, {_PATH}, 1), ''), '/')
-            LIKE d.prefix || '%')
+    AND coalesce((
+      SELECT r.is_allow FROM rob_rules r
+      WHERE r.host = regexp_extract(l.url, {_HOST}, 1)
+        AND regexp_matches(
+          coalesce(nullif(regexp_extract(l.url, {_PATH}, 1), ''), '/'),
+          r.re)
+      ORDER BY r.plen DESC, r.is_allow DESC
+      LIMIT 1), TRUE)
 ),
 seed_ok AS (
   SELECT url FROM seed_canon s
   WHERE regexp_extract(s.url, {_HOST}, 1) IN (SELECT host FROM allowed)
-    AND NOT EXISTS (
-      SELECT 1 FROM dis d
-      WHERE d.host = regexp_extract(s.url, {_HOST}, 1)
-        AND coalesce(nullif(regexp_extract(s.url, {_PATH}, 1), ''), '/')
-            LIKE d.prefix || '%')
+    AND coalesce((
+      SELECT r.is_allow FROM rob_rules r
+      WHERE r.host = regexp_extract(s.url, {_HOST}, 1)
+        AND regexp_matches(
+          coalesce(nullif(regexp_extract(s.url, {_PATH}, 1), ''), '/'),
+          r.re)
+      ORDER BY r.plen DESC, r.is_allow DESC
+      LIMIT 1), TRUE)
 ),
 reach AS (
   SELECT url FROM seed_ok
@@ -190,8 +209,21 @@ def _crawl_order_sql(fx: str) -> str:
     sql = f"""
 WITH
 pages AS (SELECT * FROM read_parquet('{fx}/pages.parquet')),
-dis AS (SELECT host, unnest(disallow) AS prefix
-        FROM read_parquet('{fx}/robots.parquet')),
+rob_rules AS (
+  -- robots patterns → RE2: '*' ↔ '.*', trailing '$' is already the
+  -- RE2 anchor, everything else in the fixture grammar is
+  -- regex-inert ([a-z0-9/_-]).  Longest match wins, Allow on ties
+  -- (RFC 9309 §2.2.2) — evaluated by the _robots_ok predicate.
+  SELECT host, FALSE AS is_allow,
+         '^' || replace(pat, '*', '.*') AS re, length(pat) AS plen
+  FROM (SELECT host, unnest(disallow) AS pat
+        FROM read_parquet('{fx}/robots.parquet'))
+  UNION ALL
+  SELECT host, TRUE,
+         '^' || replace(pat, '*', '.*'), length(pat)
+  FROM (SELECT host, unnest("allow") AS pat
+        FROM read_parquet('{fx}/robots.parquet'))
+),
 delays AS (SELECT host, coalesce(crawl_delay, 0.0) AS delay
            FROM read_parquet('{fx}/robots.parquet')),
 allowed AS (
@@ -212,11 +244,14 @@ ok_links_off AS (
          regexp_extract(l.url, {_HOST}, 1) AS host
   FROM links_off l
   WHERE regexp_extract(l.url, {_HOST}, 1) IN (SELECT host FROM allowed)
-    AND NOT EXISTS (
-      SELECT 1 FROM dis d
-      WHERE d.host = regexp_extract(l.url, {_HOST}, 1)
-        AND coalesce(nullif(regexp_extract(l.url, {_PATH}, 1), ''), '/')
-            LIKE d.prefix || '%')
+    AND coalesce((
+      SELECT r.is_allow FROM rob_rules r
+      WHERE r.host = regexp_extract(l.url, {_HOST}, 1)
+        AND regexp_matches(
+          coalesce(nullif(regexp_extract(l.url, {_PATH}, 1), ''), '/'),
+          r.re)
+      ORDER BY r.plen DESC, r.is_allow DESC
+      LIMIT 1), TRUE)
 ),
 seed_rows AS (
   SELECT seed_index, priority, {canon} AS url
@@ -229,11 +264,14 @@ lvl0_cand AS (
          CAST(arg_min(priority, seed_index) AS INTEGER) AS priority
   FROM seed_rows s
   WHERE regexp_extract(s.url, {_HOST}, 1) IN (SELECT host FROM allowed)
-    AND NOT EXISTS (
-      SELECT 1 FROM dis d
-      WHERE d.host = regexp_extract(s.url, {_HOST}, 1)
-        AND coalesce(nullif(regexp_extract(s.url, {_PATH}, 1), ''), '/')
-            LIKE d.prefix || '%')
+    AND coalesce((
+      SELECT r.is_allow FROM rob_rules r
+      WHERE r.host = regexp_extract(s.url, {_HOST}, 1)
+        AND regexp_matches(
+          coalesce(nullif(regexp_extract(s.url, {_PATH}, 1), ''), '/'),
+          r.re)
+      ORDER BY r.plen DESC, r.is_allow DESC
+      LIMIT 1), TRUE)
   GROUP BY 1, 2
 ),
 lvl0_ft AS (

@@ -685,14 +685,20 @@ def _lang_topk_combine(batch: pa.Table, k: int = _LANG_TOPK) -> pa.Table:
 
 
 def _lang_topk_final(k: int = _LANG_TOPK):
-    import pandas as pd
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["n_tokens", "doc_id"], ascending=[False, True]
-        ).head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
-        return g[["lang", "doc_id", "n_tokens", "rank"]]
+    # Arrow-native final merge (no pandas bounce)
+    def final(g: pa.Table) -> pa.Table:
+        nt = g["n_tokens"].to_numpy(zero_copy_only=False)
+        did = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -nt))[:k]
+        t = g.take(pa.array(order, pa.int64()))
+        return pa.table({
+            "lang": t["lang"],
+            "doc_id": t["doc_id"],
+            "n_tokens": t["n_tokens"],
+            "rank": pa.array(
+                np.arange(1, order.size + 1, dtype=np.int64), pa.int64()
+            ),
+        })
 
     return final
 
@@ -711,7 +717,7 @@ def lang_topk(sf_dir: str, k: int = _LANG_TOPK) -> ray.data.Dataset:
             batch_format="pyarrow",
         )
         .groupby("lang")
-        .map_groups(_lang_topk_final(k), batch_format="pandas")
+        .map_groups(_lang_topk_final(k), batch_format="pyarrow")
     )
 
 

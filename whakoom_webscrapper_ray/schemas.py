@@ -55,6 +55,10 @@ ROBOTS_SCHEMA = pa.schema(
         ("host", pa.string()),
         ("crawl_delay", pa.float64()),
         ("disallow", pa.list_(pa.string())),
+        # Allow overrides (RFC 9309 longest-match precedence); both
+        # rule lists accept * / $ wildcards.  Older tables without the
+        # column load fine (RobotsRules.from_table treats it optional).
+        ("allow", pa.list_(pa.string())),
     ]
 )
 

@@ -240,21 +240,31 @@ def generate_web(cfg: SynthConfig) -> dict[str, pa.Table]:
     seeds = pa.Table.from_pydict(seed_rows, schema=SEEDS_SCHEMA)
 
     # --- robots: hot host delay 0; some hosts delayed; some disallowed
-    r_host, r_delay, r_dis = [], [], []
+    r_host, r_delay, r_dis, r_alw = [], [], [], []
     for hi, host in enumerate(hosts):
         delay = 0.0
         dis: list[str] = []
+        alw: list[str] = []
         if 1 <= hi <= cfg.delayed_hosts:
             delay = 2.0
         if cfg.disallow_hosts and hi == cfg.num_hosts - 1:
             # disallow this host's /comics prefix: its title pages are
-            # linked but must never be fetched nor enter the seen set.
+            # linked but must never be fetched nor enter the seen set —
+            # EXCEPT titles whose id ends in 0, re-allowed by a longer
+            # wildcard Allow rule (RFC 9309 longest-match precedence).
             dis = ["/comics/"]
+            alw = ["/comics/*0$"]
+        if cfg.disallow_hosts and hi == cfg.num_hosts - 2:
+            # wildcard + anchored disallow: this host's per-profile
+            # settings links never become crawl candidates.
+            dis = ["/user*/settings$"]
         r_host.append(host)
         r_delay.append(delay)
         r_dis.append(dis)
+        r_alw.append(alw)
     robots = pa.Table.from_pydict(
-        {"host": r_host, "crawl_delay": r_delay, "disallow": r_dis},
+        {"host": r_host, "crawl_delay": r_delay, "disallow": r_dis,
+         "allow": r_alw},
         schema=ROBOTS_SCHEMA,
     )
 
@@ -467,16 +477,21 @@ def generate_web_fast(cfg: SynthConfig) -> dict[str, pa.Table]:
         },
         schema=SEEDS_SCHEMA,
     )
-    r_host, r_delay, r_dis = [], [], []
+    r_host, r_delay, r_dis, r_alw = [], [], [], []
     for hi in range(H):
         delay = 2.0 if 1 <= hi <= cfg.delayed_hosts else 0.0
-        dis = (["/comics/"]
-               if cfg.disallow_hosts and hi == H - 1 else [])
+        dis, alw = [], []
+        if cfg.disallow_hosts and hi == H - 1:
+            dis, alw = ["/comics/"], ["/comics/*0$"]
+        if cfg.disallow_hosts and hi == H - 2:
+            dis = ["/user*/settings$"]
         r_host.append(str(hosts_np[hi]))
         r_delay.append(delay)
         r_dis.append(dis)
+        r_alw.append(alw)
     robots = pa.Table.from_pydict(
-        {"host": r_host, "crawl_delay": r_delay, "disallow": r_dis},
+        {"host": r_host, "crawl_delay": r_delay, "disallow": r_dis,
+         "allow": r_alw},
         schema=ROBOTS_SCHEMA,
     )
     return {"pages": pages, "seeds": seeds, "robots": robots}
@@ -491,3 +506,51 @@ def write_web(tables: dict[str, pa.Table], out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for name, tbl in tables.items():
         pq.write_table(tbl, os.path.join(out_dir, f"{name}.parquet"))
+
+
+def paginate_pages(pages: pa.Table, chunk: int = 4, every: int = 2,
+                   terminal_repeat_every: int = 3) -> pa.Table:
+    """Explode a pages table into dynamic page STATES — the S3 "Load
+    more" fixture (reference publications.py:74-93: one logical page,
+    successive states accumulate list items until a click loads
+    nothing new or the button disappears).
+
+    Deterministic: every ``every``-th page with more than ``chunk``
+    spans becomes a dynamic page whose state s carries its first
+    ``chunk``·(s+1) spans (cumulative prefixes, like a real "Load
+    more" page); every ``terminal_repeat_every``-th such page ALSO
+    repeats its full content as one extra state (the
+    click-loads-nothing stop), while the others end by state absence
+    (the button-gone ``TimeoutException`` stop) — both reference
+    termination paths are represented.  Static pages keep one row at
+    state 0.  The terminal state of every URL equals its original
+    spans, so a conforming engine produces the SAME crawl as from the
+    stateless table.
+    """
+    doc_ids = pages["doc_id"].to_pylist()
+    spans = pages["spans"].to_pylist()
+    out_d: list[str] = []
+    out_st: list[int] = []
+    out_sp: list[list] = []
+    pag_i = 0
+    for i, (d, sp) in enumerate(zip(doc_ids, spans)):
+        if i % every == 0 and len(sp) > chunk:
+            nstates = -(-len(sp) // chunk)
+            for s in range(nstates):
+                out_d.append(d)
+                out_st.append(s)
+                out_sp.append(sp[: min(len(sp), (s + 1) * chunk)])
+            if pag_i % terminal_repeat_every == 0:
+                out_d.append(d)
+                out_st.append(nstates)
+                out_sp.append(sp)
+            pag_i += 1
+        else:
+            out_d.append(d)
+            out_st.append(0)
+            out_sp.append(sp)
+    return pa.table({
+        "doc_id": pa.array(out_d, pa.string()),
+        "state": pa.array(out_st, pa.int64()),
+        "spans": pa.array(out_sp, pages["spans"].type),
+    })

@@ -34,6 +34,58 @@ import pyarrow.compute as pc
 import ray
 
 
+def resolve_page_states(pages: pa.Table) -> pa.Table:
+    """Collapse a stateful page table (doc_id, state, spans) to each
+    URL's TERMINAL page state — the engine-side model of the
+    reference's dynamic "Load more" loop
+    (/root/reference/whakoom_webscrapper/spiders/publications.py:74-93):
+    starting from state 0, the dynamic fetcher advances to state s+1
+    while that state EXISTS (the button was clickable) and CHANGES the
+    content (new list items appeared); it stops on state absence (the
+    no-button ``TimeoutException``) or on a click that loads nothing
+    new, and extracts from the page source accumulated so far.
+
+    Page states are cumulative (state s+1 ⊇ state s, like a "Load
+    more" page), so the terminal state's spans ARE the accumulated
+    page source.  Fully vectorized (dictionary-encode → lexsort →
+    per-group reduceat); states must be contiguous from 0 per URL.
+    Returns one row per doc_id — the terminal state's — plus an
+    ``n_clicks`` column (states advanced past 0, i.e. successful
+    "Load more" clicks).
+    """
+    ids = pages["doc_id"]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    codes = pc.dictionary_encode(ids).indices.to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    st = pages["state"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = pc.list_value_length(pages["spans"]).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    order = np.lexsort((st, codes))
+    c, s, ln = codes[order], st[order], lens[order]
+    gstart = np.flatnonzero(np.concatenate(([True], c[1:] != c[:-1])))
+    gcnt = np.diff(np.concatenate((gstart, [c.size])))
+    pos = np.arange(c.size, dtype=np.int64) - np.repeat(gstart, gcnt)
+    if not np.array_equal(s, pos):
+        raise ValueError(
+            "page states must be contiguous from 0 per doc_id"
+        )
+    m = np.repeat(gcnt, gcnt)
+    # "click again" at row p iff the next state exists and grew
+    nxt_differs = np.concatenate((ln[1:] != ln[:-1], [False]))
+    cont = (pos + 1 < m) & nxt_differs
+    big = np.int64(1) << 40
+    stop = np.where(~cont, pos, big)
+    s_star = np.minimum.reduceat(stop, gstart)
+    rows = order[gstart + s_star]
+    resolved = pages.take(pa.array(rows, pa.int64()))
+    return resolved.drop_columns(["state"]).append_column(
+        "n_clicks", pa.array(s_star, pa.int64())
+    )
+
+
 class SyntheticWebFetcher:
     """``map_batches`` callable class resolving URLs against ``pages``.
 
@@ -60,6 +112,13 @@ class SyntheticWebFetcher:
             if isinstance(pages_ref, ray.ObjectRef)
             else pages_ref
         )
+        # Dynamic "Load more" pages (S3): a `state` column marks a
+        # stateful page store; walk each URL's states once per actor
+        # (the expensive-client build, same slot as the reference's
+        # per-spider WebDriver) so __call__ stays the vectorized
+        # single-row resolve.
+        if "state" in pages.column_names:
+            pages = resolve_page_states(pages).drop_columns(["n_clicks"])
         # Zero-copy views into the broadcast PARTITION.  The engine
         # partitions the page store by host-shard and each fetch batch
         # is shard-pure, so the ``pc.index_in`` value set here is one

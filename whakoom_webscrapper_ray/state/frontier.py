@@ -96,13 +96,22 @@ class FrontierShard:
                  spill_dir: str | None = None,
                  spill_threshold_rows: int = 1 << 22,
                  max_pages_per_host: int | None = None,
-                 poll_chunk_rows: int = 1 << 20) -> None:
+                 poll_chunk_rows: int = 1 << 20,
+                 adaptive: dict | None = None) -> None:
         from .. import warm_worker
 
         warm_worker()   # pre-fault arenas once, outside any timed poll
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.crawl_delay = robots or {}   # host -> delay (seconds, logical)
+        # T5 adaptive politeness (opt-in; reference AutoThrottle,
+        # settings.py:119-128): per-host EWMA of observed latency.
+        # ``adaptive`` carries {start_delay, max_delay,
+        # target_concurrency}; effective delay = max(robots delay,
+        # adapted delay).  OFF by default so the deterministic
+        # politeness-clock oracle stays canonical.
+        self.adaptive = adaptive
+        self.adaptive_delay: dict[str, float] = {}
         self.pending: list[pa.Table] = []  # columnar enqueue blocks
         self.next_time: dict[str, float] = {}
         # O4 per-host pagination budget (the reference's "Load more"
@@ -448,6 +457,11 @@ class FrontierShard:
         delays = np.array(
             [float(self.crawl_delay.get(h, 0.0)) for h in uniq_hosts]
         )
+        if self.adaptive is not None:
+            start = float(self.adaptive.get("start_delay", 5.0))
+            delays = np.maximum(delays, np.array([
+                self.adaptive_delay.get(h, start) for h in uniq_hosts
+            ]))
         t0s = np.array([self.next_time.get(h, 0.0) for h in uniq_hosts])
         fetch_time = t0s[c_sorted] + rank * delays[c_sorted]
         # advance clocks for delayed hosts (slots consumed this round)
@@ -641,6 +655,29 @@ class FrontierShard:
     def seen_restore(self, keys, urls) -> int:
         return self.seen.restore(keys, urls) if self.seen is not None else 0
 
+    def observe_latency(self, hosts: list[str],
+                        latency_s: list[float]) -> None:
+        """Feed observed per-host fetch latencies into the adaptive
+        delay (reference AutoThrottle update, Scrapy semantics: target
+        = latency / target_concurrency, new = (prev + target) / 2,
+        clamped to [robots delay, max_delay]).  No-op unless the shard
+        was built with ``adaptive``."""
+        if self.adaptive is None:
+            return
+        start = float(self.adaptive.get("start_delay", 5.0))
+        mx = float(self.adaptive.get("max_delay", 60.0))
+        tc = float(self.adaptive.get("target_concurrency", 1.0))
+        for h, lat in zip(hosts, latency_s):
+            prev = self.adaptive_delay.get(h, start)
+            target = float(lat) / tc
+            new = (prev + target) / 2.0
+            base = float(self.crawl_delay.get(h, 0.0))
+            self.adaptive_delay[h] = min(max(new, base), mx)
+
+    def adaptive_state(self) -> dict[str, float]:
+        """Current per-host adapted delays (test/introspection hook)."""
+        return dict(self.adaptive_delay)
+
 
 class Frontier:
     """Driver-side handle over the frontier shard pool."""
@@ -650,7 +687,8 @@ class Frontier:
                  seen_shards: list | None = None,
                  max_pages_per_host: int | None = None,
                  spill_dir: str | None = None,
-                 spill_threshold_rows: int = 1 << 22) -> None:
+                 spill_threshold_rows: int = 1 << 22,
+                 adaptive: dict | None = None) -> None:
         import os
 
         self.num_shards = num_shards
@@ -664,6 +702,7 @@ class Frontier:
                 ),
                 spill_threshold_rows=spill_threshold_rows,
                 max_pages_per_host=max_pages_per_host,
+                adaptive=adaptive,
             )
             for i in range(num_shards)
         ]
