@@ -559,12 +559,45 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, num_bands: int = 16,
         }),
         batch_format="pyarrow",
     )
-    cand = _distinct_pairs(buckets.filter(expr="kind == 1"), parts)
-    verified = _verify_pairs_ds(docs, cand, threshold, k, parts,
-                                ids_broadcast_budget)
+    pair_schema = pa.schema([("doc_a", pa.int64()),
+                             ("doc_b", pa.int64())])
+    cand_raw = buckets.filter(expr="kind == 1")
+    n_raw = cand_raw.count()      # cheap: buckets is materialized
     members = buckets.filter(expr="kind == 2")
-    if members.count() > 0:
-        verified = _expand_pairs(verified, members, parts)
+    n_members = members.count()
+    # Threshold switch (same pattern as the as-of semi-join): under
+    # the budget the post-LSH candidate set is SMALL BY CONSTRUCTION
+    # (collisions only) and the verify runs as one broadcast pass —
+    # driver holds only candidate-proportional state; above it, the
+    # fully distributed co-partition dataflow takes over (forced in
+    # tests via ids_broadcast_budget=0).
+    if 2 * n_raw <= ids_broadcast_budget:
+        from .common import collect_small
+
+        tbl = collect_small(cand_raw.select_columns(["doc_a", "doc_b"]),
+                            pair_schema)
+        if tbl.num_rows:
+            u = np.unique(np.stack(
+                [tbl["doc_a"].to_numpy(zero_copy_only=False),
+                 tbl["doc_b"].to_numpy(zero_copy_only=False)], axis=1
+            ), axis=0)
+            tbl = pa.table({"doc_a": pa.array(u[:, 0], pa.int64()),
+                            "doc_b": pa.array(u[:, 1], pa.int64())})
+        verified = _verify_pairs_broadcast(docs, tbl, threshold, k)
+    else:
+        cand = _distinct_pairs(cand_raw, parts)
+        verified = _verify_pairs_ds(docs, cand, threshold, k, parts,
+                                    ids_broadcast_budget)
+    if n_members > 0:
+        if 2 * n_members <= ids_broadcast_budget:
+            from .common import collect_small
+
+            mtbl = collect_small(
+                members.select_columns(["doc_a", "doc_b"]), pair_schema
+            )
+            verified = _expand_pairs_broadcast(verified, mtbl)
+        else:
+            verified = _expand_pairs(verified, members, parts)
     return exact.union(verified)
 
 
@@ -633,6 +666,139 @@ def _split_tagged(g: pa.Table) -> tuple[pa.Table, pa.Table, np.ndarray]:
             "payload row in the same hash partition"
         )
     return t0, t1, o[pos_c]
+
+
+def _verify_pairs_broadcast(docs: ray.data.Dataset, cand_tbl: pa.Table,
+                            threshold: float, k: int
+                            ) -> ray.data.Dataset:
+    """Under-budget verify path: candidate ids broadcast once, the
+    corpus STREAMS through an is_in + shingle pass, the (candidate-
+    proportional) shingle sets broadcast once, and one tiny map scores
+    every pair.  Driver state is bounded by the candidate count the
+    caller already checked against the budget — never the corpus.
+    """
+    if cand_tbl.num_rows == 0:
+        return ray.data.from_arrow(_EMPTY_VERIFIED.empty_table())
+    from .common import collect_small
+
+    cand_ids = np.unique(np.concatenate([
+        cand_tbl["doc_a"].to_numpy(zero_copy_only=False),
+        cand_tbl["doc_b"].to_numpy(zero_copy_only=False),
+    ]).astype(np.int64))
+    ids_ref = ray.put(pa.array(cand_ids, pa.int64()))
+
+    def keep_and_shingle(b: pa.Table, ids=None) -> pa.Table:
+        from .common import deref
+
+        return _shingle_table(
+            b.filter(pc.is_in(b["doc_id"], value_set=deref(ids))), k
+        )
+
+    sh_tbl = collect_small(
+        docs.map_batches(keep_and_shingle, fn_kwargs={"ids": ids_ref},
+                         batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()),
+                   ("sh", pa.list_(pa.int64()))]),
+    )
+    sh_ref = ray.put({
+        int(d): np.asarray(s, dtype=np.int64)
+        for d, s in zip(sh_tbl["doc_id"].to_pylist(),
+                        sh_tbl["sh"].to_pylist())
+    })
+
+    def jaccard_verify(batch: pa.Table, sh=None) -> pa.Table:
+        from .common import deref
+
+        shingles = deref(sh)
+        da = batch["doc_a"].to_pylist()
+        db = batch["doc_b"].to_pylist()
+        keep_a, keep_b, jac = [], [], []
+        for x, y in zip(da, db):
+            sa, sb = shingles[x], shingles[y]
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            j = inter / (sa.size + sb.size - inter)
+            if j >= threshold:
+                keep_a.append(x)
+                keep_b.append(y)
+                jac.append(round(j, 6))
+        return pa.table({
+            "doc_a": pa.array(keep_a, pa.int64()),
+            "doc_b": pa.array(keep_b, pa.int64()),
+            "jaccard": pa.array(jac, pa.float64()),
+        })
+
+    return ray.data.from_arrow(cand_tbl).map_batches(
+        jaccard_verify, fn_kwargs={"sh": sh_ref},
+        batch_format="pyarrow",
+    )
+
+
+def _gather_member_vals(keys: np.ndarray, ml: dict
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Expand each key to its member list (or itself when absent).
+
+    ``ml`` = {reps: sorted int64, off: int64 offsets (len reps+1),
+    flat: int64 members}.  Returns (expanded values, per-key counts).
+    """
+    reps, off, flat = ml["reps"], ml["off"], ml["flat"]
+    pos = np.searchsorted(reps, keys)
+    pos_c = np.minimum(pos, max(reps.size - 1, 0))
+    found = ((pos < reps.size) & (reps[pos_c] == keys)
+             if reps.size else np.zeros(keys.size, dtype=bool))
+    starts = np.where(found, off[pos_c], 0)
+    lens = np.where(found, off[pos_c + 1] - off[pos_c], 1)
+    tot = int(lens.sum())
+    excl = np.concatenate(([np.int64(0)], np.cumsum(lens)[:-1]))
+    base = np.repeat(starts, lens)
+    within = np.arange(tot, dtype=np.int64) - np.repeat(excl, lens)
+    if flat.size:
+        g = flat[np.minimum(base + within, flat.size - 1)]
+    else:
+        g = np.zeros(tot, dtype=np.int64)
+    vals = np.where(np.repeat(found, lens), g, np.repeat(keys, lens))
+    return vals, lens
+
+
+def _expand_pairs_broadcast(verified: ray.data.Dataset,
+                            members_tbl: pa.Table) -> ray.data.Dataset:
+    """Under-budget expansion path: the (rep → members) lists broadcast
+    once; each verified batch expands both sides in place with
+    repeat/gather — one map, no shuffles."""
+    r = members_tbl["doc_a"].to_numpy(zero_copy_only=False)
+    m = members_tbl["doc_b"].to_numpy(zero_copy_only=False)
+    o = np.lexsort((m, r))
+    r, m = r[o], m[o]
+    new = np.concatenate(([True], r[1:] != r[:-1]))
+    starts = np.flatnonzero(new)
+    cnts = np.diff(np.concatenate((starts, [r.size])))
+    ml_ref = ray.put({
+        "reps": r[new],
+        "off": np.concatenate(([0], np.cumsum(cnts))).astype(np.int64),
+        "flat": m,
+    })
+
+    def expand(b: pa.Table, ml=None) -> pa.Table:
+        from .common import deref
+
+        ml = deref(ml)
+        a = b["doc_a"].to_numpy(zero_copy_only=False)
+        bb = b["doc_b"].to_numpy(zero_copy_only=False)
+        j = b["jaccard"].to_numpy(zero_copy_only=False)
+        a2, la = _gather_member_vals(a, ml)
+        b1 = np.repeat(bb, la)
+        j1 = np.repeat(j, la)
+        b2, lb = _gather_member_vals(b1, ml)
+        a3 = np.repeat(a2, lb)
+        j2 = np.repeat(j1, lb)
+        return pa.table({
+            "doc_a": pa.array(np.minimum(a3, b2), pa.int64()),
+            "doc_b": pa.array(np.maximum(a3, b2), pa.int64()),
+            "jaccard": pa.array(j2, pa.float64()),
+        })
+
+    return verified.map_batches(
+        expand, fn_kwargs={"ml": ml_ref}, batch_format="pyarrow"
+    )
 
 
 def _verify_pairs_ds(docs: ray.data.Dataset, cand: ray.data.Dataset,
@@ -1115,8 +1281,10 @@ def incremental_dedup(sf_dir: str, num_perm: int = 64,
         ), axis=0)
         cand = pa.table({"doc_a": pa.array(uniq[:, 0], pa.int64()),
                          "doc_b": pa.array(uniq[:, 1], pa.int64())})
+    # one ingest batch's candidates — small by definition, so the
+    # broadcast verify path applies (see _verify_pairs_broadcast)
     verified = collect_small(
-        _verify_pairs_ds(docs, ray.data.from_arrow(cand), threshold, k),
+        _verify_pairs_broadcast(docs, cand, threshold, k),
         pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                    ("jaccard", pa.float64())]),
     )
