@@ -20,6 +20,8 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 # simulator instead).
 QUERIES = [
     "span_links", "span_kind_counts",           # interleaved spans
+    "anchor_text_stats",                        # link-target aggregation
+    "cooccurrence_topk",                        # windowed pair counts
     "token_stats", "quality_score",             # text analysis
     "bpe_token_count", "lang_topk", "token_quantiles",
     "lang_token_quantiles",

@@ -176,3 +176,128 @@ SELECT doc_id,
 FROM tok
 GROUP BY 1, 2
 """
+
+
+def _anchor_rows(batch: pa.Table) -> pa.Table:
+    """link spans → (media_ref, anchor, doc_id) rows (M7 shape plus
+    the anchor text the reference extracts alongside each href,
+    lists.py:46-47)."""
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(spans)
+    idx = np.flatnonzero(
+        pc.equal(flat.field("kind"), "link").to_numpy(zero_copy_only=False)
+    )
+    take = pa.array(idx)
+    doc_ids = pc.cast(batch["doc_id"], pa.int64())
+    return pa.table({
+        "media_ref": flat.field("media_ref").take(take),
+        "anchor": flat.field("text").take(take),
+        "doc_id": doc_ids.take(pa.array(parent[idx])),
+    })
+
+
+def anchor_text_stats(sf_dir: str, parts: int = 64) -> ray.data.Dataset:
+    """(media_ref, n_refs, n_anchors, min_doc_id): inbound-link
+    aggregation per link target — total references, DISTINCT anchor
+    texts, first referring doc.  The anchor-text table a link-graph /
+    retrieval pipeline builds from interleaved documents.
+
+    Scale shape: link rows combine per batch (Arrow group-by on
+    (media_ref, anchor) — one doc's spans never split across batches,
+    and the distinct-anchor count needs the pair key anyway), then ONE
+    shuffle keyed by ``hash(media_ref) % parts`` and a vectorized
+    per-partition merge (``np.unique`` twice: pair level then target
+    level) — per-partition work, never per-key work.  Raise ``parts``
+    with target cardinality.
+    """
+    import pandas as pd
+
+    rows = interleaved_docs(sf_dir).map_batches(
+        _anchor_rows, batch_format="pyarrow"
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b, ["media_ref", "anchor"]).aggregate(
+            [("doc_id", "min"), ([], "count_all")]
+        )
+        h = pd.util.hash_array(np.asarray(
+            g["media_ref"].to_numpy(zero_copy_only=False), dtype=object
+        )).astype(np.uint64)
+        return pa.table({
+            "media_ref": g["media_ref"],
+            "anchor": g["anchor"],
+            "m_p": g["doc_id_min"],
+            "n_p": g["count_all"],
+            "part": pa.array((h % np.uint64(parts)).astype(np.int64)),
+        })
+
+    def reduce_part(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "media_ref": pa.array([], pa.string()),
+            "n_refs": pa.array([], pa.int64()),
+            "n_anchors": pa.array([], pa.int64()),
+            "min_doc_id": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        ref = g["media_ref"].to_numpy(zero_copy_only=False)
+        anc = g["anchor"].to_numpy(zero_copy_only=False)
+        n_p = g["n_p"].to_numpy(zero_copy_only=False)
+        m_p = g["m_p"].to_numpy(zero_copy_only=False)
+        # pair level: collapse (media_ref, anchor) partials
+        pair_key = np.char.add(
+            np.char.add(ref.astype(str), "\x1f"), anc.astype(str)
+        )
+        up, pinv = np.unique(pair_key, return_inverse=True)
+        pref = np.empty(up.size, dtype=object)
+        pref[pinv] = ref  # any representative media_ref per pair
+        pn = np.zeros(up.size, dtype=np.int64)
+        np.add.at(pn, pinv, n_p)
+        pm = np.full(up.size, np.iinfo(np.int64).max)
+        np.minimum.at(pm, pinv, m_p)
+        # target level
+        ur, rinv = np.unique(pref.astype(str), return_inverse=True)
+        n_refs = np.zeros(ur.size, dtype=np.int64)
+        np.add.at(n_refs, rinv, pn)
+        n_anchors = np.bincount(rinv, minlength=ur.size).astype(np.int64)
+        mind = np.full(ur.size, np.iinfo(np.int64).max)
+        np.minimum.at(mind, rinv, pm)
+        return pa.table({
+            "media_ref": pa.array(ur, pa.string()),
+            "n_refs": pa.array(n_refs, pa.int64()),
+            "n_anchors": pa.array(n_anchors, pa.int64()),
+            "min_doc_id": pa.array(mind, pa.int64()),
+        })
+
+    return (
+        rows.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(reduce_part, batch_format="pyarrow")
+    )
+
+
+ORACLE_ANCHOR_TEXT_STATS = """
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+),
+t AS (
+  SELECT doc_id, source, ws,
+         unnest(range(0, len(ws), 5)) AS i
+  FROM w
+),
+a AS (
+  SELECT doc_id,
+         'https://' || source || '/w/' || i AS media_ref,
+         ws[i + 1] AS anchor
+  FROM t
+)
+SELECT media_ref,
+       count(*) AS n_refs,
+       count(DISTINCT anchor) AS n_anchors,
+       min(doc_id) AS min_doc_id
+FROM a
+GROUP BY media_ref
+"""

@@ -1169,3 +1169,132 @@ def hll_vocab(sf_dir: str, p: int = _HLL_P) -> ray.data.Dataset:
     return ray.data.from_arrow(pa.table(
         {"vocab_estimate": pa.array([int(round(est))], pa.int64())}
     ))
+
+
+# --------------------------------------------- token co-occurrence
+def cooccurrence_topk(sf_dir: str, window: int = 2, topn: int = 30,
+                      parts: int = 64) -> ray.data.Dataset:
+    """(w1, w2, n_pairs): the ``topn`` most frequent unordered token
+    pairs within a ``window``-token forward window — the co-occurrence
+    table a PMI / embedding-training pipeline builds over the corpus.
+
+    Scale shape: window pairs materialize and pre-combine MAP-SIDE
+    (``np.unique`` per batch over a joined pair key — the heavy
+    n_tokens × window stream never leaves the task), ONE shuffle of
+    pair partials keyed by ``hash(pair) % parts``, a vectorized
+    per-partition merge (each pair's total lands in exactly one
+    partition), then the limit pushdown: per-block local top-n →
+    single tiny merge block (top_customers pattern) — no global sort
+    of the pair table.  Total order (n_pairs DESC, w1, w2) makes the
+    cut deterministic.  Raise ``parts`` with vocabulary size.
+    """
+    import pandas as pd
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        toks = pc.list_flatten(words).to_numpy(zero_copy_only=False)
+        doc_of = pc.list_parent_indices(words).to_numpy(
+            zero_copy_only=False
+        )
+        w1s, w2s = [], []
+        for d in range(1, window + 1):
+            if toks.size <= d:
+                break
+            a, c = toks[:-d], toks[d:]
+            same = doc_of[:-d] == doc_of[d:]
+            a, c = a[same], c[same]
+            lo = np.where(a <= c, a, c)
+            hi = np.where(a <= c, c, a)
+            w1s.append(lo)
+            w2s.append(hi)
+        if not w1s:
+            return pa.table({
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "n_p": pa.array([], pa.int64()),
+                "part": pa.array([], pa.int64()),
+            })
+        w1 = np.concatenate(w1s).astype(str)
+        w2 = np.concatenate(w2s).astype(str)
+        key = np.char.add(np.char.add(w1, "\x1f"), w2)
+        uk, first, cnt = np.unique(
+            key, return_index=True, return_counts=True
+        )
+        h = pd.util.hash_array(
+            np.asarray(uk, dtype=object)
+        ).astype(np.uint64)
+        return pa.table({
+            "w1": pa.array(w1[first], pa.string()),
+            "w2": pa.array(w2[first], pa.string()),
+            "n_p": pa.array(cnt.astype(np.int64), pa.int64()),
+            "part": pa.array((h % np.uint64(parts)).astype(np.int64)),
+        })
+
+    def reduce_part(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "w1": pa.array([], pa.string()),
+            "w2": pa.array([], pa.string()),
+            "n_pairs": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        w1 = g["w1"].to_numpy(zero_copy_only=False).astype(str)
+        w2 = g["w2"].to_numpy(zero_copy_only=False).astype(str)
+        n_p = g["n_p"].to_numpy(zero_copy_only=False)
+        key = np.char.add(np.char.add(w1, "\x1f"), w2)
+        uk, first, inv = np.unique(
+            key, return_index=True, return_inverse=True
+        )
+        n = np.zeros(uk.size, dtype=np.int64)
+        np.add.at(n, inv, n_p)
+        return pa.table({
+            "w1": pa.array(w1[first], pa.string()),
+            "w2": pa.array(w2[first], pa.string()),
+            "n_pairs": pa.array(n, pa.int64()),
+        })
+
+    def local_top(b: pa.Table) -> pa.Table:
+        if b.num_rows <= topn:
+            return b
+        n = b["n_pairs"].to_numpy(zero_copy_only=False)
+        w1 = b["w1"].to_numpy(zero_copy_only=False).astype(str)
+        w2 = b["w2"].to_numpy(zero_copy_only=False).astype(str)
+        order = np.lexsort((w2, w1, -n))[:topn]
+        return b.take(pa.array(np.sort(order), pa.int64()))
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(reduce_part, batch_format="pyarrow")
+        .map_batches(local_top, batch_format="pyarrow")
+        .repartition(1)
+        .sort(["n_pairs", "w1", "w2"], descending=[True, False, False])
+        .limit(topn)
+    )
+
+
+def cooccurrence_topk_oracle_sql(window: int = 2, topn: int = 30) -> str:
+    return f"""
+WITH w AS (
+  SELECT string_split(text, ' ') AS ws FROM documents
+),
+pos AS (
+  SELECT ws, unnest(range(0, len(ws))) AS i FROM w
+),
+sh AS (
+  SELECT ws, i, unnest(range(1, {window + 1})) AS d FROM pos
+),
+p AS (
+  SELECT least(ws[i + 1], ws[i + d + 1]) AS w1,
+         greatest(ws[i + 1], ws[i + d + 1]) AS w2
+  FROM sh WHERE i + d < len(ws)
+)
+SELECT w1, w2, count(*) AS n_pairs
+FROM p GROUP BY 1, 2
+ORDER BY n_pairs DESC, w1, w2
+LIMIT {topn}
+"""
