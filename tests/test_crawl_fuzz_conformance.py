@@ -124,3 +124,115 @@ def test_hostile_web_conformance(
         assert pairs == golden.seen
     finally:
         eng.shutdown()
+
+
+# ------------------------------------------- randomized robots rules
+@pytest.mark.parametrize("seed,num_shards", [(47, 3), (48, 4)])
+def test_random_robots_rules_conformance(ray_session, tmp_path, seed,
+                                         num_shards):
+    """Randomized Allow/Disallow rule sets with */$ wildcards: the
+    distributed engine (vectorized Arrow robots gate) must reproduce
+    the sequential oracle's crawl order and seen set exactly under
+    rule interactions the fixed fixture never hits — overlapping
+    prefixes, Allow shadowing, anchored wildcards, whole-host
+    disallow."""
+    import numpy as np
+
+    from whakoom_webscrapper_ray.oracle import run_oracle
+    from whakoom_webscrapper_ray.pipelines.crawl import CrawlEngine
+    from whakoom_webscrapper_ray.schemas import ROBOTS_SCHEMA
+    from whakoom_webscrapper_ray.sources.synth import (
+        SynthConfig, generate_web,
+    )
+
+    web = generate_web(SynthConfig(seed=seed))
+    rng = np.random.Generator(np.random.PCG64(seed * 7 + 1))
+    pool_dis = [
+        "/comics/", "/comics/*1$", "/user*/lists", "/*lists*",
+        "/user*/settings$", "/", "/comics/*_2*",
+    ]
+    pool_alw = [
+        "/comics/*0$", "/user*/lists", "/comics/", "/*_20*",
+        "/user*/lists/*", "/*",
+    ]
+    hosts = web["robots"].column("host").to_pylist()
+    delays = web["robots"].column("crawl_delay").to_pylist()
+    dis, alw = [], []
+    for _ in hosts:
+        nd, na = int(rng.integers(0, 3)), int(rng.integers(0, 3))
+        dis.append(list(rng.choice(pool_dis, size=nd, replace=False)))
+        alw.append(list(rng.choice(pool_alw, size=na, replace=False)))
+    robots = pa.Table.from_pydict(
+        {"host": hosts, "crawl_delay": delays, "disallow": dis,
+         "allow": alw},
+        schema=ROBOTS_SCHEMA,
+    )
+
+    golden = run_oracle(web["pages"], web["seeds"], robots)
+    assert golden.crawl_order  # at least the surviving seeds ran
+    eng = CrawlEngine(
+        web["pages"], web["seeds"], robots,
+        checkpoint_dir=str(tmp_path / f"ckpt_rob_{seed}"),
+        num_shards=num_shards, fetcher_concurrency=2, batch_size=64,
+    )
+    try:
+        eng.run()
+        got = eng.crawl_order()
+        rows = list(zip(
+            got.column("seq").to_pylist(),
+            got.column("url").to_pylist(),
+            got.column("host").to_pylist(),
+            got.column("round").to_pylist(),
+        ))
+        assert rows == golden.crawl_order
+        seen = dict(zip(
+            eng.seen_table().column("url_sha1").to_pylist(),
+            eng.seen_table().column("canon_url").to_pylist(),
+        ))
+        assert seen == golden.seen
+    finally:
+        eng.shutdown()
+
+
+@pytest.mark.parametrize("seed,chunk,every,trep",
+                         [(49, 3, 2, 2), (50, 5, 1, 1)])
+def test_random_page_states_conformance(ray_session, tmp_path, seed,
+                                        chunk, every, trep):
+    """Randomized "Load more" state layouts (chunk size, which pages
+    paginate, which get the terminal-repeat stop) must leave the crawl
+    bit-identical to the stateless store — engine and sequential
+    oracle both."""
+    from whakoom_webscrapper_ray.oracle import run_oracle
+    from whakoom_webscrapper_ray.pipelines.crawl import CrawlEngine
+    from whakoom_webscrapper_ray.sources.synth import (
+        SynthConfig, generate_web, paginate_pages,
+    )
+
+    web = generate_web(SynthConfig(seed=seed))
+    staged = paginate_pages(
+        web["pages"], chunk=chunk, every=every,
+        terminal_repeat_every=trep,
+    )
+    assert staged.num_rows > web["pages"].num_rows
+    base = run_oracle(web["pages"], web["seeds"], web["robots"])
+    golden = run_oracle(staged, web["seeds"], web["robots"])
+    assert golden.crawl_order == base.crawl_order
+    assert golden.docs_out == base.docs_out
+
+    eng = CrawlEngine(
+        staged, web["seeds"], web["robots"],
+        checkpoint_dir=str(tmp_path / f"ckpt_ps_{seed}"),
+        num_shards=3, fetcher_concurrency=2, batch_size=64,
+    )
+    try:
+        eng.run()
+        got = eng.crawl_order()
+        rows = list(zip(
+            got.column("seq").to_pylist(),
+            got.column("url").to_pylist(),
+            got.column("host").to_pylist(),
+            got.column("round").to_pylist(),
+        ))
+        assert rows == golden.crawl_order
+    finally:
+        eng.shutdown()
