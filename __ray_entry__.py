@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- NEW this round (driver rows needed first)
         "anchor_text_stats": _il.anchor_text_stats,
         "cooccurrence_topk": _tx.cooccurrence_topk,
+        "distinctive_terms": _tx.distinctive_terms,
         # ---- relational / streaming operators (round-4 rotation head)
         "docs_filter_project": _do.docs_filter_project,
         "pricing_summary": _do.pricing_summary,
@@ -281,6 +282,7 @@ def oracle_sql() -> dict[str, str]:
         "span_kind_counts": _il.ORACLE_SPAN_KIND_COUNTS,
         "anchor_text_stats": _il.ORACLE_ANCHOR_TEXT_STATS,
         "cooccurrence_topk": _tx.cooccurrence_topk_oracle_sql(),
+        "distinctive_terms": _tx.distinctive_terms_oracle_sql(),
         "token_stats": _tx.ORACLE_TOKEN_STATS,
         "bpe_token_count": _tx.ORACLE_BPE_TOKEN_COUNT,
         "quality_score": _tx.ORACLE_QUALITY_SCORE,

@@ -55,7 +55,7 @@ BENCH_QUERIES = [
     "revenue_by_nation", "link_rank",
     "ann_topk", "ann_topk_filtered", "ann_ivf", "ann_lsh",
     "span_links", "span_kind_counts", "anchor_text_stats",
-    "cooccurrence_topk", "media_features", "media_resize",
+    "cooccurrence_topk", "distinctive_terms", "media_features", "media_resize",
     "frame_sample",
     "customers_no_big_orders", "top_parts", "docs_filter_project",
 ]

@@ -22,6 +22,7 @@ QUERIES = [
     "span_links", "span_kind_counts",           # interleaved spans
     "anchor_text_stats",                        # link-target aggregation
     "cooccurrence_topk",                        # windowed pair counts
+    "distinctive_terms",                        # tf/df keyword extraction
     "token_stats", "quality_score",             # text analysis
     "bpe_token_count", "lang_topk", "token_quantiles",
     "lang_token_quantiles",

@@ -446,3 +446,32 @@ def test_adaptive_throttle_crawl_serialization(ray_session, small_web,
             assert b > a            # strictly serialized per host
             assert b - a >= base - 1e-9
     eng.shutdown()
+
+
+def test_adaptive_state_survives_resume(ray_session, tmp_path):
+    """The per-host adapted delays are part of the frontier checkpoint:
+    a resumed adaptive crawl continues from the adapted clock instead
+    of resetting to start_delay."""
+    import ray
+
+    from whakoom_webscrapper_ray.state.frontier import FrontierShard
+
+    shard = FrontierShard.remote(
+        0, 1, {"h": 1.0},
+        adaptive={"start_delay": 5.0, "max_delay": 60.0,
+                  "target_concurrency": 1.0},
+    )
+    ray.get(shard.observe_latency.remote(["h", "g"], [3.0, 9.0]))
+    want = ray.get(shard.adaptive_state.remote())
+    path = str(tmp_path / "shard.pkl")
+    ray.get(shard.dump_to.remote(path))
+    ray.kill(shard)
+
+    shard2 = FrontierShard.remote(
+        0, 1, {"h": 1.0},
+        adaptive={"start_delay": 5.0, "max_delay": 60.0,
+                  "target_concurrency": 1.0},
+    )
+    ray.get(shard2.restore_from.remote(path))
+    assert ray.get(shard2.adaptive_state.remote()) == want
+    ray.kill(shard2)

@@ -1298,3 +1298,134 @@ FROM p GROUP BY 1, 2
 ORDER BY n_pairs DESC, w1, w2
 LIMIT {topn}
 """
+
+
+# --------------------------------------------- distinctive terms (tf/df)
+def distinctive_terms(sf_dir: str, k: int = 3,
+                      parts: int = 64) -> ray.data.Dataset:
+    """(doc_id, term, tf, df, rank): each document's ``k`` most
+    DISTINCTIVE terms — highest in-doc frequency, rarest in the corpus
+    on ties — the keyword-extraction stage of a corpus pipeline,
+    formulated in exact integers (tf DESC, df ASC, term ASC) so the
+    DuckDB oracle compares bit-for-bit (a float tf·idf could not).
+
+    Scale shape — NO broadcast anywhere (the vocabulary at corpus
+    scale outgrows any driver): per-batch Arrow group-by collapses to
+    (doc, term, tf) rows (stopwords dropped map-side), shuffle 1 keys
+    by ``hash(term)`` so each partition holds ALL rows of its terms
+    and computes df in place, shuffle 2 re-keys by ``hash(doc)`` and
+    ranks per doc with one vectorized lexsort per partition.  Both
+    shuffles move the (doc, term, tf) table — the minimal exchanges
+    this computation admits without a broadcast side.
+    """
+    import pandas as pd
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    stop = pa.array(STOPWORDS, pa.string())
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words)
+        t = pa.table({
+            "doc_id": b["doc_id"].take(parent),
+            "term": flat,
+        }).filter(pc.invert(pc.is_in(flat, value_set=stop)))
+        g = pa.TableGroupBy(t, ["doc_id", "term"]).aggregate(
+            [([], "count_all")]
+        )
+        h = pd.util.hash_array(np.asarray(
+            g["term"].to_numpy(zero_copy_only=False), dtype=object
+        )).astype(np.uint64)
+        return pa.table({
+            "doc_id": g["doc_id"],
+            "term": g["term"],
+            "tf": g["count_all"],
+            "part": pa.array((h % np.uint64(parts)).astype(np.int64)),
+        })
+
+    def attach_df(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+                "part2": pa.array([], pa.int64()),
+            })
+        term = g["term"].to_numpy(zero_copy_only=False).astype(str)
+        ut, inv = np.unique(term, return_inverse=True)
+        df = np.bincount(inv, minlength=ut.size).astype(np.int64)[inv]
+        did = g["doc_id"].to_numpy(zero_copy_only=False)
+        part2 = (mix64(np.ascontiguousarray(did).view(np.uint64))
+                 % np.uint64(parts)).astype(np.int64)
+        return pa.table({
+            "doc_id": g["doc_id"],
+            "term": g["term"],
+            "tf": pc.cast(g["tf"], pa.int64()),
+            "df": pa.array(df, pa.int64()),
+            "part2": pa.array(part2, pa.int64()),
+        })
+
+    def rank_per_doc(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        did = g["doc_id"].to_numpy(zero_copy_only=False)
+        term = g["term"].to_numpy(zero_copy_only=False).astype(str)
+        tf = g["tf"].to_numpy(zero_copy_only=False)
+        df = g["df"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((term, df, -tf, did))
+        d_s = did[order]
+        newd = np.concatenate(([True], d_s[1:] != d_s[:-1]))
+        starts = np.flatnonzero(newd)
+        cnts = np.diff(np.concatenate((starts, [d_s.size])))
+        rank = (np.arange(d_s.size, dtype=np.int64)
+                - np.repeat(starts, cnts)) + 1
+        keep = rank <= k
+        t = g.take(pa.array(order[keep], pa.int64()))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "term": t["term"],
+            "tf": t["tf"],
+            "df": t["df"],
+            "rank": pa.array(rank[keep], pa.int64()),
+        })
+
+    return (
+        docs.map_batches(tf_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(attach_df, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(rank_per_doc, batch_format="pyarrow")
+    )
+
+
+def distinctive_terms_oracle_sql(k: int = 3) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE NOT list_contains({list(STOPWORDS)}, term)
+  GROUP BY 1, 2
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+SELECT doc_id, term, tf, df, rank FROM (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         CAST(row_number() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY t.tf DESC, d.df ASC, t.term ASC
+         ) AS BIGINT) AS rank
+  FROM tf t JOIN df d USING (term)
+) WHERE rank <= {k}
+"""

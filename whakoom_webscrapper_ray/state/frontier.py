@@ -562,6 +562,7 @@ class FrontierShard:
             "next_time": dict(self.next_time),
             "pages_sched": dict(self.pages_sched),
             "spill_files": list(self._spill_files),
+            "adaptive_delay": dict(self.adaptive_delay),
         }
 
     def restore(self, state: dict) -> None:
@@ -573,6 +574,9 @@ class FrontierShard:
         )
         self.next_time = dict(state["next_time"])
         self.pages_sched = dict(state.get("pages_sched") or {})
+        # T5 adaptive pacing state survives resume (absent in pre-r4
+        # checkpoints → starts fresh, which is also correct)
+        self.adaptive_delay = dict(state.get("adaptive_delay") or {})
         # Re-link the checkpoint's spill runs into THIS incarnation's
         # spill dir: the next poll deletes its runs after consuming
         # them, and it must never mutate the checkpoint (a second
