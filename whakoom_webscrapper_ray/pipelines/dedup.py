@@ -1545,7 +1545,10 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3
     bands = sh.map_batches(blocks, batch_format="pyarrow").materialize()
     from .common import hash_keyed_agg
 
-    # block_key cardinality ~ docs x blocks: coarse-partition count
+    # block_key space is (max_hamming+1) << 16-bit chunks = 2^18 keys
+    # TOTAL — bounded by the key construction, not by corpus size, so
+    # the hot-key set is always broadcastable (unlike minhash band
+    # keys, which grow with the corpus and get the distributed path)
     hot = hash_keyed_agg(
         bands, "block_key", count_alias="n"
     ).filter(expr="n >= 2")
