@@ -149,3 +149,15 @@ def test_cli_pipeline(ray_session, tmp_path, capsys):
     assert pds.dataset(out, format="parquet").count_rows() == 500
 
     assert main(["pipeline", "--name", "nope"]) == 2
+
+
+def test_cli_paginate(ray_session, tmp_path, capsys):
+    """--paginate serves the web as 'Load more' page states; the crawl
+    schedule is identical to the stateless store (S3 CLI surface)."""
+    from whakoom_webscrapper_ray.cli import main
+
+    ckpt = str(tmp_path / "ckpt_pag")
+    assert main(["crawl", "--synth", "SMALL", "--checkpoint", ckpt,
+                 "--num-shards", "2", "--paginate"]) == 0
+    out = _last_json(capsys)
+    assert out["rounds"] == 3 and out["scheduled"] == 168

@@ -53,13 +53,24 @@ def _load_web(args) -> dict:
 
     spec = args.synth.upper()
     if spec == "SMALL":
-        return generate_web(SMALL)
-    if spec == "MEDIUM":
-        return generate_web(MEDIUM)
-    h, l_, t = (int(x) for x in args.synth.lower().split("x"))
-    return generate_web_fast(
-        SynthConfig(num_hosts=h, lists_per_profile=l_, titles_per_list=t)
-    )
+        web = generate_web(SMALL)
+    elif spec == "MEDIUM":
+        web = generate_web(MEDIUM)
+    else:
+        h, l_, t = (int(x) for x in args.synth.lower().split("x"))
+        web = generate_web_fast(
+            SynthConfig(num_hosts=h, lists_per_profile=l_,
+                        titles_per_list=t)
+        )
+    if getattr(args, "paginate", False):
+        # S3 dynamic-pagination surface (the `scrapy crawl
+        # publications` analog): explode the page store into "Load
+        # more" states; the fetcher walks each URL to its terminal
+        # state, and the crawl is bit-identical to the stateless one.
+        from .sources.synth import paginate_pages
+
+        web = dict(web, pages=paginate_pages(web["pages"]))
+    return web
 
 
 def cmd_crawl(args) -> int:
@@ -245,6 +256,12 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--max-pages-per-host", type=int, default=None,
                    help="O4 pagination budget: cap total pages "
                         "scheduled per host across all rounds")
+    c.add_argument("--paginate", action="store_true",
+                   help="S3 dynamic pagination: serve the synthetic "
+                        "web as cumulative 'Load more' page states "
+                        "(scrapy crawl publications analog); the "
+                        "crawl result is identical to the stateless "
+                        "store")
     c.add_argument("--adaptive-throttle", action="store_true",
                    help="T5 AutoThrottle analog: per-host EWMA of "
                         "observed fetch latency paces the politeness "
