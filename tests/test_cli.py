@@ -161,3 +161,15 @@ def test_cli_paginate(ray_session, tmp_path, capsys):
                  "--num-shards", "2", "--paginate"]) == 0
     out = _last_json(capsys)
     assert out["rounds"] == 3 and out["scheduled"] == 168
+
+
+def test_cli_pipeline_stats(ray_session, capsys):
+    """--stats executes the pipeline and prints per-operator execution
+    stats (the tuning feedback surface)."""
+    from whakoom_webscrapper_ray.cli import main
+
+    assert main(["pipeline", "--name", "token_stats",
+                 "--sf-dir", "/root/testdata/sf0.001", "--stats"]) == 0
+    out = capsys.readouterr().out
+    assert '"rows": 500' in out
+    assert "Operator" in out and "wall time" in out

@@ -202,6 +202,23 @@ def cmd_pipeline(args) -> int:
     import pyarrow as pa
     import ray.data
 
+    if getattr(args, "stats", False):
+        # tuning feedback loop: execute the pipeline and print Ray
+        # Data's per-operator execution stats (wall time, blocks,
+        # rows, memory) so a stage dominated by overhead instead of
+        # useful compute is visible from the CLI
+        if not isinstance(res, ray.data.Dataset):
+            print(json.dumps({
+                "pipeline": args.name,
+                "stats": "driver-side result (no Dataset plan)",
+            }))
+            return 0
+        res = res.materialize()
+        print(json.dumps({
+            "pipeline": args.name, "rows": res.count(),
+        }))
+        print(res.stats())
+        return 0
     if args.out:
         if not isinstance(res, ray.data.Dataset):
             tbl = (pa.Table.from_pandas(res, preserve_index=False)
@@ -309,6 +326,9 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--out", default=None,
                     help="write result as partitioned parquet here "
                          "instead of printing")
+    pl.add_argument("--stats", action="store_true",
+                    help="run the pipeline and print Ray Data's "
+                         "per-operator execution stats")
     pl.add_argument("--limit", type=int, default=100,
                     help="max rows to print without --out")
     pl.add_argument("--list", action="store_true",
