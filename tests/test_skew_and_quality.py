@@ -475,3 +475,88 @@ def test_adaptive_state_survives_resume(ray_session, tmp_path):
     ray.get(shard2.restore_from.remote(path))
     assert ray.get(shard2.adaptive_state.remote()) == want
     ray.kill(shard2)
+
+
+def test_simhash_degenerate_bucket_bounded(ray_session, tmp_path):
+    """10⁴ identical docs (one simhash value in every block bucket):
+    the per-bucket value collapse + ring cap keeps output at m-1
+    Hamming-0 pairs instead of a C(m,2) triu blowup."""
+    import numpy as np
+
+    from whakoom_webscrapper_ray.pipelines import dedup
+
+    n = 10_000
+    rng = np.random.Generator(np.random.PCG64(17))
+    boiler = " ".join(f"w{v}" for v in rng.integers(0, 50, size=30))
+    distinct = [
+        " ".join(f"u{i}x{v}" for v in rng.integers(0, 9999, size=30))
+        for i in range(4)
+    ]
+    ids = list(range(n)) + [10_000_000 + i for i in range(4)]
+    sf = _write_docs(tmp_path, ids, [boiler] * n + distinct)
+
+    out = dedup.simhash_dup_pairs(sf, exact_pair_cap=8).to_pandas()
+    ring = out[out.hamming == 0]
+    assert len(ring) >= n - 1  # the collapsed group's ring survives
+    got = set(zip(ring.doc_a.astype(int), ring.doc_b.astype(int)))
+    assert {(i, i + 1) for i in range(n - 1)} <= got
+    # and nothing quadratic: far below C(n, 2)
+    assert len(out) < 5 * n
+
+
+def test_simhash_expansion_matches_bruteforce(ray_session, tmp_path):
+    """Exact-dup groups + near-dup variants: collapse → rep pairing →
+    expansion reproduces the brute-force Hamming join exactly, on both
+    the broadcast and the distributed expansion paths."""
+    import numpy as np
+
+    from whakoom_webscrapper_ray.pipelines import dedup
+    from whakoom_webscrapper_ray.pipelines.dedup import (
+        _popcount64, simhash_batch,
+    )
+    import pyarrow as pa
+
+    rng = np.random.Generator(np.random.PCG64(19))
+    ids, texts = [], []
+    nxt = 3000
+    for g, size in enumerate([2, 3, 1, 4, 2]):
+        toks = [f"s{g}t{v}" for v in rng.integers(0, 25, size=60)]
+        base = " ".join(toks)
+        for _ in range(size):
+            ids.append(nxt)
+            texts.append(base)
+            nxt += 5
+        var = list(toks)
+        var[7] = "ALT"
+        ids.append(nxt)
+        texts.append(" ".join(var))
+        nxt += 5
+    order = rng.permutation(len(ids))
+    ids = [ids[i] for i in order]
+    texts = [texts[i] for i in order]
+    sf = _write_docs(tmp_path, ids, texts)
+
+    sh = simhash_batch(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    sv = np.ascontiguousarray(
+        sh["simhash"].to_numpy(zero_copy_only=False)
+    ).view(np.uint64)
+    sid = sh["doc_id"].to_numpy(zero_copy_only=False)
+    want = set()
+    for i in range(len(sid)):
+        for j in range(i + 1, len(sid)):
+            h = int(_popcount64(np.array([sv[i] ^ sv[j]]))[0])
+            if h <= 3:
+                a, b = sorted((int(sid[i]), int(sid[j])))
+                want.add((a, b, h))
+
+    def got_set(df):
+        return set(zip(df.doc_a.astype(int), df.doc_b.astype(int),
+                       df.hamming.astype(int)))
+
+    assert got_set(dedup.simhash_dup_pairs(sf).to_pandas()) == want
+    assert got_set(dedup.simhash_dup_pairs(
+        sf, members_broadcast_budget=0
+    ).to_pandas()) == want

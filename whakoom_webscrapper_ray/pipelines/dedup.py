@@ -760,7 +760,9 @@ def _gather_member_vals(keys: np.ndarray, ml: dict
 
 
 def _expand_pairs_broadcast(verified: ray.data.Dataset,
-                            members_tbl: pa.Table) -> ray.data.Dataset:
+                            members_tbl: pa.Table,
+                            valcol: str = "jaccard"
+                            ) -> ray.data.Dataset:
     """Under-budget expansion path: the (rep → members) lists broadcast
     once; each verified batch expands both sides in place with
     repeat/gather — one map, no shuffles."""
@@ -783,7 +785,7 @@ def _expand_pairs_broadcast(verified: ray.data.Dataset,
         ml = deref(ml)
         a = b["doc_a"].to_numpy(zero_copy_only=False)
         bb = b["doc_b"].to_numpy(zero_copy_only=False)
-        j = b["jaccard"].to_numpy(zero_copy_only=False)
+        j = b[valcol].to_numpy(zero_copy_only=False)
         a2, la = _gather_member_vals(a, ml)
         b1 = np.repeat(bb, la)
         j1 = np.repeat(j, la)
@@ -793,7 +795,7 @@ def _expand_pairs_broadcast(verified: ray.data.Dataset,
         return pa.table({
             "doc_a": pa.array(np.minimum(a3, b2), pa.int64()),
             "doc_b": pa.array(np.maximum(a3, b2), pa.int64()),
-            "jaccard": pa.array(j2, pa.float64()),
+            valcol: pa.array(j2),
         })
 
     return verified.map_batches(
@@ -1026,7 +1028,8 @@ def _member_lists(members: ray.data.Dataset,
 
 def _expand_pairs(verified: ray.data.Dataset,
                   members: ray.data.Dataset,
-                  parts: int) -> ray.data.Dataset:
+                  parts: int, valcol: str = "jaccard",
+                  valtype: pa.DataType = None) -> ray.data.Dataset:
     """Expand verified representative pairs across exact-dup group
     members: (ra, rb, j) → every (a ∈ G(ra), b ∈ G(rb), j) — texts are
     identical within a group, so the verified Jaccard applies to every
@@ -1035,6 +1038,8 @@ def _expand_pairs(verified: ray.data.Dataset,
     themselves.  Output rows are canonicalized to doc_a < doc_b.
     """
     # group-count-proportional; consumed by both expansion passes
+    if valtype is None:
+        valtype = pa.float64()
     ml = _member_lists(members, parts).materialize()
 
     def pair_rows(keycol: str, othercol: str):
@@ -1046,7 +1051,7 @@ def _expand_pairs(verified: ray.data.Dataset,
                 ),
                 "key": b[keycol],
                 "other": b[othercol],
-                "j": b["jaccard"],
+                "j": pc.cast(b[valcol], valtype),
                 "lst": pa.nulls(b.num_rows, pa.list_(pa.int64())),
             })
 
@@ -1058,7 +1063,9 @@ def _expand_pairs(verified: ray.data.Dataset,
             "tag": pa.array(np.ones(b.num_rows, np.int8), pa.int8()),
             "key": b["rep"],
             "other": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
-            "j": pa.array(np.zeros(b.num_rows, np.float64), pa.float64()),
+            "j": pa.array(np.zeros(b.num_rows), pa.float64()).cast(
+                valtype
+            ),
             "lst": b["mem"],
         })
 
@@ -1069,7 +1076,7 @@ def _expand_pairs(verified: ray.data.Dataset,
             return pa.table({
                 "ka": pa.array([], pa.int64()),
                 "kb": pa.array([], pa.int64()),
-                "jaccard": pa.array([], pa.float64()),
+                valcol: pa.array([], valtype),
             })
         keys = t0["key"].to_numpy(zero_copy_only=False)
         k1 = t1["key"].to_numpy(zero_copy_only=False)
@@ -1106,10 +1113,9 @@ def _expand_pairs(verified: ray.data.Dataset,
                           lens),
                 pa.int64(),
             ),
-            "jaccard": pa.array(
-                np.repeat(t0["j"].to_numpy(zero_copy_only=False), lens),
-                pa.float64(),
-            ),
+            valcol: pa.array(
+                np.repeat(t0["j"].to_numpy(zero_copy_only=False), lens)
+            ).cast(valtype),
         })
 
     # pass 1: expand the doc_a side (output rows: ka=member, kb=rep_b)
@@ -1124,7 +1130,7 @@ def _expand_pairs(verified: ray.data.Dataset,
     def relabel(b: pa.Table) -> pa.Table:
         # pass-2 input: key on the not-yet-expanded side (kb)
         return pa.table({
-            "doc_a": b["kb"], "doc_b": b["ka"], "jaccard": b["jaccard"],
+            "doc_a": b["kb"], "doc_b": b["ka"], valcol: b[valcol],
         })
 
     def canonicalize(b: pa.Table) -> pa.Table:
@@ -1133,7 +1139,7 @@ def _expand_pairs(verified: ray.data.Dataset,
         return pa.table({
             "doc_a": pa.array(np.minimum(a, bb), pa.int64()),
             "doc_b": pa.array(np.maximum(a, bb), pa.int64()),
-            "jaccard": b["jaccard"],
+            valcol: b[valcol],
         })
 
     step2 = (
@@ -1498,7 +1504,10 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     )
 
 
-def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3
+def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3,
+                      bucket_rep_cap: int = 512,
+                      exact_pair_cap: int = 512,
+                      members_broadcast_budget: int = 2_000_000
                       ) -> ray.data.Dataset:
     """(doc_a, doc_b, hamming): ALL pairs at simhash Hamming distance
     <= max_hamming — exact, not approximate.
@@ -1573,8 +1582,16 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3
     # ONE vectorized task per coarse hash partition (not a pandas call
     # per hot bucket — the per-group analog of a row loop); equal
     # block_keys co-locate because the partition is a pure function of
-    # the key.  The inner per-bucket triu loop is fine: within-bucket
-    # work is quadratic anyway and buckets are verify-sized.
+    # the key.  Degenerate buckets get the same collapse as minhash
+    # (VERDICT r3 #1 applied here too): bucket members with IDENTICAL
+    # simhash values reduce to one representative (their pairwise
+    # Hamming is 0 by definition — no popcount needed), same-value
+    # groups are handled exactly once via their block-0 rows (a group
+    # shares every block key), oversized groups emit the m-1 ring, and
+    # per-bucket rep pairing caps at ``bucket_rep_cap``.  Verified rep
+    # pairs expand back across group members (Hamming is a pure
+    # function of the simhash values, so the rep's distance applies to
+    # every member pair).
     n_parts = 64
 
     def add_part(b: pa.Table) -> pa.Table:
@@ -1585,52 +1602,126 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3
                 % np.uint64(n_parts)).astype(np.int64)
         return b.append_column("part", pa.array(part))
 
-    def partition_pairs(g: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"doc_a": pa.array([], pa.int64()),
-             "doc_b": pa.array([], pa.int64()),
-             "hamming": pa.array([], pa.int64())}
-        )
+    def bucket_stage(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "kind": pa.array([], pa.int8()),
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64()),
+        })
         if g.num_rows == 0:
             return empty
         key = g["block_key"].to_numpy(zero_copy_only=False)
         ids = g["doc_id"].to_numpy(zero_copy_only=False)
-        shv = g["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
-        order = np.lexsort((ids, key))
-        key, ids, shv = key[order], ids[order], shv[order]
-        bounds = np.flatnonzero(np.r_[True, key[1:] != key[:-1], True])
-        out_a, out_b, out_h = [], [], []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            if e - s < 2:
-                continue
-            iu, ju = np.triu_indices(e - s, k=1)
-            ham = _popcount64(shv[s:e][iu] ^ shv[s:e][ju])
-            keep = ham <= max_hamming
-            out_a.append(ids[s:e][iu[keep]])
-            out_b.append(ids[s:e][ju[keep]])
-            out_h.append(ham[keep])
-        if not out_a:
-            return empty
-        return pa.table(
-            {
-                "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
-                "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
-                "hamming": pa.array(
-                    np.concatenate(out_h).astype(np.int64), pa.int64()
-                ),
-            }
-        )
+        shv_i = g["simhash"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, shv_i, key))
+        key, ids = key[order], ids[order]
+        shv = np.ascontiguousarray(shv_i[order]).view(np.uint64)
 
-    return (
+        # ---- rep pairs across distinct simhash values, per bucket
+        new_b = np.concatenate(([True], key[1:] != key[:-1]))
+        new_g = new_b | np.concatenate(
+            ([True], shv[1:] != shv[:-1])
+        )
+        rids, rsh = ids[new_g], shv[new_g]
+        rb = (np.cumsum(new_b) - 1)[new_g]
+        ro = np.lexsort((rids, rb))
+        rids, rsh, rb = rids[ro], rsh[ro], rb[ro]
+        nb2 = np.concatenate(([True], rb[1:] != rb[:-1]))
+        bstart = np.flatnonzero(nb2)
+        bcnt = np.diff(np.concatenate((bstart, [rids.size])))
+        rank = (np.arange(rids.size, dtype=np.int64)
+                - np.repeat(bstart, bcnt))
+        keep = rank < bucket_rep_cap
+        cnt_k = np.minimum(bcnt, bucket_rep_cap)
+        pos = np.arange(rids.size, dtype=np.int64)[keep]
+        ai, bi = _allpairs_contig(
+            pos, np.repeat(cnt_k, cnt_k), rank[keep]
+        )
+        ham = _popcount64(rsh[ai] ^ rsh[bi]).astype(np.int64)
+        hk = ham <= max_hamming
+        ca, cb, ch = rids[ai[hk]], rids[bi[hk]], ham[hk]
+
+        # ---- same-value groups, exactly once via block-0 rows
+        blk0 = (np.ascontiguousarray(key).view(np.uint64)
+                >> np.uint64(width)) == 0
+        k0, s0, i0 = key[blk0], shv[blk0], ids[blk0]
+        if i0.size:
+            ng0 = np.concatenate(
+                ([True], (k0[1:] != k0[:-1]) | (s0[1:] != s0[:-1]))
+            )
+            gstart = np.flatnonzero(ng0)
+            gcnt = np.diff(np.concatenate((gstart, [i0.size])))
+            cnt_r = np.repeat(gcnt, gcnt)
+            rank_r = (np.arange(i0.size, dtype=np.int64)
+                      - np.repeat(gstart, gcnt))
+            multi_r = cnt_r >= 2
+            mem_a = np.repeat(i0[gstart], gcnt)[multi_r]
+            mem_b = i0[multi_r]
+            small_r = multi_r & (cnt_r <= exact_pair_cap)
+            ea, eb = _allpairs_contig(
+                i0[small_r], cnt_r[small_r], rank_r[small_r]
+            )
+            ring_r = (cnt_r > exact_pair_cap) & (rank_r < cnt_r - 1)
+            if ring_r.any():
+                ea = np.concatenate((ea, i0[ring_r]))
+                eb = np.concatenate((eb, i0[np.flatnonzero(ring_r) + 1]))
+        else:
+            z = np.empty(0, dtype=np.int64)
+            mem_a = mem_b = ea = eb = z
+
+        kinds = np.concatenate((
+            np.full(ea.size, _KIND_EXACT, np.int8),
+            np.full(ca.size, _KIND_CAND, np.int8),
+            np.full(mem_a.size, _KIND_MEMBER, np.int8),
+        ))
+        hams = np.concatenate((
+            np.zeros(ea.size, dtype=np.int64), ch,
+            np.zeros(mem_a.size, dtype=np.int64),
+        ))
+        return pa.table({
+            "kind": pa.array(kinds, pa.int8()),
+            "doc_a": pa.array(np.concatenate((ea, ca, mem_a)), pa.int64()),
+            "doc_b": pa.array(np.concatenate((eb, cb, mem_b)), pa.int64()),
+            "hamming": pa.array(hams, pa.int64()),
+        })
+
+    out = (
         bands.map_batches(
             keep_hot, fn_kwargs={"hot": hot_ref}, batch_format="pyarrow"
         )
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(partition_pairs, batch_format="pyarrow")
+        .map_groups(bucket_stage, batch_format="pyarrow")
+        .materialize()  # pairs + membership rows only
+    )
+    exact = out.filter(expr="kind == 0").select_columns(
+        ["doc_a", "doc_b", "hamming"]
+    )
+    # cross-block dedup of rep pairs (a pair may collide in >1 block;
+    # its Hamming is identical everywhere, Min is just the dedup)
+    cand = (
+        out.filter(expr="kind == 1")
+        .select_columns(["doc_a", "doc_b", "hamming"])
         .groupby(["doc_a", "doc_b"])
         .aggregate(Min("hamming", alias_name="hamming"))
     )
+    members = out.filter(expr="kind == 2")
+    n_members = members.count()
+    if n_members > 0:
+        from .common import collect_small
+
+        if 2 * n_members <= members_broadcast_budget:
+            mtbl = collect_small(
+                members.select_columns(["doc_a", "doc_b"]),
+                pa.schema([("doc_a", pa.int64()),
+                           ("doc_b", pa.int64())]),
+            )
+            cand = _expand_pairs_broadcast(cand, mtbl, valcol="hamming")
+        else:
+            cand = _expand_pairs(cand, members, n_parts,
+                                 valcol="hamming", valtype=pa.int64())
+    return exact.union(cand)
 
 
 def simhash_dup_pairs_oracle_sql(max_hamming: int = 3) -> str:
