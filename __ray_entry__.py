@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_text_stats": _il.anchor_text_stats,
         "cooccurrence_topk": _tx.cooccurrence_topk,
         "distinctive_terms": _tx.distinctive_terms,
+        "corpus_prep": _cu.corpus_prep,
         # ---- relational / streaming operators (round-4 rotation head)
         "docs_filter_project": _do.docs_filter_project,
         "pricing_summary": _do.pricing_summary,
@@ -283,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text_stats": _il.ORACLE_ANCHOR_TEXT_STATS,
         "cooccurrence_topk": _tx.cooccurrence_topk_oracle_sql(),
         "distinctive_terms": _tx.distinctive_terms_oracle_sql(),
+        "corpus_prep": _cu.corpus_prep_oracle_sql(),
         "token_stats": _tx.ORACLE_TOKEN_STATS,
         "bpe_token_count": _tx.ORACLE_BPE_TOKEN_COUNT,
         "quality_score": _tx.ORACLE_QUALITY_SCORE,

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "ngram_df_topk",
     "vocab_size", "hll_vocab", "redact_terms",
     "split_assign", "corpus_shuffle", "lang_balanced_sample",
+    "corpus_prep",
     "source_mix_sample", "sequence_pack",
     "revenue_by_nation", "link_rank",
     "ann_topk", "ann_topk_filtered", "ann_ivf", "ann_lsh",

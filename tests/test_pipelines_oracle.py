@@ -23,6 +23,7 @@ QUERIES = [
     "anchor_text_stats",                        # link-target aggregation
     "cooccurrence_topk",                        # windowed pair counts
     "distinctive_terms",                        # tf/df keyword extraction
+    "corpus_prep",                              # composed end-to-end prep
     "token_stats", "quality_score",             # text analysis
     "bpe_token_count", "lang_topk", "token_quantiles",
     "lang_token_quantiles",

@@ -905,3 +905,219 @@ b AS (
 SELECT doc_id, quality_ok, samp_bucket FROM b
 WHERE quality_ok OR samp_bucket < {_SAMPLE_PCT_LOW}
 """
+
+
+# ------------------------------------- end-to-end corpus preparation
+def corpus_prep(sf_dir: str, budget: int = _PACK_BUDGET,
+                parts: int = 64) -> ray.data.Dataset:
+    """(doc_id, split, pack_id) — the END-TO-END training-data prep
+    pipeline, composed from the curation stages a real corpus run
+    chains: a document survives iff it is (a) its near-dup cluster's
+    REPRESENTATIVE (dedup_clusters: cluster-min doc_id), (b) a
+    quality-stratified sample survivor (quality_sample), and (c) a
+    decontaminated training doc (decontaminate: not in the held-out
+    eval split, shares no 3-gram with it); survivors then get the
+    deterministic 80/10/10 split and are context-window packed in
+    corpus_shuffle order with prefix sums over the SURVIVING corpus
+    only (pack_id is a function of the filtered stream, so the whole
+    chain must compose correctly end to end — this is what the oracle
+    checks).
+
+    Scale shape: the three mask datasets and the slim keyed rows
+    (doc_id, shuffle hash, token count) co-partition by
+    ``mix64(doc_id) % parts`` in ONE tagged-union shuffle; each
+    partition ORs the per-doc mask bits and keeps the keyed rows of
+    docs with all three bits — id-level rows only, never text.
+    Packing then reuses the two-level exact prefix sum (top-bits range
+    partitions preserve the global hash order; per-partition token
+    totals cumsum driver-side into offsets).
+    """
+    reps = dedup_clusters(sf_dir)
+    qs = quality_sample(sf_dir)
+    dec = decontaminate(sf_dir)
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    shift = np.uint64(64 - _SHUF_PART_BITS)
+
+    def _id_part(col) -> pa.Array:
+        v = np.ascontiguousarray(
+            col.to_numpy(zero_copy_only=False)
+        ).view(np.uint64)
+        return pa.array(
+            (mix64(v) % np.uint64(parts)).astype(np.int64), pa.int64()
+        )
+
+    z64 = lambda n: pa.array(np.zeros(n, np.int64), pa.int64())  # noqa: E731
+
+    def bit_rows(bit: int, keep_fn=None):
+        def f(b: pa.Table) -> pa.Table:
+            if keep_fn is not None:
+                b = keep_fn(b)
+            n = b.num_rows
+            return pa.table({
+                "part": _id_part(b["doc_id"]),
+                "bit": pa.array(np.full(n, bit, np.int8), pa.int8()),
+                "doc_id": b["doc_id"],
+                "h": z64(n),
+                "part_top": z64(n),
+                "n_tok": z64(n),
+            })
+
+        return f
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        h = mix64(ids.view(np.uint64) ^ np.uint64(_SHUF_SEED))
+        n_tok = pc.list_value_length(
+            pc.split_pattern(b["text"], " ")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "part": _id_part(b["doc_id"]),
+            "bit": pa.array(np.zeros(len(ids), np.int8), pa.int8()),
+            "doc_id": b["doc_id"],
+            "h": pa.array(h.view(np.int64), pa.int64()),
+            "part_top": pa.array((h >> shift).astype(np.int64)),
+            "n_tok": pa.array(n_tok, pa.int64()),
+        })
+
+    def keep_reps(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["doc_id"], b["cluster_id"]))
+
+    def keep_clean(b: pa.Table) -> pa.Table:
+        return b.filter(pc.invert(b["contaminated"]))
+
+    tagged = (
+        docs.map_batches(keyed, batch_format="pyarrow")
+        .union(reps.map_batches(bit_rows(1, keep_reps),
+                                batch_format="pyarrow"))
+        .union(qs.map_batches(bit_rows(2), batch_format="pyarrow"))
+        .union(dec.map_batches(bit_rows(4, keep_clean),
+                               batch_format="pyarrow"))
+    )
+
+    def survivors(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "h": pa.array([], pa.int64()),
+            "part_top": pa.array([], pa.int64()),
+            "n_tok": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        bits = g["bit"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid, inv = np.unique(ids, return_inverse=True)
+        acc = np.zeros(uid.size, dtype=np.int64)
+        np.bitwise_or.at(acc, inv, bits)
+        full = acc[inv] == 7
+        keyed_row = bits == 0
+        return g.filter(pa.array(full & keyed_row)).select(
+            ["doc_id", "h", "part_top", "n_tok"]
+        )
+
+    kept = tagged.groupby("part").map_groups(
+        survivors, batch_format="pyarrow"
+    ).materialize()  # slim id-level rows; two consumers below
+
+    def part_tok(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b, ["part_top"]).aggregate([("n_tok", "sum")])
+        return pa.table({"part_top": g["part_top"], "t": g["n_tok_sum"]})
+
+    cnt = collect_small(
+        kept.map_batches(part_tok, batch_format="pyarrow"),
+        pa.schema([("part_top", pa.int64()), ("t", pa.int64())]),
+    )
+    totals = np.zeros(1 << _SHUF_PART_BITS, dtype=np.int64)
+    np.add.at(totals, cnt["part_top"].to_numpy(zero_copy_only=False),
+              cnt["t"].to_numpy(zero_copy_only=False))
+    offsets = ray.put(np.r_[0, np.cumsum(totals)][:-1])
+
+    def pack_part(g: pa.Table, offs=None) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "split": pa.array([], pa.string()),
+                "pack_id": pa.array([], pa.int64()),
+            })
+        offs = deref(offs)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        h = np.ascontiguousarray(
+            g["h"].to_numpy(zero_copy_only=False)
+        ).view(np.uint64)
+        nt = g["n_tok"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        base = int(offs[int(g["part_top"][0].as_py())])
+        prefix_excl = base + np.cumsum(nt[order]) - nt[order]
+        pack = np.empty(ids.size, dtype=np.int64)
+        pack[order] = prefix_excl // budget
+        sh = mix64(ids.view(np.uint64) ^ np.uint64(_SPLIT_SEED))
+        bucket = (sh % np.uint64(100)).astype(np.int64)
+        split = np.where(
+            bucket < 80, "train", np.where(bucket < 90, "val", "test")
+        )
+        return pa.table({
+            "doc_id": g["doc_id"],
+            "split": pa.array(split, pa.string()),
+            "pack_id": pa.array(pack, pa.int64()),
+        })
+
+    return kept.groupby("part_top").map_groups(
+        pack_part, batch_format="pyarrow", fn_kwargs={"offs": offsets}
+    )
+
+
+def corpus_prep_oracle_sql(budget: int = _PACK_BUDGET) -> str:
+    """The composed chain in one SQL statement: cluster reps ∩ quality
+    survivors ∩ decontaminated docs → split + packing over survivors.
+    Stage oracles nest as subqueries (inner WITHs shadow the outer
+    JACCARD CTEs, which is fine — correctness over reuse at oracle
+    scale)."""
+    from .text import fmix64_docid_ctes
+
+    sp_ctes, sp_final = fmix64_docid_ctes(_SPLIT_SEED, "sp")
+    pk_ctes, pk_final = fmix64_docid_ctes(_SHUF_SEED, "pk")
+    return f"""
+WITH RECURSIVE {JACCARD_CTES},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM jpairs WHERE j >= 0.8
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM jpairs WHERE j >= 0.8
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.doc_id, e.v FROM reach JOIN edges e ON e.u = reach.r
+),
+labels AS (
+  SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+),
+qsurv AS ({quality_sample_oracle_sql()}),
+dec AS ({ORACLE_DECONTAMINATE}),
+{sp_ctes},
+{pk_ctes},
+surv AS (
+  SELECT l.doc_id FROM labels l
+  JOIN qsurv q USING (doc_id)
+  JOIN dec USING (doc_id)
+  WHERE l.cluster_id = l.doc_id AND NOT dec.contaminated
+),
+ptoks AS (
+  SELECT d.doc_id, pk.h,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+  FROM documents d
+  JOIN surv USING (doc_id)
+  JOIN {pk_final} pk USING (doc_id)
+),
+packed AS (
+  SELECT doc_id,
+         CAST((sum(n_tok) OVER (ORDER BY h, doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok)
+              // {budget} AS BIGINT) AS pack_id
+  FROM ptoks
+)
+SELECT p.doc_id,
+       CASE WHEN sp.h % 100 < 80 THEN 'train'
+            WHEN sp.h % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       p.pack_id
+FROM packed p JOIN {sp_final} sp USING (doc_id)
+"""
