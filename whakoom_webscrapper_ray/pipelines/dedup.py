@@ -1910,6 +1910,16 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.45,
     sims buffer.  Raw tasks are used because a threshold self-join is
     the one shape Ray Data's Dataset API cannot express (no join-on-
     predicate); documented per the custom-operator rule.
+
+    Degenerate-skew note (cf. the minhash/simhash bucket collapse):
+    here there is NO candidate-vs-output amplification to collapse —
+    every emitted pair is a true answer, so a block of N identical
+    vectors costs exactly its output (C(N,2) rows, produced tile by
+    tile with bounded memory).  A consumer that only needs
+    connectivity (embedding_clusters) pays one shuffle per CC round
+    over those edges; if identical-vector blowup ever dominates there,
+    the remedy is an exact-vector-hash pre-collapse feeding rep pairs
+    + member expansion, exactly the machinery minhash/simhash use.
     """
     from .ann import _kmeans, emb_matrix
 
