@@ -202,6 +202,13 @@ def cmd_pipeline(args) -> int:
     import pyarrow as pa
     import ray.data
 
+    if getattr(args, "stats", False) and args.out:
+        print(json.dumps({
+            "error": "--stats and --out are mutually exclusive "
+                     "(--stats executes for diagnostics only and "
+                     "would silently skip the write)"
+        }))
+        return 2
     if getattr(args, "stats", False):
         # tuning feedback loop: execute the pipeline and print Ray
         # Data's per-operator execution stats (wall time, blocks,

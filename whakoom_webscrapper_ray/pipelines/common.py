@@ -184,9 +184,23 @@ def hash_keyed_agg(ds: ray.data.Dataset, key: str,
         uk, inv = np.unique(k, return_inverse=True)
         cols = {key: pa.array(uk, pa.int64())}
         for c, alias in sums.items():
+            # same null-partial hazard as mins below: an all-null
+            # group's NULL partial becomes NaN and np.add.at would
+            # silently write garbage into the int64 accumulator
+            col = g[f"{c}_sp"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            valid = (np.ones(len(col), dtype=bool)
+                     if col.null_count == 0
+                     else pc.is_valid(col).to_numpy(
+                         zero_copy_only=False))
             s = np.zeros(uk.size, dtype=np.int64)
-            np.add.at(s, inv,
-                      g[f"{c}_sp"].to_numpy(zero_copy_only=False))
+            np.add.at(
+                s, inv[valid],
+                col.to_numpy(zero_copy_only=False)[valid].astype(
+                    np.int64
+                ),
+            )
             cols[alias] = pa.array(s, pa.int64())
         for c, alias in mins.items():
             # an all-null group yields a NULL block partial; NaN.astype

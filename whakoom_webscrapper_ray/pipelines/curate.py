@@ -511,6 +511,17 @@ _SPLIT_SEED = 0x9E3779B97F4A7C15   # golden-ratio odd constant
 _SHUF_SEED = 0xD1B54A32D192ED03    # distinct seed: split ⟂ shuffle order
 
 
+def _split_buckets(ids: np.ndarray) -> np.ndarray:
+    """Deterministic 80/10/10 bucket labels for int64 doc ids — the
+    ONE implementation split_assign and corpus_prep both use."""
+    h = mix64(np.ascontiguousarray(ids).view(np.uint64)
+              ^ np.uint64(_SPLIT_SEED))
+    bucket = (h % np.uint64(100)).astype(np.int64)
+    return np.where(
+        bucket < 80, "train", np.where(bucket < 90, "val", "test")
+    )
+
+
 def split_assign(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, split) — deterministic 80/10/10 train/val/test
     assignment by ``fmix64(doc_id ^ seed) % 100``.  Pure map, no
@@ -521,15 +532,10 @@ def split_assign(sf_dir: str) -> ray.data.Dataset:
 
     def assign(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        h = mix64(ids.view(np.uint64) ^ np.uint64(_SPLIT_SEED))
-        bucket = (h % np.uint64(100)).astype(np.int64)
-        split = np.where(
-            bucket < 80, "train", np.where(bucket < 90, "val", "test")
-        )
         return pa.table(
             {
                 "doc_id": b["doc_id"],
-                "split": pa.array(split, pa.string()),
+                "split": pa.array(_split_buckets(ids), pa.string()),
             }
         )
 
@@ -788,46 +794,32 @@ WHERE h.h % 10000
 _PACK_BUDGET = 1024  # token budget per packed training sequence
 
 
-def sequence_pack(sf_dir: str, budget: int = _PACK_BUDGET
-                  ) -> ray.data.Dataset:
-    """(doc_id, pack_id) — context-window packing: documents are laid
-    out in the deterministic :func:`corpus_shuffle` order and chunked
-    into packs by a running token budget (pack_id = exclusive prefix
-    token sum ÷ budget).  The sequence-packing pass a training
-    pipeline runs before tokenization.
-
-    Distributed exact prefix sums, same two-level shape as
-    corpus_shuffle's rank: top-bits range partitioning preserves the
-    global hash order, tiny per-partition token totals cumsum on the
-    driver into partition offsets, and each partition computes its
-    exclusive prefix sums locally (one vectorized task)."""
-    from .text import mix64
-
-    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+def _shuffle_keyed(b: pa.Table) -> pa.Table:
+    """documents batch → slim (doc_id, h, part, n_tok) packing rows:
+    corpus_shuffle hash, its top-bits range partition, token count."""
+    ids = b["doc_id"].to_numpy(zero_copy_only=False)
+    h = mix64(ids.view(np.uint64) ^ np.uint64(_SHUF_SEED))
+    n_tok = pc.list_value_length(
+        pc.split_pattern(b["text"], " ")
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
     shift = np.uint64(64 - _SHUF_PART_BITS)
+    return pa.table(
+        {
+            "doc_id": b["doc_id"],
+            "h": pa.array(h.view(np.int64), pa.int64()),
+            "part": pa.array((h >> shift).astype(np.int64)),
+            "n_tok": pa.array(n_tok, pa.int64()),
+        }
+    )
 
-    def keyed(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        h = mix64(ids.view(np.uint64) ^ np.uint64(_SHUF_SEED))
-        words = pc.split_pattern(b["text"], " ")
-        n_tok = pc.list_value_length(words).to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": b["doc_id"],
-                "h": pa.array(h.view(np.int64), pa.int64()),
-                "part": pa.array((h >> shift).astype(np.int64)),
-                "n_tok": pa.array(n_tok, pa.int64()),
-            }
-        )
 
-    # two consumers (token totals + the packing groupby): materialize
-    # the slim keyed rows once — the text column never leaves the
-    # first pass
-    keyed_ds = docs.map_batches(
-        keyed, batch_format="pyarrow"
-    ).materialize()
+def _pack_keyed(keyed_ds: ray.data.Dataset,
+                budget: int) -> ray.data.Dataset:
+    """(doc_id, pack_id) from MATERIALIZED keyed rows (doc_id, h,
+    part, n_tok): the two-level exact prefix sum shared by
+    sequence_pack and corpus_prep — top-bits range partitioning
+    preserves the global hash order, tiny per-partition token totals
+    cumsum driver-side into offsets, each partition packs locally."""
 
     def part_tok(b: pa.Table) -> pa.Table:
         g = pa.TableGroupBy(b, ["part"]).aggregate([("n_tok", "sum")])
@@ -848,7 +840,9 @@ def sequence_pack(sf_dir: str, budget: int = _PACK_BUDGET
                              "pack_id": pa.array([], pa.int64())})
         offs = deref(offs)
         ids = g["doc_id"].to_numpy(zero_copy_only=False)
-        h = g["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        h = np.ascontiguousarray(
+            g["h"].to_numpy(zero_copy_only=False)
+        ).view(np.uint64)
         nt = g["n_tok"].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, h))
         base = int(offs[int(g["part"][0].as_py())])
@@ -865,6 +859,24 @@ def sequence_pack(sf_dir: str, budget: int = _PACK_BUDGET
     return keyed_ds.groupby("part").map_groups(
         pack_part, batch_format="pyarrow", fn_kwargs={"offs": offsets}
     )
+
+
+def sequence_pack(sf_dir: str, budget: int = _PACK_BUDGET
+                  ) -> ray.data.Dataset:
+    """(doc_id, pack_id) — context-window packing: documents are laid
+    out in the deterministic :func:`corpus_shuffle` order and chunked
+    into packs by a running token budget (pack_id = exclusive prefix
+    token sum ÷ budget).  The sequence-packing pass a training
+    pipeline runs before tokenization; machinery in
+    :func:`_pack_keyed` (shared with :func:`corpus_prep`)."""
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    # two consumers (token totals + the packing groupby): materialize
+    # the slim keyed rows once — the text column never leaves the
+    # first pass
+    keyed_ds = docs.map_batches(
+        _shuffle_keyed, batch_format="pyarrow"
+    ).materialize()
+    return _pack_keyed(keyed_ds, budget)
 
 
 def sequence_pack_oracle_sql(budget: int = _PACK_BUDGET) -> str:
@@ -932,19 +944,12 @@ def corpus_prep(sf_dir: str, budget: int = _PACK_BUDGET,
     partitions preserve the global hash order; per-partition token
     totals cumsum driver-side into offsets).
     """
+    from .dedup import _id_part
+
     reps = dedup_clusters(sf_dir)
     qs = quality_sample(sf_dir)
     dec = decontaminate(sf_dir)
     docs = read(sf_dir, "documents", columns=["doc_id", "text"])
-    shift = np.uint64(64 - _SHUF_PART_BITS)
-
-    def _id_part(col) -> pa.Array:
-        v = np.ascontiguousarray(
-            col.to_numpy(zero_copy_only=False)
-        ).view(np.uint64)
-        return pa.array(
-            (mix64(v) % np.uint64(parts)).astype(np.int64), pa.int64()
-        )
 
     z64 = lambda n: pa.array(np.zeros(n, np.int64), pa.int64())  # noqa: E731
 
@@ -954,29 +959,28 @@ def corpus_prep(sf_dir: str, budget: int = _PACK_BUDGET,
                 b = keep_fn(b)
             n = b.num_rows
             return pa.table({
-                "part": _id_part(b["doc_id"]),
+                "mpart": _id_part(b["doc_id"], parts),
                 "bit": pa.array(np.full(n, bit, np.int8), pa.int8()),
                 "doc_id": b["doc_id"],
                 "h": z64(n),
-                "part_top": z64(n),
+                "part": z64(n),
                 "n_tok": z64(n),
             })
 
         return f
 
     def keyed(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        h = mix64(ids.view(np.uint64) ^ np.uint64(_SHUF_SEED))
-        n_tok = pc.list_value_length(
-            pc.split_pattern(b["text"], " ")
-        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        # the packing rows (shared _shuffle_keyed), tagged for the
+        # mask co-partition
+        t = _shuffle_keyed(b)
+        n = t.num_rows
         return pa.table({
-            "part": _id_part(b["doc_id"]),
-            "bit": pa.array(np.zeros(len(ids), np.int8), pa.int8()),
-            "doc_id": b["doc_id"],
-            "h": pa.array(h.view(np.int64), pa.int64()),
-            "part_top": pa.array((h >> shift).astype(np.int64)),
-            "n_tok": pa.array(n_tok, pa.int64()),
+            "mpart": _id_part(t["doc_id"], parts),
+            "bit": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "doc_id": t["doc_id"],
+            "h": t["h"],
+            "part": t["part"],
+            "n_tok": t["n_tok"],
         })
 
     def keep_reps(b: pa.Table) -> pa.Table:
@@ -998,7 +1002,7 @@ def corpus_prep(sf_dir: str, budget: int = _PACK_BUDGET,
         empty = pa.table({
             "doc_id": pa.array([], pa.int64()),
             "h": pa.array([], pa.int64()),
-            "part_top": pa.array([], pa.int64()),
+            "part": pa.array([], pa.int64()),
             "n_tok": pa.array([], pa.int64()),
         })
         if g.num_rows == 0:
@@ -1011,57 +1015,23 @@ def corpus_prep(sf_dir: str, budget: int = _PACK_BUDGET,
         full = acc[inv] == 7
         keyed_row = bits == 0
         return g.filter(pa.array(full & keyed_row)).select(
-            ["doc_id", "h", "part_top", "n_tok"]
+            ["doc_id", "h", "part", "n_tok"]
         )
 
-    kept = tagged.groupby("part").map_groups(
+    kept = tagged.groupby("mpart").map_groups(
         survivors, batch_format="pyarrow"
-    ).materialize()  # slim id-level rows; two consumers below
+    ).materialize()  # slim id-level rows; two consumers in _pack_keyed
 
-    def part_tok(b: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(b, ["part_top"]).aggregate([("n_tok", "sum")])
-        return pa.table({"part_top": g["part_top"], "t": g["n_tok_sum"]})
-
-    cnt = collect_small(
-        kept.map_batches(part_tok, batch_format="pyarrow"),
-        pa.schema([("part_top", pa.int64()), ("t", pa.int64())]),
-    )
-    totals = np.zeros(1 << _SHUF_PART_BITS, dtype=np.int64)
-    np.add.at(totals, cnt["part_top"].to_numpy(zero_copy_only=False),
-              cnt["t"].to_numpy(zero_copy_only=False))
-    offsets = ray.put(np.r_[0, np.cumsum(totals)][:-1])
-
-    def pack_part(g: pa.Table, offs=None) -> pa.Table:
-        if g.num_rows == 0:
-            return pa.table({
-                "doc_id": pa.array([], pa.int64()),
-                "split": pa.array([], pa.string()),
-                "pack_id": pa.array([], pa.int64()),
-            })
-        offs = deref(offs)
-        ids = g["doc_id"].to_numpy(zero_copy_only=False)
-        h = np.ascontiguousarray(
-            g["h"].to_numpy(zero_copy_only=False)
-        ).view(np.uint64)
-        nt = g["n_tok"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, h))
-        base = int(offs[int(g["part_top"][0].as_py())])
-        prefix_excl = base + np.cumsum(nt[order]) - nt[order]
-        pack = np.empty(ids.size, dtype=np.int64)
-        pack[order] = prefix_excl // budget
-        sh = mix64(ids.view(np.uint64) ^ np.uint64(_SPLIT_SEED))
-        bucket = (sh % np.uint64(100)).astype(np.int64)
-        split = np.where(
-            bucket < 80, "train", np.where(bucket < 90, "val", "test")
-        )
+    def add_split(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table({
-            "doc_id": g["doc_id"],
-            "split": pa.array(split, pa.string()),
-            "pack_id": pa.array(pack, pa.int64()),
+            "doc_id": b["doc_id"],
+            "split": pa.array(_split_buckets(ids), pa.string()),
+            "pack_id": b["pack_id"],
         })
 
-    return kept.groupby("part_top").map_groups(
-        pack_part, batch_format="pyarrow", fn_kwargs={"offs": offsets}
+    return _pack_keyed(kept, budget).map_batches(
+        add_split, batch_format="pyarrow"
     )
 
 

@@ -251,9 +251,10 @@ def anchor_text_stats(sf_dir: str, parts: int = 64) -> ray.data.Dataset:
         pair_key = np.char.add(
             np.char.add(ref.astype(str), "\x1f"), anc.astype(str)
         )
-        up, pinv = np.unique(pair_key, return_inverse=True)
-        pref = np.empty(up.size, dtype=object)
-        pref[pinv] = ref  # any representative media_ref per pair
+        up, pfirst, pinv = np.unique(
+            pair_key, return_index=True, return_inverse=True
+        )
+        pref = ref[pfirst]  # representative media_ref per pair
         pn = np.zeros(up.size, dtype=np.int64)
         np.add.at(pn, pinv, n_p)
         pm = np.full(up.size, np.iinfo(np.int64).max)

@@ -1191,6 +1191,23 @@ def cooccurrence_topk(sf_dir: str, window: int = 2, topn: int = 30,
     import pandas as pd
 
     docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    # Pair identity travels as TWO independent 64-bit token-hash mixes
+    # (an effectively-128-bit key): int sorting/grouping on the hot
+    # n_tokens × window stream instead of building and sorting
+    # concatenated strings, with collision probability P²/2¹²⁸ — safe
+    # at any corpus scale.  The token STRINGS ride only for the
+    # lexicographic (w1, w2) output order and the final result.
+    _SEED2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    _PAIR_MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd mult
+
+    _EMPTY_PART = pa.table({
+        "k1": pa.array([], pa.int64()),
+        "k2": pa.array([], pa.int64()),
+        "w1": pa.array([], pa.string()),
+        "w2": pa.array([], pa.string()),
+        "n_p": pa.array([], pa.int64()),
+        "part": pa.array([], pa.int64()),
+    })
 
     def partial(b: pa.Table) -> pa.Table:
         words = pc.split_pattern(b["text"], " ")
@@ -1200,38 +1217,50 @@ def cooccurrence_topk(sf_dir: str, window: int = 2, topn: int = 30,
         doc_of = pc.list_parent_indices(words).to_numpy(
             zero_copy_only=False
         )
-        w1s, w2s = [], []
-        for d in range(1, window + 1):
-            if toks.size <= d:
-                break
-            a, c = toks[:-d], toks[d:]
-            same = doc_of[:-d] == doc_of[d:]
-            a, c = a[same], c[same]
-            lo = np.where(a <= c, a, c)
-            hi = np.where(a <= c, c, a)
-            w1s.append(lo)
-            w2s.append(hi)
-        if not w1s:
-            return pa.table({
-                "w1": pa.array([], pa.string()),
-                "w2": pa.array([], pa.string()),
-                "n_p": pa.array([], pa.int64()),
-                "part": pa.array([], pa.int64()),
-            })
-        w1 = np.concatenate(w1s).astype(str)
-        w2 = np.concatenate(w2s).astype(str)
-        key = np.char.add(np.char.add(w1, "\x1f"), w2)
-        uk, first, cnt = np.unique(
-            key, return_index=True, return_counts=True
-        )
-        h = pd.util.hash_array(
-            np.asarray(uk, dtype=object)
+        if toks.size == 0:
+            return _EMPTY_PART
+        th = pd.util.hash_array(
+            np.asarray(toks, dtype=object)
         ).astype(np.uint64)
+        th2 = mix64(th ^ _SEED2)
+        w1s, w2s, k1s, k2s = [], [], [], []
+        with np.errstate(over="ignore"):
+            for d in range(1, window + 1):
+                if toks.size <= d:
+                    break
+                same = doc_of[:-d] == doc_of[d:]
+                a, c = toks[:-d][same], toks[d:][same]
+                ha, hc = th[:-d][same], th[d:][same]
+                ha2, hc2 = th2[:-d][same], th2[d:][same]
+                le = a <= c
+                w1s.append(np.where(le, a, c))
+                w2s.append(np.where(le, c, a))
+                lo1 = np.where(le, ha, hc)
+                hi1 = np.where(le, hc, ha)
+                lo2 = np.where(le, ha2, hc2)
+                hi2 = np.where(le, hc2, ha2)
+                k1s.append(mix64(lo1 * _PAIR_MIX + hi1))
+                k2s.append(mix64(lo2 * _PAIR_MIX + hi2))
+        if not k1s:
+            return _EMPTY_PART
+        k1 = np.concatenate(k1s)
+        k2 = np.concatenate(k2s)
+        kk = np.stack([k1.view(np.int64), k2.view(np.int64)], axis=1)
+        uk, first, cnt = np.unique(
+            kk, axis=0, return_index=True, return_counts=True
+        )
+        w1 = np.concatenate(w1s)[first]
+        w2 = np.concatenate(w2s)[first]
         return pa.table({
-            "w1": pa.array(w1[first], pa.string()),
-            "w2": pa.array(w2[first], pa.string()),
+            "k1": pa.array(uk[:, 0], pa.int64()),
+            "k2": pa.array(uk[:, 1], pa.int64()),
+            "w1": pa.array(w1.astype(str), pa.string()),
+            "w2": pa.array(w2.astype(str), pa.string()),
             "n_p": pa.array(cnt.astype(np.int64), pa.int64()),
-            "part": pa.array((h % np.uint64(parts)).astype(np.int64)),
+            "part": pa.array(
+                (np.ascontiguousarray(uk[:, 0]).view(np.uint64)
+                 % np.uint64(parts)).astype(np.int64)
+            ),
         })
 
     def reduce_part(g: pa.Table) -> pa.Table:
@@ -1242,18 +1271,20 @@ def cooccurrence_topk(sf_dir: str, window: int = 2, topn: int = 30,
         })
         if g.num_rows == 0:
             return empty
-        w1 = g["w1"].to_numpy(zero_copy_only=False).astype(str)
-        w2 = g["w2"].to_numpy(zero_copy_only=False).astype(str)
+        kk = np.stack([
+            g["k1"].to_numpy(zero_copy_only=False),
+            g["k2"].to_numpy(zero_copy_only=False),
+        ], axis=1)
         n_p = g["n_p"].to_numpy(zero_copy_only=False)
-        key = np.char.add(np.char.add(w1, "\x1f"), w2)
         uk, first, inv = np.unique(
-            key, return_index=True, return_inverse=True
+            kk, axis=0, return_index=True, return_inverse=True
         )
-        n = np.zeros(uk.size, dtype=np.int64)
+        n = np.zeros(uk.shape[0], dtype=np.int64)
         np.add.at(n, inv, n_p)
+        take = pa.array(first.astype(np.int64), pa.int64())
         return pa.table({
-            "w1": pa.array(w1[first], pa.string()),
-            "w2": pa.array(w2[first], pa.string()),
+            "w1": g["w1"].take(take),
+            "w2": g["w2"].take(take),
             "n_pairs": pa.array(n, pa.int64()),
         })
 
