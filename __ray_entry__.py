@@ -152,12 +152,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     training-data extensions).
 
     ORDERING IS DELIBERATE (rotating driver coverage): the driver's
-    correctness file caps at 50 rows, so the 19 queries that got no
-    driver row in round 3 (the relational/streaming dataops family +
-    media_resize/frame_sample — all judge-verified green under the
-    identical DuckDB gate that round) come FIRST this round; the rest
-    follow in round-3 order.  Every entry keeps its oracle regardless
-    of position (tools/check_oracle.py runs all of them).
+    correctness file caps at 50 rows, so the in-cap prefix holds (a)
+    the queries with no prior driver row (new round-4 operators + the
+    19 rotated in per the round-3 verdict) and (b) every operator
+    whose code was REWRITTEN this round — the whole dedup family
+    (bucket-collapse MinHash/LSH + simhash collapse), its
+    dedup_clusters / corpus_dedup consumers, split_assign /
+    sequence_pack (shared packing refactor) and ann_topk (the shared
+    Arrow-native ``_merge_topk``).  Rotated beyond the cap: entries
+    UNCHANGED since their round-3 driver-green rows (text family,
+    sampling family, the remaining ANN variants, media_features).
+    Every entry keeps its oracle regardless of position
+    (tools/check_oracle.py runs all 73).
     """
     return {
         # ---- NEW this round (driver rows needed first)
@@ -210,6 +216,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- interleaved-documents span operators (SQL-oracled)
         "span_links": _il.span_links,
         "span_kind_counts": _il.span_kind_counts,
+        # ---- dedup family (REWRITTEN this round: in-cap)
+        "exact_dedup": _dd.exact_dedup,
+        "minhash_lsh_pairs": _dd.minhash_lsh_pairs,
+        "simhash": _dd.simhash,
+        "simhash_dup_pairs": _dd.simhash_dup_pairs,
+        "ngram_jaccard_pairs": _dd.ngram_jaccard_pairs,
+        "incremental_dedup": _dd.incremental_dedup,
+        "embedding_dups": _dd.embedding_dup_pairs,
+        # ---- curation consumers of the rewritten pair stage (in-cap)
+        "dedup_clusters": _cu.dedup_clusters,
+        "embedding_clusters": _cu.embedding_clusters,
+        "corpus_dedup": _cu.corpus_dedup,
+        # ---- changed this round (shared packing / bucket helpers)
+        "split_assign": _cu.split_assign,
+        "sequence_pack": _cu.sequence_pack,
+        # ---- shared Arrow-native _merge_topk representative (in-cap)
+        "ann_topk": _ann.ann_topk,
+        # ================= driver 50-row cap boundary =================
+        # everything below is UNCHANGED since its round-3 driver-green
+        # (or judge-green) row; oracles still run via check_oracle.py
         # ---- text analysis
         "token_stats": _tx.token_stats,
         "bpe_token_count": _tx.bpe_token_count,
@@ -223,27 +249,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_size": _tx.vocab_size,
         "hll_vocab": _tx.hll_vocab,
         "fingerprints": _tx.fingerprints,
-        # ---- dedup family
-        "exact_dedup": _dd.exact_dedup,
-        "minhash_lsh_pairs": _dd.minhash_lsh_pairs,
-        "simhash": _dd.simhash,
-        "simhash_dup_pairs": _dd.simhash_dup_pairs,
-        "ngram_jaccard_pairs": _dd.ngram_jaccard_pairs,
-        "incremental_dedup": _dd.incremental_dedup,
-        "embedding_dups": _dd.embedding_dup_pairs,
-        # ---- corpus curation (clusters → dedup → decontaminate → sample)
-        "dedup_clusters": _cu.dedup_clusters,
-        "embedding_clusters": _cu.embedding_clusters,
-        "corpus_dedup": _cu.corpus_dedup,
+        # ---- corpus curation (decontaminate → sample)
         "decontaminate": _cu.decontaminate,
         "quality_sample": _cu.quality_sample,
-        "split_assign": _cu.split_assign,
         "corpus_shuffle": _cu.corpus_shuffle,
         "lang_balanced_sample": _cu.lang_balanced_sample,
         "source_mix_sample": _cu.source_mix_sample,
-        "sequence_pack": _cu.sequence_pack,
-        # ---- similarity search
-        "ann_topk": _ann.ann_topk,
+        # ---- similarity search variants
         "ann_topk_filtered": _ann.ann_topk_filtered,
         "ann_ivf": _ann.ann_ivf,
         "ann_ivf_fullprobe": _ann.ann_ivf_fullprobe,
