@@ -39,7 +39,8 @@ BENCH_QUERIES = [
     "pricing_summary", "junction_min_position", "top_customers",
     "orders_by_month", "events_hourly", "props_field_stats",
     "sessionize", "latest_user_state", "user_running_total",
-    "events_sliding", "latest_order_before_event",
+    "events_sliding", "latest_order_before_event", "event_funnel",
+    "orders_topn_per_customer", "price_winsorize", "kmeans_assign",
     "token_stats", "bpe_token_count", "langid", "simhash", "fingerprints",
     "exact_dedup", "minhash_lsh_pairs", "simhash_dup_pairs",
     "embedding_dups", "incremental_dedup",

@@ -45,6 +45,10 @@ QUERIES = [
     "user_running_total",
     "props_field_stats",                        # JSON-field extraction
     "events_sliding", "latest_order_before_event",  # window / as-of
+    "event_funnel",                             # ordered step sequence
+    "orders_topn_per_customer",                 # per-key windowed top-n
+    "price_winsorize",                          # percentile clipping
+    "kmeans_assign",                            # distributed Lloyd
 ]
 
 

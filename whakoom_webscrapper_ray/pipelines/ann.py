@@ -455,3 +455,150 @@ def ann_ivf_fullprobe(sf_dir: str, k: int = 10, num_queries: int = 8,
     of the plumbing is."""
     return ann_ivf(sf_dir, k=k, num_queries=num_queries,
                    n_centroids=n_centroids, nprobe=n_centroids)
+
+
+# ------------------------------------------- distributed k-means (Lloyd)
+_KM_K = 8
+_KM_ITERS = 2
+
+
+def _km_seeds(emb: ray.data.Dataset, k: int) -> np.ndarray:
+    """Deterministic seeds: embeddings of the k SMALLEST vec_ids,
+    gathered by a per-block partial top-k (each block emits at most k
+    candidate rows) + a tiny driver-side final select — never a full
+    sort or a driver materialization of the corpus."""
+    def local_min_k(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        take = np.argsort(ids)[:k]
+        return b.take(pa.array(take, pa.int64()))
+
+    cand = emb.map_batches(local_min_k, batch_format="pyarrow")
+    t = pa.concat_tables(
+        list(cand.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    order = np.argsort(t["vec_id"].to_numpy(zero_copy_only=False))[:k]
+    t = t.take(pa.array(order, pa.int64()))
+    return emb_matrix(t["embedding"]).astype(np.float64)
+
+
+def _km_cosine(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """(n, k) cosine similarities in float64: dot(a, c)/(|a||c|) —
+    the same formula DuckDB's list_cosine_similarity evaluates, so
+    argmax decisions agree (cluster margins are ~1e-1; cross-engine
+    summation-order drift is ~1e-15)."""
+    num = mat @ cent.T
+    den = (np.linalg.norm(mat, axis=1, keepdims=True)
+           * np.linalg.norm(cent, axis=1, keepdims=True).T)
+    return num / den
+
+
+def kmeans_assign(sf_dir: str, k: int = _KM_K,
+                  iters: int = _KM_ITERS) -> ray.data.Dataset:
+    """(vec_id, cluster): k-means cluster assignment after ``iters``
+    Lloyd updates from deterministic seeds (the k lowest vec_ids) —
+    the semantic-clustering primitive (SemDeDup-style curation buckets,
+    IVF coarse quantizers) as a first-class distributed operator.
+
+    Scale shape per iteration: centroids (k x dim, tiny) broadcast via
+    ``ray.put``; ONE streaming pass computes each block's assignments
+    and collapses them to k partial rows (sum-vector + count) — the
+    shuffle moves k rows per block, never vectors.  Driver reduces
+    k x nblocks partials (tiny) and re-broadcasts.  Final pass emits
+    assignments only.  Empty clusters keep their previous centroid.
+    The projected (vec_id, embedding) read is materialized ONCE and
+    reused across the iters+1 passes (same checkpoint pattern as
+    link_rank's iterative state).
+
+    Assignment = argmax cosine, ties to the lowest cluster id; floats
+    stay float64 end-to-end to track the SQL oracle's double math.
+    """
+    emb = read(sf_dir, "embeddings",
+               columns=["vec_id", "embedding"]).materialize()
+    cent = _km_seeds(emb, k)
+    dim = cent.shape[1]
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(b: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref) if not isinstance(_ref, np.ndarray) else _ref
+            mat = emb_matrix(b["embedding"]).astype(np.float64)
+            a = np.argmax(_km_cosine(mat, c), axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, mat)
+            cnt = np.bincount(a, minlength=c.shape[0])
+            return pa.table({
+                "cid": pa.array(np.arange(c.shape[0]), pa.int64()),
+                "s": pa.array(list(sums), pa.list_(pa.float64())),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            })
+
+        parts = pa.concat_tables(list(
+            emb.map_batches(partial, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        ))
+        cid = parts["cid"].to_numpy(zero_copy_only=False)
+        n = parts["n"].to_numpy(zero_copy_only=False)
+        flat = np.asarray(
+            parts["s"].combine_chunks().flatten().to_numpy(
+                zero_copy_only=False
+            )
+        ).reshape(-1, dim)
+        sums = np.zeros((k, dim))
+        np.add.at(sums, cid, flat)
+        cnt = np.zeros(k, dtype=np.int64)
+        np.add.at(cnt, cid, n)
+        nonempty = cnt > 0
+        cent = cent.copy()
+        cent[nonempty] = sums[nonempty] / cnt[nonempty, None]
+
+    ref = ray.put(cent)
+
+    def assign(b: pa.Table, _ref=ref) -> pa.Table:
+        c = ray.get(_ref) if not isinstance(_ref, np.ndarray) else _ref
+        mat = emb_matrix(b["embedding"]).astype(np.float64)
+        a = np.argmax(_km_cosine(mat, c), axis=1)
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "cluster": pa.array(a.astype(np.int64), pa.int64()),
+        })
+
+    return emb.map_batches(assign, batch_format="pyarrow")
+
+
+def kmeans_assign_oracle_sql(k: int = _KM_K, iters: int = _KM_ITERS,
+                             dim: int = 64) -> str:
+    """Chained-CTE Lloyd iterations: assignment via
+    list_cosine_similarity argmax (row_number ties to lowest cid),
+    centroid update via per-dimension avg re-packed with
+    list(... ORDER BY dim); empty clusters COALESCE to the previous
+    centroid — mirroring the engine exactly."""
+    ctes = [f"""emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+  FROM emb ORDER BY vec_id LIMIT {k}
+)"""]
+    for i in range(iters + 1):
+        ctes.append(f"""a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cid
+           ) AS rn
+    FROM emb e CROSS JOIN c{i} c) WHERE rn = 1
+)""")
+        if i < iters:
+            ctes.append(f"""c{i + 1} AS (
+  SELECT c{i}.cid, COALESCE(u.nv, c{i}.v) AS v
+  FROM c{i} LEFT JOIN (
+    SELECT cid, list(av ORDER BY dim) AS nv FROM (
+      SELECT a{i}.cid, d.dim, avg(e.v[d.dim]) AS av
+      FROM a{i} JOIN emb e USING (vec_id)
+      CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS dim) d
+      GROUP BY a{i}.cid, d.dim) GROUP BY cid) u USING (cid)
+)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT vec_id, cid AS cluster FROM a{iters}")

@@ -1441,3 +1441,315 @@ WHERE r_name = 'ASIA'
   AND o_orderdate <  TIMESTAMP '1997-01-01'
 GROUP BY n_name
 """
+
+
+# --------------------------------------------- ordered funnel (sequence)
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_S = 3 * 86400
+
+
+def event_funnel(sf_dir: str, steps: tuple[str, ...] = FUNNEL_STEPS,
+                 window_s: int = FUNNEL_WINDOW_S,
+                 parts: int = 64) -> ray.data.Dataset:
+    """(user_id, stage, first_ts, last_ts): ordered multi-step funnel —
+    how far each user progressed through ``steps`` (strictly increasing
+    timestamps, greedy earliest completion) within ``window_s`` of the
+    first step.  The sequence-analytics operator missing from the plain
+    window family: sessionize groups by gap, this matches an ORDERED
+    event-type pattern per user.
+
+    Greedy-earliest semantics (deterministic, SQL-expressible):
+    t1 = min ts of step-1 events; t_{i+1} = min ts of step-(i+1) events
+    with ts > t_i.  The t_i are strictly increasing, so the window
+    check (t_i - t1 <= window) is monotone and the reached stage is a
+    simple count.  Users with no step-1 event don't appear.
+
+    Scale shape: type-filter + hash-partition by user (ONE shuffle of
+    only the funnel-relevant rows), then a per-partition vectorized
+    sweep — one ``np.minimum.at`` per step over compacted user slots,
+    never a per-user loop.  Same transport as sessionize; raise
+    ``parts`` with user cardinality.
+    """
+    step_list = list(steps)
+
+    def tag_part(b: pa.Table) -> pa.Table:
+        from .text import mix64
+
+        code = pc.index_in(b["event_type"],
+                           pa.array(step_list, pa.string()))
+        keep = pc.is_valid(code)
+        t = b.filter(keep)
+        code = pc.cast(pc.drop_null(code), pa.int64())
+        k = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts": t["ts"],
+            "code": code,
+            "part": pa.array(
+                (mix64(k.view(np.uint64)) % np.uint64(parts)).astype(
+                    np.int64
+                )
+            ),
+        })
+
+    n_steps = len(step_list)
+    window_us = np.int64(window_s) * 1_000_000
+    sentinel = np.iinfo(np.int64).max
+
+    def sweep(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "stage": pa.array([], pa.int64()),
+                "first_ts": pa.array([], pa.timestamp("us")),
+                "last_ts": pa.array([], pa.timestamp("us")),
+            })
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").view(np.int64)
+        code = g["code"].to_numpy(zero_copy_only=False)
+        uu, idx = np.unique(uid, return_inverse=True)
+        t = np.full((n_steps, uu.size), sentinel, dtype=np.int64)
+        for i in range(n_steps):
+            m = code == i
+            if i == 0:
+                np.minimum.at(t[0], idx[m], ts[m])
+            else:
+                # prev==sentinel ⇒ ts > prev impossible ⇒ t[i] only
+                # set where the prior step completed
+                m = m & (ts > t[i - 1][idx])
+                np.minimum.at(t[i], idx[m], ts[m])
+        started = t[0] != sentinel
+        # stage = count of steps reached within the window (monotone:
+        # t_i strictly increase, so the first failure stops the count)
+        reached = (t != sentinel) & (t - t[0] <= window_us)
+        stage = np.cumprod(reached, axis=0).sum(axis=0)
+        last = t[np.maximum(stage - 1, 0), np.arange(uu.size)]
+        return pa.table({
+            "user_id": pa.array(uu[started], pa.int64()),
+            "stage": pa.array(stage[started], pa.int64()),
+            "first_ts": pa.array(
+                t[0][started].view("datetime64[us]")),
+            "last_ts": pa.array(last[started].view("datetime64[us]")),
+        })
+
+    return (
+        read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+        .map_batches(tag_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sweep, batch_format="pyarrow")
+    )
+
+
+ORACLE_EVENT_FUNNEL = f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT s1.user_id,
+       CAST(CASE
+         WHEN t3 IS NOT NULL
+              AND t3 - t1 <= INTERVAL {FUNNEL_WINDOW_S} SECOND THEN 3
+         WHEN t2 IS NOT NULL
+              AND t2 - t1 <= INTERVAL {FUNNEL_WINDOW_S} SECOND THEN 2
+         ELSE 1 END AS BIGINT) AS stage,
+       t1 AS first_ts,
+       CASE
+         WHEN t3 IS NOT NULL
+              AND t3 - t1 <= INTERVAL {FUNNEL_WINDOW_S} SECOND THEN t3
+         WHEN t2 IS NOT NULL
+              AND t2 - t1 <= INTERVAL {FUNNEL_WINDOW_S} SECOND THEN t2
+         ELSE t1 END AS last_ts
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
+# ----------------------------------------------- per-key top-n (window)
+def orders_topn_per_customer(sf_dir: str, n: int = 3,
+                             parts: int = 64) -> ray.data.Dataset:
+    """(o_custkey, rn, o_orderkey, price_cents): each customer's top-n
+    orders by (o_totalprice DESC, o_orderkey ASC) — the ROW_NUMBER()
+    windowed top-n shape over a HIGH-cardinality key (every customer),
+    complementing top_customers' global sort/limit.
+
+    Scale shape: hash-partition by customer (one shuffle), then ONE
+    lexsort per partition ranks every customer's orders at once —
+    segment starts via the key-change mask, rank = position minus the
+    segment start, no per-key work.  Raise ``parts`` with customer
+    cardinality.
+    """
+    def add_part(b: pa.Table) -> pa.Table:
+        from .text import mix64
+
+        k = b["o_custkey"].to_numpy(zero_copy_only=False)
+        return b.append_column("part", pa.array(
+            (mix64(k.view(np.uint64)) % np.uint64(parts)).astype(
+                np.int64
+            )
+        ))
+
+    def topn(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "o_custkey": pa.array([], pa.int64()),
+                "rn": pa.array([], pa.int64()),
+                "o_orderkey": pa.array([], pa.int64()),
+                "price_cents": pa.array([], pa.int64()),
+            })
+        cust = g["o_custkey"].to_numpy(zero_copy_only=False)
+        okey = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        price = g["o_totalprice"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, -price, cust))
+        cust, okey, price = cust[order], okey[order], price[order]
+        new_key = np.r_[True, cust[1:] != cust[:-1]]
+        seg_start = np.maximum.accumulate(
+            np.where(new_key, np.arange(cust.size), 0)
+        )
+        rn = np.arange(cust.size) - seg_start + 1
+        keep = rn <= n
+        return pa.table({
+            "o_custkey": pa.array(cust[keep], pa.int64()),
+            "rn": pa.array(rn[keep], pa.int64()),
+            "o_orderkey": pa.array(okey[keep], pa.int64()),
+            "price_cents": pa.array(
+                np.floor(price[keep] * 100.0).astype(np.int64),
+                pa.int64(),
+            ),
+        })
+
+    return (
+        read(sf_dir, "orders",
+             columns=["o_custkey", "o_orderkey", "o_totalprice"])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(topn, batch_format="pyarrow")
+    )
+
+
+ORACLE_ORDERS_TOPN = """
+SELECT o_custkey, rn, o_orderkey, price_cents FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders)
+WHERE rn <= 3
+"""
+
+
+# -------------------------------------- percentile clip (winsorize)
+_WINS_LO, _WINS_HI = 0.05, 0.95
+
+
+def price_winsorize(sf_dir: str) -> ray.data.Dataset:
+    """(l_returnflag, l_linestatus, n_rows, n_low, n_high,
+    sum_wins_cents): per-group discrete-percentile winsorization of
+    l_extendedprice — the outlier-trim aggregate a quality pipeline
+    runs before normalizing numeric features.
+
+    Boundaries are DISCRETE percentiles (actual order statistics,
+    numpy ``inverted_cdf`` == DuckDB ``percentile_disc``: element at
+    ceil(p*n)-1) so lo/hi are exact data values and both engines clip
+    against identical doubles; the clipped sum is exact integer cents.
+
+    Two passes, both streaming: (1) per-group boundary quantiles —
+    the group key is 6-valued so a per-group gather is partition-sized
+    (at 100 TB swap in a distributed selection / t-digest here);
+    (2) boundaries broadcast into a map-side clip + cents projection,
+    reduced by the canonical two-phase partial aggregate.
+    """
+    bounds_ds = (
+        read(sf_dir, "lineitem",
+             columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+        .groupby(["l_returnflag", "l_linestatus"])
+        .map_groups(_wins_bounds, batch_format="pyarrow")
+    )
+    bounds = {
+        (r["l_returnflag"], r["l_linestatus"]): (r["lo"], r["hi"])
+        for r in bounds_ds.take_all()  # ≤ |rf|x|ls| rows: tiny
+    }
+
+    def clip_project(b: pa.Table) -> pa.Table:
+        rf = b["l_returnflag"].to_numpy(zero_copy_only=False)
+        ls = b["l_linestatus"].to_numpy(zero_copy_only=False)
+        x = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        lo = np.empty(x.size)
+        hi = np.empty(x.size)
+        # group key is 6-valued: per-value masks, not per-row lookups
+        for (kr, kl), (blo, bhi) in bounds.items():
+            m = (rf == kr) & (ls == kl)
+            lo[m], hi[m] = blo, bhi
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "low": pa.array((x < lo).astype(np.int64), pa.int64()),
+            "high": pa.array((x > hi).astype(np.int64), pa.int64()),
+            "wins_cents": pa.array(
+                np.floor(np.minimum(np.maximum(x, lo), hi) * 100.0)
+                .astype(np.int64), pa.int64()),
+        })
+
+    src = read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus",
+                        "l_extendedprice"])
+    return two_phase_agg(
+        src.map_batches(clip_project, batch_format="pyarrow"),
+        keys=["l_returnflag", "l_linestatus"],
+        sums={"low": "n_low", "high": "n_high",
+              "wins_cents": "sum_wins_cents"},
+        count_alias="n_rows",
+    )
+
+
+def _wins_bounds(g: pa.Table) -> pa.Table:
+    if g.num_rows == 0:
+        return pa.table({
+            "l_returnflag": pa.array([], pa.string()),
+            "l_linestatus": pa.array([], pa.string()),
+            "lo": pa.array([], pa.float64()),
+            "hi": pa.array([], pa.float64()),
+        })
+    x = np.sort(g["l_extendedprice"].to_numpy(zero_copy_only=False))
+    lo = x[max(min(int(np.ceil(_WINS_LO * x.size)) - 1, x.size - 1), 0)]
+    hi = x[max(min(int(np.ceil(_WINS_HI * x.size)) - 1, x.size - 1), 0)]
+    return pa.table({
+        "l_returnflag": g["l_returnflag"][:1],
+        "l_linestatus": g["l_linestatus"][:1],
+        "lo": pa.array([lo], pa.float64()),
+        "hi": pa.array([hi], pa.float64()),
+    })
+
+
+ORACLE_PRICE_WINSORIZE = f"""
+WITH b AS (
+  SELECT l_returnflag, l_linestatus,
+         percentile_disc({_WINS_LO}) WITHIN GROUP
+           (ORDER BY l_extendedprice) AS lo,
+         percentile_disc({_WINS_HI}) WITHIN GROUP
+           (ORDER BY l_extendedprice) AS hi
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+)
+SELECT l.l_returnflag, l.l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low,
+       CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_high,
+       CAST(sum(CAST(floor(
+         least(greatest(l_extendedprice, lo), hi) * 100)
+         AS BIGINT)) AS BIGINT) AS sum_wins_cents
+FROM lineitem l
+JOIN b USING (l_returnflag, l_linestatus)
+GROUP BY l.l_returnflag, l.l_linestatus
+"""
