@@ -175,6 +175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_topn_per_customer": _do.orders_topn_per_customer,
         "price_winsorize": _do.price_winsorize,
         "kmeans_assign": _ann.kmeans_assign,
+        "attribution_window": _do.attribution_window,
+        "event_type_pivot": _do.event_type_pivot,
         # ---- relational / streaming operators (round-4 rotation head)
         "docs_filter_project": _do.docs_filter_project,
         "pricing_summary": _do.pricing_summary,
@@ -265,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix_sample": _cu.source_mix_sample,
         # ---- similarity search variants
         "ann_topk_filtered": _ann.ann_topk_filtered,
+        "ann_range": _ann.ann_range,
         "ann_ivf": _ann.ann_ivf,
         "ann_ivf_fullprobe": _ann.ann_ivf_fullprobe,
         "ann_lsh": _ann.ann_lsh,
@@ -309,6 +312,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_topn_per_customer": _do.ORACLE_ORDERS_TOPN,
         "price_winsorize": _do.ORACLE_PRICE_WINSORIZE,
         "kmeans_assign": _ann.kmeans_assign_oracle_sql(),
+        "attribution_window": _do.ORACLE_ATTRIBUTION,
+        "event_type_pivot": _do.ORACLE_EVENT_PIVOT,
         "token_stats": _tx.ORACLE_TOKEN_STATS,
         "bpe_token_count": _tx.ORACLE_BPE_TOKEN_COUNT,
         "quality_score": _tx.ORACLE_QUALITY_SCORE,
@@ -342,6 +347,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack": _cu.sequence_pack_oracle_sql(),
         "ann_topk": _ann.oracle_ann_topk(),
         "ann_topk_filtered": _ann.oracle_ann_topk_filtered(),
+        "ann_range": _ann.oracle_ann_range(),
         # full-probe IVF must equal the exact top-k bit for bit — the
         # IVF machinery's hard oracle (approximation quality itself
         # stays a recall pytest on the nprobe<K path)

@@ -49,6 +49,9 @@ QUERIES = [
     "orders_topn_per_customer",                 # per-key windowed top-n
     "price_winsorize",                          # percentile clipping
     "kmeans_assign",                            # distributed Lloyd
+    "attribution_window",                       # range / interval join
+    "event_type_pivot",                         # long→wide crosstab
+    "ann_range",                                # radius vector search
 ]
 
 

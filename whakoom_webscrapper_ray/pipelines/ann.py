@@ -602,3 +602,85 @@ c0 AS (
 )""")
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT vec_id, cid AS cluster FROM a{iters}")
+
+
+# ------------------------------------------- radius (range) search
+_RANGE_TAU = 0.35
+
+
+def ann_range(sf_dir: str, tau: float = _RANGE_TAU,
+              num_queries: int = 8) -> ray.data.Dataset:
+    """(query_id, neighbor_id, rank): RADIUS similarity search — every
+    corpus vector with cosine >= ``tau`` per query, ranked by
+    (sim DESC, neighbor_id ASC).  The "find everything similar enough"
+    retrieval shape, complementing top-k (ann_topk) — the result size
+    is data-driven, not fixed.
+
+    Scale shape: the threshold filter IS the combiner — each batch
+    emits only its qualifying rows after one matmul against the
+    broadcast query matrix, so shuffled rows per query = radius
+    selectivity x corpus, never the corpus itself.  The final
+    per-query merge only sorts qualifying rows (bounded by
+    selectivity; at 100 TB pick tau accordingly or cap with a top-k
+    guard).  Scoring runs in float64 here — unlike top-k (rank-only
+    output, margins >> f32 error), a global threshold compares
+    bit-for-bit against the float64 oracle, and the (Q x batch)
+    matmul is far below the big-dgemm pathology noted in emb_matrix.
+    """
+    from .common import deref
+
+    q_ref = ray.put(_load_queries(sf_dir, num_queries))
+
+    def radius_score(batch: pa.Table, q_ref=None) -> pa.Table:
+        qids, qmat = deref(q_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        mat = emb_matrix(batch["embedding"]).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = qmat.astype(np.float64) @ mat.T            # (Q, batch)
+        qi, ni = np.nonzero(sims >= tau)
+        return pa.table({
+            "query_id": pa.array(qids[qi], pa.int64()),
+            "neighbor_id": pa.array(ids[ni], pa.int64()),
+            "sim": pa.array(sims[qi, ni], pa.float64()),
+        })
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        sim = g["sim"].to_numpy(zero_copy_only=False)
+        nid = g["neighbor_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, -sim))
+        t = g.take(pa.array(order, pa.int64()))
+        return pa.table({
+            "query_id": t["query_id"],
+            "neighbor_id": t["neighbor_id"],
+            "rank": pa.array(
+                np.arange(1, order.size + 1, dtype=np.int64),
+                pa.int64()),
+        })
+
+    return (
+        read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(radius_score, fn_kwargs={"q_ref": q_ref},
+                     batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(rank_group, batch_format="pyarrow")
+    )
+
+
+def oracle_ann_range(tau: float = _RANGE_TAU,
+                     num_queries: int = 8) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings ORDER BY vec_id LIMIT {num_queries}
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q CROSS JOIN embeddings e
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+       ) AS BIGINT) AS rank
+FROM scored WHERE sim >= {tau}
+"""

@@ -1753,3 +1753,176 @@ FROM lineitem l
 JOIN b USING (l_returnflag, l_linestatus)
 GROUP BY l.l_returnflag, l.l_linestatus
 """
+
+
+# -------------------------------------------- range join (custom op)
+_ATTR_WIN_US = 3_600 * 1_000_000  # 1-hour attribution window
+
+
+def attribution_window(sf_dir: str, parts: int = 64) -> ray.data.Dataset:
+    """(event_id, user_id, n_views_1h, n_clicks_1h): for every
+    purchase event, how many view / click events the SAME user fired
+    in the hour before it (``t - 1h <= e2.ts < t``) — the RANGE /
+    interval join, the ad-attribution shape Ray Data has no primitive
+    for.
+
+    Composition (same skeleton as the as-of join above): map-side
+    filter to the three participating event types, ONE hash shuffle on
+    the user key, then a single vectorized sweep per partition.  Range
+    bounds use rank-compressed surrogates like the as-of sweep, with
+    one twist: the lower bound ``t - 1h`` is not an existing timestamp,
+    so the rank vocabulary is ``unique(ts ∪ purchase_ts - 1h)`` — both
+    bounds are then exact members and two ``searchsorted`` calls per
+    side count the window without any per-user loop.  Partition
+    blowup is bounded by the window width x per-user rate (pairs are
+    never materialized — only counts).  Raise ``parts`` with user
+    cardinality.
+    """
+    events = read(sf_dir, "events",
+                  columns=["event_id", "ts", "user_id", "event_type"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        from .text import mix64
+
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array(["purchase", "view", "click"]))
+        b = b.filter(keep)
+        # side: 0 = purchase (probe), 1 = view, 2 = click (build)
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        side = np.where(et == "purchase", 0,
+                        np.where(et == "view", 1, 2)).astype(np.int8)
+        k = pc.cast(b["user_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "key": pa.array(k, pa.int64()),
+            "event_id": pc.cast(b["event_id"], pa.int64()),
+            "ts": b["ts"],
+            "side": pa.array(side, pa.int8()),
+            "part": pa.array(
+                (mix64(k.view(np.uint64)) % np.uint64(parts)).astype(
+                    np.int64)),
+        })
+
+    def sweep(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "n_views_1h": pa.array([], pa.int64()),
+            "n_clicks_1h": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        side = g["side"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").view(np.int64)
+        probe = side == 0
+        if not probe.any():
+            return empty
+        pkey, pts = key[probe], ts[probe]
+        eids = g["event_id"].to_numpy(zero_copy_only=False)[probe]
+        # rank vocabulary includes BOTH window bounds exactly
+        uts = np.unique(np.concatenate([ts, pts - _ATTR_WIN_US]))
+        span = uts.size + 1
+        uk = np.unique(key)
+        if uk.size * span >= 2**63:  # pragma: no cover - heap-bound
+            raise AssertionError(
+                "range-join surrogate would overflow int64: raise "
+                f"`parts` ({uk.size} users x {span} ts ranks)")
+        pu = np.searchsorted(uk, pkey).astype(np.int64)
+        lo = pu * span + np.searchsorted(uts, pts - _ATTR_WIN_US)
+        hi = pu * span + np.searchsorted(uts, pts)  # rank(t): excludes t
+        out = {"event_id": pa.array(eids, pa.int64()),
+               "user_id": pa.array(pkey, pa.int64())}
+        for s, name in ((1, "n_views_1h"), (2, "n_clicks_1h")):
+            m = side == s
+            su = np.searchsorted(uk, key[m]).astype(np.int64)
+            sur = np.sort(su * span + np.searchsorted(uts, ts[m]))
+            out[name] = pa.array(
+                (np.searchsorted(sur, hi, side="left")
+                 - np.searchsorted(sur, lo, side="left")).astype(
+                     np.int64), pa.int64())
+        return pa.table(out)
+
+    return (
+        events.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sweep, batch_format="pyarrow")
+    )
+
+
+ORACLE_ATTRIBUTION = """
+SELECT p.event_id, p.user_id,
+       CAST(count(*) FILTER (WHERE e.event_type = 'view')
+            AS BIGINT) AS n_views_1h,
+       CAST(count(*) FILTER (WHERE e.event_type = 'click')
+            AS BIGINT) AS n_clicks_1h
+FROM events p
+LEFT JOIN events e
+  ON e.user_id = p.user_id
+ AND e.event_type IN ('view', 'click')
+ AND e.ts >= p.ts - INTERVAL 1 HOUR
+ AND e.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------- pivot / crosstab
+# The pivot's column set is a DECLARED schema, not discovered from the
+# data: a streaming engine cannot grow output columns mid-stream, and
+# at 100 TB a discovery pass would be a full extra read.  (Same
+# contract as SQL PIVOT ... IN (...).)
+PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_type_pivot(sf_dir: str, parts: int = 64) -> ray.data.Dataset:
+    """(user_id, n_click, n_error, n_purchase, n_signup, n_view,
+    value_cents_total): per-user crosstab of event counts by type plus
+    the exact-cents value total — the long→wide PIVOT shape.
+
+    Map-side one-hot projection (one int64 column per declared type)
+    collapses each block via the Arrow group-by partial, then the
+    coarse hash-partition merge reduces per user — user_id is a
+    HIGH-cardinality key, so this rides ``hash_keyed_agg`` (one
+    shuffle of partials, vectorized numpy merge, no per-key work).
+    """
+    from .common import hash_keyed_agg
+
+    src = read(sf_dir, "events",
+               columns=["user_id", "event_type", "value"])
+
+    def onehot(b: pa.Table) -> pa.Table:
+        cols = {"user_id": pc.cast(b["user_id"], pa.int64())}
+        for t in PIVOT_EVENT_TYPES:
+            cols[f"is_{t}"] = pc.cast(
+                pc.equal(b["event_type"], t), pa.int64())
+        cols["value_cents"] = _floor_cents(b["value"])
+        return pa.table(cols)
+
+    return hash_keyed_agg(
+        src.map_batches(onehot, batch_format="pyarrow"),
+        key="user_id",
+        sums={**{f"is_{t}": f"n_{t}" for t in PIVOT_EVENT_TYPES},
+              "value_cents": "value_cents_total"},
+        parts=parts,
+    )
+
+
+ORACLE_EVENT_PIVOT = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_view,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+            AS value_cents_total
+FROM events
+GROUP BY 1
+"""
