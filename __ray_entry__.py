@@ -258,6 +258,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_terms": _tx.redact_terms,
         "vocab_size": _tx.vocab_size,
         "hll_vocab": _tx.hll_vocab,
+        "term_counts_topk": _tx.term_counts_topk,
+        "heavy_hitters": _tx.heavy_hitters,
         "fingerprints": _tx.fingerprints,
         # ---- corpus curation (decontaminate → sample)
         "decontaminate": _cu.decontaminate,
@@ -322,6 +324,7 @@ def oracle_sql() -> dict[str, str]:
         "token_quantiles": _tx.ORACLE_TOKEN_QUANTILES,
         "lang_token_quantiles": _tx.ORACLE_LANG_TOKEN_QUANTILES,
         "ngram_df_topk": _tx.ngram_df_topk_oracle_sql(),
+        "term_counts_topk": _tx.term_counts_topk_oracle_sql(),
         "redact_terms": _tx.ORACLE_REDACT_TERMS,
         # hll_vocab: deterministic sketch, not SQL-expressible — its
         # machinery is hard-checked by the exact vocab_size row plus

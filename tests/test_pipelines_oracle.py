@@ -52,6 +52,7 @@ QUERIES = [
     "attribution_window",                       # range / interval join
     "event_type_pivot",                         # long→wide crosstab
     "ann_range",                                # radius vector search
+    "term_counts_topk",                         # exact heavy hitters
 ]
 
 

@@ -226,6 +226,59 @@ def test_hll_vocab_error_bound(ray_session):
     assert abs(est - exact) / exact < 0.05
 
 
+def _exact_term_counts(sf: str) -> dict[str, int]:
+    import pyarrow.parquet as pq
+
+    from whakoom_webscrapper_ray.pipelines.text import STOPWORDS
+
+    texts = pq.read_table(
+        f"{sf}/documents.parquet", columns=["text"]
+    )["text"].to_pylist()
+    counts: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w not in STOPWORDS:
+                counts[w] = counts.get(w, 0) + 1
+    return counts
+
+
+def test_heavy_hitters_exact_at_large_capacity(ray_session):
+    """With capacity >= vocabulary the MG sketch degenerates to the
+    exact answer — identical terms AND counts as term_counts_topk."""
+    from whakoom_webscrapper_ray.pipelines.text import (
+        heavy_hitters,
+        term_counts_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {(r["term"], r["n"])
+             for r in term_counts_topk(sf).take_all()}
+    est = {(r["term"], r["est_count"])
+           for r in heavy_hitters(sf, capacity=1_000_000).take_all()}
+    assert exact == est
+
+
+def test_heavy_hitters_mg_guarantee(ray_session):
+    """Classic mergeable-MG bound at a deliberately tiny capacity:
+    every term with true count > N/(cap+1) survives, and
+    est <= true <= est + N/(cap+1) for every reported term."""
+    from whakoom_webscrapper_ray.pipelines.text import heavy_hitters
+
+    sf = "/root/testdata/sf0.001"
+    cap = 4
+    counts = _exact_term_counts(sf)
+    n_total = sum(counts.values())
+    bound = n_total / (cap + 1)
+    est = {r["term"]: r["est_count"]
+           for r in heavy_hitters(sf, k=10_000, capacity=cap).take_all()}
+    for term, c in counts.items():
+        if c > bound:
+            assert term in est, (term, c, bound)
+    for term, e in est.items():
+        true = counts[term]
+        assert e <= true <= e + bound, (term, e, true, bound)
+
+
 if __name__ == "__main__":
     import sys
 

@@ -1460,3 +1460,152 @@ SELECT doc_id, term, tf, df, rank FROM (
   FROM tf t JOIN df d USING (term)
 ) WHERE rank <= {k}
 """
+
+
+# --------------------------- heavy hitters (exact + Misra-Gries sketch)
+_HH_K = 30
+
+
+def term_counts_topk(sf_dir: str, k: int = _HH_K,
+                     parts: int = 64) -> ray.data.Dataset:
+    """(term, n): the k most frequent non-stopword tokens by TOTAL
+    occurrence count — the exact companion to ``heavy_hitters`` (same
+    pairing discipline as vocab_size / hll_vocab).
+
+    Same scale shape as ngram_df_topk: per-block Arrow group-by
+    partials (blocks collapse to their distinct terms before any
+    exchange), ONE shuffle keyed by a coarse hash of the term string,
+    vectorized numpy merge per partition, then per-block top-k + one
+    tiny final sort (never more than k x blocks rows).
+    """
+    stop = pa.array(STOPWORDS, pa.string())
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = pc.list_flatten(words)
+        flat = flat.filter(pc.invert(pc.is_in(flat, value_set=stop)))
+        g = pa.TableGroupBy(
+            pa.table({"term": flat}), ["term"]
+        ).aggregate([([], "count_all")])
+        h = token_hashes(g["term"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "term": g["term"], "n_p": g["count_all"],
+            "part": pa.array((h % np.uint64(parts)).astype(np.int64)),
+        })
+
+    def reduce_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        t = g["term"].to_numpy(zero_copy_only=False)
+        c = g["n_p"].to_numpy(zero_copy_only=False)
+        ut, inv = np.unique(t, return_inverse=True)
+        s = np.zeros(ut.size, dtype=np.int64)
+        np.add.at(s, inv, c)
+        return pa.table({"term": pa.array(ut, pa.string()),
+                         "n": pa.array(s, pa.int64())})
+
+    def local_top(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        n = b["n"].to_numpy(zero_copy_only=False)
+        t = b["term"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, -n))[:k]
+        return b.take(pa.array(np.sort(order), pa.int64()))
+
+    return (
+        read(sf_dir, "documents", columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(reduce_part, batch_format="pyarrow")
+        .map_batches(local_top, batch_format="pyarrow")
+        .repartition(1)
+        .sort(["n", "term"], descending=[True, False])
+        .limit(k)
+        .select_columns(["term", "n"])
+    )
+
+
+def term_counts_topk_oracle_sql(k: int = _HH_K) -> str:
+    return f"""
+SELECT term, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+WHERE NOT list_contains({list(STOPWORDS)}, term)
+GROUP BY term
+ORDER BY n DESC, term ASC
+LIMIT {k}
+"""
+
+
+def _mg_compress(terms: np.ndarray, counts: np.ndarray,
+                 capacity: int) -> tuple[np.ndarray, np.ndarray]:
+    """Misra-Gries summary compression: keep the ``capacity`` largest
+    counters, decrement the survivors by the (capacity+1)-th count (the
+    evicted mass bound).  Preserves the MG guarantee under merging:
+    est(t) <= true(t) <= est(t) + sum-of-decrements."""
+    if terms.size <= capacity:
+        return terms, counts
+    order = np.lexsort((terms, -counts))
+    cut = counts[order[capacity]]
+    keep = order[:capacity]
+    dec = np.maximum(counts[keep] - cut, 0)
+    nz = dec > 0
+    return terms[keep][nz], dec[nz]
+
+
+def heavy_hitters(sf_dir: str, k: int = _HH_K,
+                  capacity: int = 4096) -> ray.data.Dataset:
+    """(term, est_count): approximate top-k tokens via a distributed
+    MISRA-GRIES sketch — the bounded-state streaming path for the
+    frequency question ``term_counts_topk`` answers exactly.
+
+    Why it exists at 100 TB: the exact path shuffles one row per
+    distinct (partition, term); a web-scale vocabulary makes that
+    exchange corpus-sized.  The sketch never ships more than
+    ``capacity`` counters per block: each block's exact local counts
+    compress to an MG summary map-side, one tiny gather sums the
+    summaries, and one final compression bounds the driver state.
+    Guarantee (classic MG merge bound): any term with true count
+    > N / (capacity + 1) survives, and
+    est <= true <= est + N / (capacity + 1).  Approximate BY DESIGN
+    (like hll_vocab) — no SQL oracle; the bit-exact companion is
+    ``term_counts_topk`` and the bound is property-tested.
+    """
+    stop = pa.array(STOPWORDS, pa.string())
+
+    def block_summary(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = pc.list_flatten(words)
+        flat = flat.filter(pc.invert(pc.is_in(flat, value_set=stop)))
+        t = flat.to_numpy(zero_copy_only=False)
+        ut, cnt = np.unique(t, return_counts=True)
+        ut, cnt = _mg_compress(ut, cnt.astype(np.int64), capacity)
+        return pa.table({"term": pa.array(ut, pa.string()),
+                         "est_p": pa.array(cnt, pa.int64())})
+
+    def merge_final(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "est_count": pa.array([], pa.int64())})
+        t = g["term"].to_numpy(zero_copy_only=False)
+        c = g["est_p"].to_numpy(zero_copy_only=False)
+        ut, inv = np.unique(t, return_inverse=True)
+        s = np.zeros(ut.size, dtype=np.int64)
+        np.add.at(s, inv, c)
+        ut, s = _mg_compress(ut, s, capacity)
+        order = np.lexsort((ut, -s))[:k]
+        return pa.table({"term": pa.array(ut[order], pa.string()),
+                         "est_count": pa.array(s[order], pa.int64())})
+
+    # summaries are <= capacity rows per block: the repartition(1)
+    # gather moves sketch state, never corpus rows
+    return (
+        read(sf_dir, "documents", columns=["text"])
+        .map_batches(block_summary, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge_final, batch_format="pyarrow")
+    )
