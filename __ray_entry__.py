@@ -177,6 +177,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": _ann.kmeans_assign,
         "attribution_window": _do.attribution_window,
         "event_type_pivot": _do.event_type_pivot,
+        "price_histogram": _do.price_histogram,
+        "mad_outliers": _do.mad_outliers,
+        "user_event_sequence": _do.user_event_sequence,
         # ---- relational / streaming operators (round-4 rotation head)
         "docs_filter_project": _do.docs_filter_project,
         "pricing_summary": _do.pricing_summary,
@@ -316,6 +319,9 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_assign": _ann.kmeans_assign_oracle_sql(),
         "attribution_window": _do.ORACLE_ATTRIBUTION,
         "event_type_pivot": _do.ORACLE_EVENT_PIVOT,
+        "price_histogram": _do.ORACLE_PRICE_HISTOGRAM,
+        "mad_outliers": _do.ORACLE_MAD_OUTLIERS,
+        "user_event_sequence": _do.ORACLE_USER_EVENT_SEQUENCE,
         "token_stats": _tx.ORACLE_TOKEN_STATS,
         "bpe_token_count": _tx.ORACLE_BPE_TOKEN_COUNT,
         "quality_score": _tx.ORACLE_QUALITY_SCORE,

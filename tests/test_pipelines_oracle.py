@@ -53,6 +53,9 @@ QUERIES = [
     "event_type_pivot",                         # long→wide crosstab
     "ann_range",                                # radius vector search
     "term_counts_topk",                         # exact heavy hitters
+    "price_histogram",                          # fixed-width histogram
+    "mad_outliers",                             # robust median/MAD screen
+    "user_event_sequence",                      # ordered string agg
 ]
 
 

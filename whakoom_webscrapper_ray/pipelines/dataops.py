@@ -1926,3 +1926,226 @@ SELECT user_id,
 FROM events
 GROUP BY 1
 """
+
+
+# ------------------------------------------------------- histogram
+_HIST_BIN_CENTS = 25_000 * 100  # fixed 25k-currency-unit bins
+
+
+def price_histogram(sf_dir: str) -> ray.data.Dataset:
+    """(bin_id, n_orders, sum_price_cents): fixed-width histogram of
+    order totals — the distribution-profiling aggregate.  Bin edges
+    are a DECLARED spec (bin = floor(price_cents / width)), not
+    data-driven, so the whole histogram is one map-side projection +
+    the canonical two-phase aggregate: no extremes pass, no gather.
+    """
+    src = read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def project(b: pa.Table) -> pa.Table:
+        c = _floor_cents(b["o_totalprice"])
+        return pa.table({
+            "bin_id": pc.cast(
+                pc.floor(pc.divide(pc.cast(c, pa.float64()),
+                                   float(_HIST_BIN_CENTS))), pa.int64()),
+            "price_cents": c,
+        })
+
+    return two_phase_agg(
+        src.map_batches(project, batch_format="pyarrow"),
+        keys=["bin_id"],
+        sums={"price_cents": "sum_price_cents"},
+        count_alias="n_orders",
+    )
+
+
+ORACLE_PRICE_HISTOGRAM = f"""
+SELECT CAST(floor(CAST(floor(o_totalprice * 100) AS BIGINT)
+            / {_HIST_BIN_CENTS}.0) AS BIGINT) AS bin_id,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents
+FROM orders
+GROUP BY 1
+"""
+
+
+# --------------------------------------- robust outliers (median/MAD)
+_MAD_CUT = 3.0
+
+
+def mad_outliers(sf_dir: str) -> ray.data.Dataset:
+    """(o_orderpriority, med, mad, n_rows, n_outliers): per-group
+    robust outlier profile of order totals — discrete median, median
+    absolute deviation, and the count beyond ``med ± 3·mad`` — the
+    robust-statistics screen a quality pipeline runs where winsorize's
+    percentile clip is too blunt.
+
+    Exactness: both med and mad are DISCRETE medians (actual data /
+    derived values, numpy ``inverted_cdf`` == DuckDB
+    ``percentile_disc``), and |x − med| on identical float64 inputs is
+    the identical IEEE result in both engines, so the float columns
+    compare bit-for-bit.  Same two-pass scale shape as
+    price_winsorize: the group key is 5-valued so the per-group gather
+    is partition-sized (swap in distributed selection at 100 TB);
+    bounds then broadcast into a map-side count reduced two-phase.
+    """
+    def bounds(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "o_orderpriority": pa.array([], pa.string()),
+                "med": pa.array([], pa.float64()),
+                "mad": pa.array([], pa.float64()),
+            })
+        x = np.sort(g["o_totalprice"].to_numpy(zero_copy_only=False))
+        med = x[max(int(np.ceil(0.5 * x.size)) - 1, 0)]
+        d = np.sort(np.abs(x - med))
+        mad = d[max(int(np.ceil(0.5 * d.size)) - 1, 0)]
+        return pa.table({
+            "o_orderpriority": g["o_orderpriority"][:1],
+            "med": pa.array([med], pa.float64()),
+            "mad": pa.array([mad], pa.float64()),
+        })
+
+    bounds_tbl = {
+        r["o_orderpriority"]: (r["med"], r["mad"])
+        for r in (
+            read(sf_dir, "orders",
+                 columns=["o_orderpriority", "o_totalprice"])
+            .groupby("o_orderpriority")
+            .map_groups(bounds, batch_format="pyarrow")
+        ).take_all()  # <= |priorities| rows: tiny
+    }
+
+    def flag(b: pa.Table) -> pa.Table:
+        pr = b["o_orderpriority"].to_numpy(zero_copy_only=False)
+        x = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        out = np.zeros(x.size, dtype=np.int64)
+        for p, (med, mad) in bounds_tbl.items():
+            m = pr == p
+            out[m] = (np.abs(x[m] - med) > _MAD_CUT * mad).astype(
+                np.int64)
+        return pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "is_outlier": pa.array(out, pa.int64()),
+        })
+
+    src = read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_totalprice"])
+    counted = two_phase_agg(
+        src.map_batches(flag, batch_format="pyarrow"),
+        keys=["o_orderpriority"],
+        sums={"is_outlier": "n_outliers"},
+        count_alias="n_rows",
+    )
+
+    def attach_bounds(b: pa.Table) -> pa.Table:
+        pr = b["o_orderpriority"].to_numpy(zero_copy_only=False)
+        med = np.array([bounds_tbl[p][0] for p in pr], np.float64)
+        mad = np.array([bounds_tbl[p][1] for p in pr], np.float64)
+        return pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "med": pa.array(med, pa.float64()),
+            "mad": pa.array(mad, pa.float64()),
+            "n_rows": b["n_rows"],
+            "n_outliers": b["n_outliers"],
+        })
+
+    return counted.map_batches(attach_bounds, batch_format="pyarrow")
+
+
+ORACLE_MAD_OUTLIERS = f"""
+WITH m AS (
+  SELECT o_orderpriority,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+             AS med
+  FROM orders GROUP BY 1
+), d AS (
+  SELECT o.o_orderpriority, m.med,
+         abs(o.o_totalprice - m.med) AS dev, o.o_totalprice
+  FROM orders o JOIN m USING (o_orderpriority)
+), b AS (
+  SELECT o_orderpriority, any_value(med) AS med,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY dev) AS mad
+  FROM d GROUP BY 1
+)
+SELECT d.o_orderpriority, b.med, b.mad,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN abs(d.o_totalprice - b.med)
+                          > {_MAD_CUT} * b.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM d JOIN b USING (o_orderpriority)
+GROUP BY 1, 2, 3
+"""
+
+
+# ------------------------------------- ordered aggregation (sequence)
+def user_event_sequence(sf_dir: str, parts: int = 64
+                        ) -> ray.data.Dataset:
+    """(user_id, n_events, event_seq): each user's event types joined
+    in (ts, event_id) order — the ORDERED string aggregation a
+    sessionization / behavior-modeling pipeline emits as training
+    text.
+
+    Scale shape: one hash shuffle on the user key, then one lexsort
+    per partition; the per-user join is Arrow-native — list offsets
+    from the segment-boundary mask + ``binary_join`` — no per-user
+    Python.  Raise ``parts`` with user cardinality.
+    """
+    def add_part(b: pa.Table) -> pa.Table:
+        from .text import mix64
+
+        k = pc.cast(b["user_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(k, pa.int64()),
+            "ts": b["ts"],
+            "event_id": pc.cast(b["event_id"], pa.int64()),
+            "event_type": b["event_type"],
+            "part": pa.array(
+                (mix64(k.view(np.uint64)) % np.uint64(parts)).astype(
+                    np.int64)),
+        })
+
+    def join_seq(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "event_seq": pa.array([], pa.string()),
+            })
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").view(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid_s = uid[order]
+        et = g["event_type"].take(pa.array(order, pa.int64()))
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        new_u = np.r_[True, uid_s[1:] != uid_s[:-1]]
+        starts = np.flatnonzero(new_u)
+        counts = np.diff(np.r_[starts, uid_s.size])
+        offsets = pa.array(np.r_[0, np.cumsum(counts)], pa.int32())
+        lists = pa.ListArray.from_arrays(offsets, et)
+        return pa.table({
+            "user_id": pa.array(uid_s[starts], pa.int64()),
+            "n_events": pa.array(counts.astype(np.int64), pa.int64()),
+            "event_seq": pc.binary_join(lists, ","),
+        })
+
+    return (
+        read(sf_dir, "events",
+             columns=["event_id", "ts", "user_id", "event_type"])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(join_seq, batch_format="pyarrow")
+    )
+
+
+ORACLE_USER_EVENT_SEQUENCE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq
+FROM events
+GROUP BY 1
+"""
