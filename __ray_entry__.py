@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _tx.fingerprints,
         # ---- corpus curation (decontaminate → sample)
         "decontaminate": _cu.decontaminate,
+        "decontaminate_bloom": _cu.decontaminate_bloom,
         "quality_sample": _cu.quality_sample,
         "corpus_shuffle": _cu.corpus_shuffle,
         "lang_balanced_sample": _cu.lang_balanced_sample,

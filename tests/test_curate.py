@@ -319,3 +319,45 @@ def test_lang_balanced_sample_caps(ray_session):
     ).fetchall())
     for lang, total in totals.items():
         assert len(got.get(lang, set())) == min(cap, total)
+
+
+def test_decontaminate_bloom_one_sided(ray_session):
+    """Bloom path is a superset of the exact path (no false negatives)
+    and its false-positive excess stays under the design bound."""
+    from whakoom_webscrapper_ray.pipelines.curate import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r["doc_id"]: r["contaminated"]
+             for r in decontaminate(sf).take_all()}
+    bloom = {r["doc_id"]: r["contaminated"]
+             for r in decontaminate_bloom(sf).take_all()}
+    assert set(exact) == set(bloom)
+    fp = 0
+    for did, c in exact.items():
+        if c:
+            assert bloom[did], f"false negative on doc {did}"
+        elif bloom[did]:
+            fp += 1
+    # 2^20 bits vs a few thousand eval grams: FP rate ~1e-3 per doc
+    assert fp <= max(2, len(exact) // 100), fp
+
+
+def test_decontaminate_bloom_tiny_filter_degrades_safely(ray_session):
+    """Shrinking the filter raises false positives but never drops a
+    contaminated doc — the one-sided guarantee is capacity-independent."""
+    from whakoom_webscrapper_ray.pipelines.curate import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r["doc_id"]: r["contaminated"]
+             for r in decontaminate(sf).take_all()}
+    bloom = {r["doc_id"]: r["contaminated"]
+             for r in decontaminate_bloom(sf, log2m=10).take_all()}
+    for did, c in exact.items():
+        if c:
+            assert bloom[did], f"false negative on doc {did}"

@@ -1091,3 +1091,89 @@ SELECT p.doc_id,
        p.pack_id
 FROM packed p JOIN {sp_final} sp USING (doc_id)
 """
+
+
+# ------------------------------- decontamination, Bloom-filter path
+_BLOOM_LOG2M = 20  # 2^20 bits = 128 KiB packed; scale up with |eval|
+_BLOOM_HASHES = 4
+# odd 64-bit multipliers (splitmix64 increments) — h_i(g) derives from
+# the gram hash alone, so build and probe agree with no shared state
+_BLOOM_MULTS = (0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9,
+                0x94D049BB133111EB, 0xD6E8FEB86659FD93)
+
+
+def _bloom_positions(g: np.ndarray, log2m: int) -> list[np.ndarray]:
+    shift = np.uint64(64 - log2m)
+    return [((g * np.uint64(_BLOOM_MULTS[i])) >> shift).astype(np.int64)
+            for i in range(_BLOOM_HASHES)]
+
+
+def decontaminate_bloom(sf_dir: str,
+                        log2m: int = _BLOOM_LOG2M) -> ray.data.Dataset:
+    """(doc_id, contaminated): the BLOOM-FILTER path for benchmark
+    decontamination — same contract as ``decontaminate`` but the eval
+    gram set is compressed to a 2^log2m-bit filter instead of being
+    broadcast verbatim, the shape that survives an eval suite too
+    large to ship as raw 64-bit hashes (bits are |eval_grams|-
+    independent; build-side traffic is sparse nonzero words only).
+
+    One-sided by construction: false positives at rate
+    ~(1 − e^(−h·n/m))^h, NEVER false negatives — every exactly-
+    contaminated doc stays flagged (property-tested against the exact
+    companion).  Approximate BY DESIGN → no SQL oracle; the bit-exact
+    companion is ``decontaminate``.
+    """
+    import ray as _ray
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_words = (1 << log2m) >> 6
+
+    def eval_bits(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        g = _gram_set(b.filter(pa.array(ids % _EVAL_MOD == 0)))
+        words = np.zeros(n_words, dtype=np.uint64)
+        for pos in _bloom_positions(g, log2m):
+            np.bitwise_or.at(words, pos >> 6,
+                             np.uint64(1) << (pos.astype(np.uint64)
+                                              & np.uint64(63)))
+        nz = np.flatnonzero(words)
+        return pa.table({
+            "w": pa.array(nz, pa.int64()),
+            "bits": pa.array(words[nz].view(np.int64), pa.int64()),
+        })
+
+    sparse = collect_small(
+        docs.map_batches(eval_bits, batch_format="pyarrow"),
+        pa.schema([("w", pa.int64()), ("bits", pa.int64())]),
+    )
+    words = np.zeros(n_words, dtype=np.uint64)
+    np.bitwise_or.at(
+        words,
+        sparse["w"].to_numpy(zero_copy_only=False),
+        sparse["bits"].to_numpy(zero_copy_only=False).view(np.uint64),
+    )
+    bits_ref = _ray.put(words)
+
+    def flag(b: pa.Table, bloom=None) -> pa.Table:
+        bw = deref(bloom)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ids % _EVAL_MOD != 0))
+        th, starts, lens = _split_flat(b)
+        g, bounds = _gram_hashes_flat(th, starts, lens, 3)
+        hit = np.ones(g.size, dtype=bool)
+        for pos in _bloom_positions(g, log2m):
+            hit &= (bw[pos >> 6]
+                    >> (pos.astype(np.uint64) & np.uint64(63))
+                    ) & np.uint64(1) != 0
+        contaminated = (
+            np.logical_or.reduceat(hit, bounds[:-1])
+            if b.num_rows else np.empty(0, dtype=bool)
+        )
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "contaminated": pa.array(contaminated, pa.bool_()),
+        })
+
+    return docs.map_batches(
+        flag, fn_kwargs={"bloom": bits_ref}, batch_format="pyarrow"
+    )
