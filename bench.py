@@ -60,6 +60,10 @@ BENCH_QUERIES = [
     "cooccurrence_topk", "distinctive_terms", "media_features", "media_resize",
     "frame_sample",
     "customers_no_big_orders", "top_parts", "docs_filter_project",
+    "attribution_window", "event_type_pivot", "price_histogram",
+    "mad_outliers", "user_event_sequence",
+    "term_counts_topk", "heavy_hitters", "ann_range",
+    "decontaminate_bloom",
 ]
 
 
