@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_counts_topk": _tx.term_counts_topk,
         "heavy_hitters": _tx.heavy_hitters,
         "ann_range": _ann.ann_range,
+        "knn_graph": _ann.knn_graph,
         "decontaminate_bloom": _cu.decontaminate_bloom,
         # ---- relational / streaming operators (round-4 rotation head)
         "docs_filter_project": _do.docs_filter_project,
@@ -358,6 +359,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ann.oracle_ann_topk(),
         "ann_topk_filtered": _ann.oracle_ann_topk_filtered(),
         "ann_range": _ann.oracle_ann_range(),
+        "knn_graph": _ann.knn_graph_oracle_sql(),
         # full-probe IVF must equal the exact top-k bit for bit — the
         # IVF machinery's hard oracle (approximation quality itself
         # stays a recall pytest on the nprobe<K path)

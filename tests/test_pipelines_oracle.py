@@ -56,6 +56,7 @@ QUERIES = [
     "price_histogram",                          # fixed-width histogram
     "mad_outliers",                             # robust median/MAD screen
     "user_event_sequence",                      # ordered string agg
+    "knn_graph",                                # exact k-NN graph
 ]
 
 
@@ -121,6 +122,19 @@ def test_embedding_dups_multiblock(entry, ddb):
         .to_pandas()
     )
     exp = canon(ddb.sql(ORACLE_EMBEDDING_DUPS).df())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=True)
+
+
+def test_knn_graph_multiblock(entry, ddb):
+    """With block_rows far below the corpus the k-NN graph runs B²
+    block-pair tasks and a per-source candidate merge; the merged
+    ranks must equal the single-block (all-in-one-matmul) result."""
+    from whakoom_webscrapper_ray.pipelines.ann import (
+        knn_graph, knn_graph_oracle_sql,
+    )
+
+    got = canon(knn_graph(SF_DIR, block_rows=64).to_pandas())
+    exp = canon(ddb.sql(knn_graph_oracle_sql()).df())
     pd.testing.assert_frame_equal(got, exp, check_dtype=True)
 
 
