@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _tx.heavy_hitters,
         "ann_range": _ann.ann_range,
         "knn_graph": _ann.knn_graph,
+        "events_rollup": _do.events_rollup,
         "decontaminate_bloom": _cu.decontaminate_bloom,
         # ---- relational / streaming operators (round-4 rotation head)
         "docs_filter_project": _do.docs_filter_project,
@@ -377,6 +378,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_no_big_orders": _do.ORACLE_CUSTOMERS_NO_BIG,
         "top_parts": _do.ORACLE_TOP_PARTS,
         "events_hourly": _do.ORACLE_EVENTS_HOURLY,
+        "events_rollup": _do.ORACLE_EVENTS_ROLLUP,
         "props_field_stats": _do.ORACLE_PROPS_FIELD_STATS,
         "sessionize": _do.ORACLE_SESSIONIZE,
         "user_running_total": _do.ORACLE_USER_RUNNING_TOTAL,

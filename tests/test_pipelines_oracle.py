@@ -57,6 +57,7 @@ QUERIES = [
     "mad_outliers",                             # robust median/MAD screen
     "user_event_sequence",                      # ordered string agg
     "knn_graph",                                # exact k-NN graph
+    "events_rollup",                            # multi-level ROLLUP agg
 ]
 
 

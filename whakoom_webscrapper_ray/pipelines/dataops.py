@@ -417,6 +417,87 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
                          count_alias="n_events")
 
 
+def events_rollup(sf_dir: str) -> ray.data.Dataset:
+    """(day, event_type, n_events, value_cents_sum) at every ROLLUP
+    level of (day, event_type) — finest, per-day subtotal, grand total —
+    the multi-level report shape (``GROUP BY ROLLUP``).  Rolled-up key
+    columns carry the sentinel ``'ALL'`` (both keys are non-null in the
+    source) so the driver's hash compare stays NULL-free.
+
+    Scale shape: ONE pass over the raw table builds the finest level
+    via the map-side-partial combiner (``two_phase_agg``); the coarser
+    levels re-aggregate THAT result — days × types rows, bounded
+    regardless of corpus size — in a single-block Arrow group_by, so
+    raw rows are shuffled exactly once and never re-read per level.
+    """
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+                "event_type": b["event_type"],
+                "value_cents": _floor_cents(b["value"]),
+            }
+        )
+
+    projected = read(
+        sf_dir, "events", columns=["ts", "event_type", "value"]
+    ).map_batches(project, batch_format="pyarrow")
+    finest = two_phase_agg(projected, ["day", "event_type"],
+                           sums={"value_cents": "value_cents_sum"},
+                           count_alias="n_events")
+
+    def lift(t: pa.Table) -> pa.Table:
+        def level(keys: list[str]) -> pa.Table:
+            g = pa.TableGroupBy(t, keys).aggregate(
+                [("n_events", "sum"), ("value_cents_sum", "sum")]
+            ) if keys else None
+            n = t.num_rows if g is None else g.num_rows
+            all_col = pa.array(["ALL"] * n, pa.string())
+
+            def key_or_all(name: str):
+                return g[name] if g is not None and name in keys \
+                    else all_col
+
+            if g is None:
+                ne = pa.array(
+                    [pc.sum(t["n_events"]).as_py() or 0], pa.int64())
+                vs = pa.array(
+                    [pc.sum(t["value_cents_sum"]).as_py() or 0],
+                    pa.int64())
+                one = pa.array(["ALL"], pa.string())
+                return pa.table({"day": one, "event_type": one,
+                                 "n_events": ne, "value_cents_sum": vs})
+            return pa.table({
+                "day": key_or_all("day"),
+                "event_type": key_or_all("event_type"),
+                "n_events": pc.cast(g["n_events_sum"], pa.int64()),
+                "value_cents_sum": pc.cast(
+                    g["value_cents_sum_sum"], pa.int64()),
+            })
+
+        fine = t.select(["day", "event_type", "n_events",
+                         "value_cents_sum"])
+        return pa.concat_tables([fine, level(["day"]), level([])])
+
+    return finest.repartition(1).map_batches(
+        lift, batch_format="pyarrow", batch_size=None
+    )
+
+
+ORACLE_EVENTS_ROLLUP = """
+SELECT coalesce(day, 'ALL') AS day,
+       coalesce(event_type, 'ALL') AS event_type,
+       count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS value_cents_sum
+FROM (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+GROUP BY ROLLUP(day, event_type)
+"""
+
+
 # -------------------------------------- JSON-field extraction (F-family)
 def props_field_stats(sf_dir: str) -> ray.data.Dataset:
     """(event_type, n_events, k_sum, k_min, k_max): aggregate a field
