@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_df_topk": _tx.ngram_df_topk,
         "redact_terms": _tx.redact_terms,
         "vocab_size": _tx.vocab_size,
+        "lang_vocab": _tx.lang_vocab,
         "hll_vocab": _tx.hll_vocab,
         "fingerprints": _tx.fingerprints,
         # ---- corpus curation (decontaminate → sample)
@@ -343,6 +344,7 @@ def oracle_sql() -> dict[str, str]:
         # machinery is hard-checked by the exact vocab_size row plus
         # the relative-error pytest bound (test_text_ops.py)
         "vocab_size": _tx.ORACLE_VOCAB_SIZE,
+        "lang_vocab": _tx.ORACLE_LANG_VOCAB,
         "fingerprints": _tx.fingerprints_oracle_sql(),
         "simhash": _dd.simhash_oracle_sql(),
         "simhash_dup_pairs": _dd.simhash_dup_pairs_oracle_sql(),

@@ -63,7 +63,7 @@ BENCH_QUERIES = [
     "attribution_window", "event_type_pivot", "price_histogram",
     "mad_outliers", "user_event_sequence",
     "term_counts_topk", "heavy_hitters", "ann_range",
-    "decontaminate_bloom", "knn_graph", "events_rollup",
+    "decontaminate_bloom", "knn_graph", "events_rollup", "lang_vocab",
 ]
 
 

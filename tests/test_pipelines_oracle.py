@@ -58,6 +58,7 @@ QUERIES = [
     "user_event_sequence",                      # ordered string agg
     "knn_graph",                                # exact k-NN graph
     "events_rollup",                            # multi-level ROLLUP agg
+    "lang_vocab",                               # groupwise count-distinct
 ]
 
 

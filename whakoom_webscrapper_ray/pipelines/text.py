@@ -13,7 +13,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from .common import read
+from .common import read, two_phase_agg
 
 # Fixed analysis vocabulary (mirrors classic stopword-ratio quality
 # heuristics; the list is part of the operator contract and appears
@@ -1051,6 +1051,69 @@ def vocab_size(sf_dir: str) -> ray.data.Dataset:
 ORACLE_VOCAB_SIZE = """
 SELECT CAST(count(DISTINCT t) AS BIGINT) AS vocab
 FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+"""
+
+
+def lang_vocab(sf_dir: str) -> ray.data.Dataset:
+    """(lang, vocab): exact distinct-token count PER LANGUAGE — the
+    groupwise count-distinct shape (``approx_count_distinct`` per key,
+    done exactly).  Blocks collapse to their distinct (lang, token)
+    pairs map-side; pairs hash-partition on the composite key so each
+    pair lands in exactly one partition, every partition emits tiny
+    (lang, n) partials, and one low-cardinality sum merges them — the
+    shuffle moves distinct-per-block pairs, never corpus positions.
+    """
+    parts = 64
+    sep = "\x1f"  # never appears in the space-tokenized vocabulary
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        parent = pc.list_parent_indices(words)
+        toks = pc.list_flatten(words)
+        langs = b["lang"].take(parent)
+        joined = pc.binary_join_element_wise(langs, toks, sep)
+        jnp = joined.to_numpy(zero_copy_only=False)
+        _, idx = np.unique(jnp, return_index=True)
+        take = pa.array(idx, pa.int64())
+        h = token_hashes(jnp[idx])
+        return pa.table({
+            "lang": langs.take(take),
+            "token": toks.take(take),
+            "part": pa.array((h % np.uint64(parts)).astype(np.int64)),
+        })
+
+    def count_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        lang = g["lang"].to_numpy(zero_copy_only=False)
+        tok = g["token"].to_numpy(zero_copy_only=False)
+        pair = np.char.add(np.char.add(lang.astype(str), sep),
+                           tok.astype(str))
+        _, idx = np.unique(pair, return_index=True)
+        ulang, counts = np.unique(lang[idx], return_counts=True)
+        return pa.table({
+            "lang": pa.array(ulang, pa.string()),
+            "n": pa.array(counts, pa.int64()),
+        })
+
+    partials = (
+        read(sf_dir, "documents", columns=["lang", "text"])
+        .map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(count_part, batch_format="pyarrow")
+    )
+    return two_phase_agg(partials, ["lang"], sums={"n": "vocab"})
+
+
+ORACLE_LANG_VOCAB = """
+SELECT lang, CAST(count(DISTINCT t) AS BIGINT) AS vocab
+FROM (
+  SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents
+)
+GROUP BY lang
 """
 
 # ------------------------------------------- denylist redaction
