@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracles in the local gate; the remaining crawl tables by the
         # in-cap crawl head over the same engine run).  All oracles
         # still run via tools/check_oracle.py.
+        "doc_percentile_rank": _do.doc_percentile_rank,
         "crawl_titles": _crawl_table("titles"),
         "crawl_title_metadata": _crawl_table("title_metadata"),
         "crawl_volumes": _crawl_table("volumes"),
@@ -271,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_terms": _tx.redact_terms,
         "vocab_size": _tx.vocab_size,
         "lang_vocab": _tx.lang_vocab,
+        "source_overlap": _tx.source_overlap,
         "hll_vocab": _tx.hll_vocab,
         "fingerprints": _tx.fingerprints,
         # ---- corpus curation (decontaminate → sample)
@@ -345,6 +347,7 @@ def oracle_sql() -> dict[str, str]:
         # the relative-error pytest bound (test_text_ops.py)
         "vocab_size": _tx.ORACLE_VOCAB_SIZE,
         "lang_vocab": _tx.ORACLE_LANG_VOCAB,
+        "source_overlap": _tx.source_overlap_oracle_sql(),
         "fingerprints": _tx.fingerprints_oracle_sql(),
         "simhash": _dd.simhash_oracle_sql(),
         "simhash_dup_pairs": _dd.simhash_dup_pairs_oracle_sql(),
@@ -386,6 +389,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _do.ORACLE_EVENTS_HOURLY,
         "events_rollup": _do.ORACLE_EVENTS_ROLLUP,
         "props_field_stats": _do.ORACLE_PROPS_FIELD_STATS,
+        "doc_percentile_rank": _do.ORACLE_DOC_PERCENTILE_RANK,
         "sessionize": _do.ORACLE_SESSIONIZE,
         "user_running_total": _do.ORACLE_USER_RUNNING_TOTAL,
         "events_sliding": _do.ORACLE_EVENTS_SLIDING,

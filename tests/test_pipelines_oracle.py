@@ -59,6 +59,8 @@ QUERIES = [
     "knn_graph",                                # exact k-NN graph
     "events_rollup",                            # multi-level ROLLUP agg
     "lang_vocab",                               # groupwise count-distinct
+    "doc_percentile_rank",                      # global rank via CDF bcast
+    "source_overlap",                           # cross-source gram matrix
 ]
 
 

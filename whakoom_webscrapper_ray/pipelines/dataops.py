@@ -2230,3 +2230,56 @@ SELECT user_id,
 FROM events
 GROUP BY 1
 """
+
+
+# ------------------------------- global analytic rank without a sort
+def doc_percentile_rank(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_chars, pct_rank): each document's exact
+    ``percent_rank() OVER (ORDER BY n_chars)`` across the WHOLE corpus
+    — the global windowed analytic, computed without a global sort.
+
+    Scale shape: percent_rank needs only (#rows strictly below) / (N-1),
+    so a value histogram (map-side-partial combiner over ``n_chars``,
+    bounded by value cardinality, not corpus size) builds the exact CDF
+    once; the (sorted values -> count-below) arrays broadcast via
+    ``ray.put``, and a second streaming pass ranks every row with one
+    vectorized ``searchsorted`` — corpus rows are never exchanged.
+    The same two-pass CDF pattern generalizes to ntile / cume_dist.
+    """
+    hist = two_phase_agg(
+        read(sf_dir, "documents", columns=["n_chars"]),
+        ["n_chars"], count_alias="cnt",
+    )
+    from .common import collect_small
+
+    h = collect_small(hist, pa.schema(
+        [("n_chars", pa.int64()), ("cnt", pa.int64())]))
+    vals = h["n_chars"].to_numpy(zero_copy_only=False)
+    cnts = h["cnt"].to_numpy(zero_copy_only=False)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    below = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+    total = int(cnts.sum())
+    denom = float(total - 1) if total > 1 else 1.0
+    cdf_ref = ray.put((vals, below))
+
+    def rank(b: pa.Table, *, cdf) -> pa.Table:
+        sv, blw = deref(cdf)
+        x = b["n_chars"].to_numpy(zero_copy_only=False)
+        pr = blw[np.searchsorted(sv, x)] / denom
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_chars": b["n_chars"],
+            "pct_rank": pa.array(pr, pa.float64()),
+        })
+
+    return read(sf_dir, "documents", columns=["doc_id", "n_chars"]
+                ).map_batches(rank, fn_kwargs={"cdf": cdf_ref},
+                              batch_format="pyarrow")
+
+
+ORACLE_DOC_PERCENTILE_RANK = """
+SELECT doc_id, n_chars,
+       percent_rank() OVER (ORDER BY n_chars) AS pct_rank
+FROM documents
+"""

@@ -1672,3 +1672,100 @@ def heavy_hitters(sf_dir: str, k: int = _HH_K,
         .repartition(1)
         .map_batches(merge_final, batch_format="pyarrow")
     )
+
+
+def source_overlap(sf_dir: str) -> ray.data.Dataset:
+    """(source_a, source_b, shared_grams): the cross-source
+    contamination matrix — for every pair of sources, how many DISTINCT
+    word-3-grams appear in both (same gram vocabulary as the Jaccard
+    oracle: per-doc distinct, short docs contribute their whole-token
+    join).  The audit that tells you two "independent" providers
+    scraped the same underlying pages.
+
+    Scale shape: blocks collapse to distinct (source, gram) pairs
+    map-side; the GRAM hash partitions, so all sources holding a gram
+    co-locate; each partition builds one per-gram source BITMASK
+    (``bitwise_or.at``) and counts each source pair with one vectorized
+    AND — grams never pair-expand, and the shuffle moves
+    distinct-per-block pairs only.  Source cardinality must fit the
+    64-bit mask per partition (asserted); beyond 64 sources, widen to a
+    (grams x sources/64) mask matrix.
+    """
+    parts = 64
+    sep = "\x1f"
+
+    def pairs(b: pa.Table) -> pa.Table:
+        grams, doc_idx = _doc_grams_str(b)
+        src = b["source"].take(pa.array(doc_idx, pa.int64()))
+        joined = pc.binary_join_element_wise(src, grams, sep)
+        _, idx = np.unique(
+            joined.to_numpy(zero_copy_only=False), return_index=True)
+        take = pa.array(idx, pa.int64())
+        g_u = grams.take(take)
+        h = token_hashes(g_u.to_numpy(zero_copy_only=False))
+        return pa.table({
+            "source": src.take(take),
+            "gram": g_u,
+            "part": pa.array((h % np.uint64(parts)).astype(np.int64)),
+        })
+
+    def count_part(g: pa.Table) -> pa.Table:
+        empty = pa.table({"source_a": pa.array([], pa.string()),
+                          "source_b": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        joined = pc.binary_join_element_wise(g["source"], g["gram"], sep)
+        _, idx = np.unique(
+            joined.to_numpy(zero_copy_only=False), return_index=True)
+        src = g["source"].to_numpy(zero_copy_only=False)[idx]
+        gr = g["gram"].to_numpy(zero_copy_only=False)[idx]
+        usrc, sbit = np.unique(src, return_inverse=True)
+        assert usrc.size <= 64, "widen the source mask beyond 64 bits"
+        ug, ginv = np.unique(gr, return_inverse=True)
+        mask = np.zeros(ug.size, dtype=np.uint64)
+        np.bitwise_or.at(
+            mask, ginv, np.uint64(1) << sbit.astype(np.uint64))
+        rows_a, rows_b, rows_n = [], [], []
+        for i in range(usrc.size):
+            bi = (mask >> np.uint64(i)) & np.uint64(1)
+            for j in range(i + 1, usrc.size):
+                n = int(np.count_nonzero(
+                    bi & (mask >> np.uint64(j))))
+                if n:
+                    rows_a.append(usrc[i])
+                    rows_b.append(usrc[j])
+                    rows_n.append(n)
+        if not rows_n:
+            return empty
+        return pa.table({
+            "source_a": pa.array(rows_a, pa.string()),
+            "source_b": pa.array(rows_b, pa.string()),
+            "n": pa.array(rows_n, pa.int64()),
+        })
+
+    partials = (
+        read(sf_dir, "documents", columns=["source", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(count_part, batch_format="pyarrow")
+    )
+    return two_phase_agg(partials, ["source_a", "source_b"],
+                         sums={"n": "shared_grams"})
+
+
+def source_overlap_oracle_sql() -> str:
+    from .dedup import JACCARD_CTES
+
+    return f"""
+WITH {JACCARD_CTES},
+srcg AS (
+  SELECT DISTINCT d.source, gg.g AS gram
+  FROM (SELECT doc_id, unnest(gs) AS g FROM grams) gg
+  JOIN documents d ON gg.doc_id = d.doc_id
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS shared_grams
+FROM srcg a JOIN srcg b ON a.gram = b.gram AND a.source < b.source
+GROUP BY 1, 2
+"""
