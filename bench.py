@@ -64,7 +64,7 @@ BENCH_QUERIES = [
     "mad_outliers", "user_event_sequence",
     "term_counts_topk", "heavy_hitters", "ann_range",
     "decontaminate_bloom", "knn_graph", "events_rollup", "lang_vocab",
-    "doc_percentile_rank", "source_overlap",
+    "doc_percentile_rank", "source_overlap", "value_quantiles",
 ]
 
 

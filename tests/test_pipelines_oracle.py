@@ -61,6 +61,7 @@ QUERIES = [
     "lang_vocab",                               # groupwise count-distinct
     "doc_percentile_rank",                      # global rank via CDF bcast
     "source_overlap",                           # cross-source gram matrix
+    "value_quantiles",                          # continuous-domain selection
 ]
 
 

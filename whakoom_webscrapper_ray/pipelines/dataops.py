@@ -2283,3 +2283,114 @@ SELECT doc_id, n_chars,
        percent_rank() OVER (ORDER BY n_chars) AS pct_rank
 FROM documents
 """
+
+
+# -------------------- exact order statistics on a continuous domain
+def value_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """(pct, value): EXACT discrete percentiles of ``events.value`` — a
+    CONTINUOUS domain, where token_quantiles' bounded-integer histogram
+    cannot enumerate values.  Classic distributed selection, no global
+    sort:
+
+      pass 1: per-block (min, max, count) partials;
+      pass 2: fixed 2^16-bin counts over [min, max] via the map-side
+              combiner — the exchange moves bin-count partials, never
+              rows;
+      pass 3: ONLY the bins containing a target rank are re-scanned and
+              collected (~corpus/2^16 rows per bin for non-degenerate
+              distributions; a point-mass bin is its own answer when
+              its width collapses to one value), and the exact order
+              statistic is picked locally from the original doubles.
+
+    Result values are untouched input doubles, so the DuckDB
+    ``percentile_disc`` oracle compares bit-exactly.
+    """
+    pcts = (25, 50, 75, 99)
+    nbins = 1 << 16
+    from .common import collect_small
+
+    vals_ds = read(sf_dir, "events", columns=["value"])
+
+    def mmx(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        if v.size == 0:
+            return pa.table({"mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"mn": pa.array([float(v.min())], pa.float64()),
+                         "mx": pa.array([float(v.max())], pa.float64()),
+                         "n": pa.array([int(v.size)], pa.int64())})
+
+    mm = collect_small(
+        vals_ds.map_batches(mmx, batch_format="pyarrow"),
+        pa.schema([("mn", pa.float64()), ("mx", pa.float64()),
+                   ("n", pa.int64())]))
+    n = int(pc.sum(mm["n"]).as_py() or 0)
+    if n == 0:
+        return ray.data.from_arrow(pa.table(
+            {"pct": pa.array([], pa.int64()),
+             "value": pa.array([], pa.float64())}))
+    lo = pc.min(mm["mn"]).as_py()
+    hi = pc.max(mm["mx"]).as_py()
+    width = (hi - lo) / nbins or 1.0
+
+    def bin_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(np.floor((v - lo) / width).astype(np.int64),
+                       0, nbins - 1)
+
+    def binc(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        ub, c = np.unique(bin_of(v), return_counts=True)
+        return pa.table({"bin": pa.array(ub, pa.int64()),
+                         "c": pa.array(c.astype(np.int64), pa.int64())})
+
+    hist = collect_small(
+        two_phase_agg(vals_ds.map_batches(binc, batch_format="pyarrow"),
+                      ["bin"], sums={"c": "c"}),
+        pa.schema([("bin", pa.int64()), ("c", pa.int64())])
+    ).sort_by("bin")
+    hbins = hist["bin"].to_numpy(zero_copy_only=False)
+    cum = np.cumsum(hist["c"].to_numpy(zero_copy_only=False))
+    # rank r (1-based, = ceil(pct*n/100)) -> (bin, rank within bin)
+    want: dict[int, list[tuple[int, int]]] = {}
+    for pct in pcts:
+        r = -(-pct * n // 100)
+        i = int(np.searchsorted(cum, r))
+        b_id = int(hbins[i])
+        r_local = int(r - (cum[i - 1] if i else 0))
+        want.setdefault(b_id, []).append((pct, r_local))
+    need = np.array(sorted(want), dtype=np.int64)
+
+    def pick(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        keep = np.isin(bin_of(v), need)
+        return pa.table({
+            "value": pa.array(v[keep], pa.float64()),
+            "bin": pa.array(bin_of(v)[keep], pa.int64()),
+        })
+
+    cand = collect_small(
+        vals_ds.map_batches(pick, batch_format="pyarrow"),
+        pa.schema([("value", pa.float64()), ("bin", pa.int64())]))
+    cv = cand["value"].to_numpy(zero_copy_only=False)
+    cb = cand["bin"].to_numpy(zero_copy_only=False)
+    out_p, out_v = [], []
+    for b_id, picks in want.items():
+        sv = np.sort(cv[cb == b_id])
+        for pct, r_local in picks:
+            out_p.append(pct)
+            out_v.append(float(sv[r_local - 1]))
+    return ray.data.from_arrow(pa.table({
+        "pct": pa.array(out_p, pa.int64()),
+        "value": pa.array(out_v, pa.float64()),
+    }))
+
+
+def value_quantiles_oracle_sql() -> str:
+    parts = [
+        f"SELECT CAST({p} AS BIGINT) AS pct, "
+        f"percentile_disc({p / 100}) WITHIN GROUP (ORDER BY value) "
+        f"AS value FROM events"
+        for p in (25, 50, 75, 99)
+    ]
+    return " UNION ALL ".join(parts)
