@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # still run via tools/check_oracle.py.
         "doc_percentile_rank": _do.doc_percentile_rank,
         "value_quantiles": _do.value_quantiles,
+        "retention_cohorts": _do.retention_cohorts,
         "crawl_titles": _crawl_table("titles"),
         "crawl_title_metadata": _crawl_table("title_metadata"),
         "crawl_volumes": _crawl_table("volumes"),
@@ -392,6 +393,7 @@ def oracle_sql() -> dict[str, str]:
         "props_field_stats": _do.ORACLE_PROPS_FIELD_STATS,
         "doc_percentile_rank": _do.ORACLE_DOC_PERCENTILE_RANK,
         "value_quantiles": _do.value_quantiles_oracle_sql(),
+        "retention_cohorts": _do.ORACLE_RETENTION_COHORTS,
         "sessionize": _do.ORACLE_SESSIONIZE,
         "user_running_total": _do.ORACLE_USER_RUNNING_TOTAL,
         "events_sliding": _do.ORACLE_EVENTS_SLIDING,

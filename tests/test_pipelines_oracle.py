@@ -62,6 +62,7 @@ QUERIES = [
     "doc_percentile_rank",                      # global rank via CDF bcast
     "source_overlap",                           # cross-source gram matrix
     "value_quantiles",                          # continuous-domain selection
+    "retention_cohorts",                        # cohort matrix, 1 shuffle
 ]
 
 

@@ -2394,3 +2394,115 @@ def value_quantiles_oracle_sql() -> str:
         for p in (25, 50, 75, 99)
     ]
     return " UNION ALL ".join(parts)
+
+
+# ------------------------------------------------- cohort retention
+def retention_cohorts(sf_dir: str, parts: int = 64) -> ray.data.Dataset:
+    """Daily cohort-retention matrix: users are cohorted by the day of
+    their FIRST event; each (cohort_day, activity_day) cell counts the
+    distinct cohort members active that day.
+
+    The naive plan is two shuffles (distinct (user, day), then a
+    user-keyed join back to the per-user min).  Here both collapse into
+    ONE ``mix64(user) % parts`` exchange: per-block Arrow ``group_by``
+    partials shrink the stream to distinct (user, day) pairs before
+    the shuffle, and because every row of a user lands in one
+    partition, the cohort anchor (per-user min day) and the cell
+    counts are both computed locally per partition with numpy — no
+    second exchange, no join.  Raise ``parts`` with user cardinality
+    (a partition holds ~|users|/parts distinct pairs, never raw rows).
+    """
+    from .common import collect_small  # noqa: F401 (parity with siblings)
+    from whakoom_webscrapper_ray.pipelines.text import mix64
+
+    ev = read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        day = (
+            us.astype("datetime64[us]").astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        t = pa.table({
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "day": pa.array(day, pa.int64()),
+        })
+        g = pa.TableGroupBy(t, ["user_id", "day"]).aggregate([])
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": g["user_id"],
+            "day": g["day"],
+            "part": pa.array(
+                (mix64(u.view(np.uint64)) % np.uint64(parts)).astype(
+                    np.int64
+                )
+            ),
+        })
+
+    def reduce_part(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "cohort_m": pa.array([], pa.int64()),
+            "activity_m": pa.array([], pa.int64()),
+            "n_p": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        m = g["day"].to_numpy(zero_copy_only=False)
+        # cross-block dedup of (user, day), sorted so each user's
+        # first row carries their minimum (= cohort) day
+        order = np.lexsort((m, u))
+        u, m = u[order], m[order]
+        keep = np.ones(u.size, dtype=bool)
+        keep[1:] = (u[1:] != u[:-1]) | (m[1:] != m[:-1])
+        u, m = u[keep], m[keep]
+        first = np.ones(u.size, dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        cohort = m[first][np.cumsum(first) - 1]
+        # days-since-epoch stay < 2^20 until year ~4840; pack the
+        # (cohort, day) cell into one int64 for a single np.unique
+        assert m.size == 0 or (m.max() < (1 << 20) and m.min() >= 0)
+        pack = (cohort << 21) | m
+        cells, cnt = np.unique(pack, return_counts=True)
+        return pa.table({
+            "cohort_m": pa.array(cells >> 21, pa.int64()),
+            "activity_m": pa.array(cells & ((1 << 21) - 1), pa.int64()),
+            "n_p": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    cells = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(reduce_part, batch_format="pyarrow")
+    )
+    agg = two_phase_agg(cells, ["cohort_m", "activity_m"],
+                        sums={"n_p": "n_users"})
+
+    def finalize(b: pa.Table) -> pa.Table:
+        def ts(col: pa.ChunkedArray) -> pa.Array:
+            v = (col.to_numpy(zero_copy_only=False)
+                 .astype("datetime64[D]").astype("datetime64[us]"))
+            return pa.array(v, pa.timestamp("us"))
+
+        return pa.table({
+            "cohort_day": ts(b["cohort_m"]),
+            "activity_day": ts(b["activity_m"]),
+            "n_users": b["n_users"],
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+ORACLE_RETENTION_COHORTS = """
+WITH um AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS activity_day
+  FROM events
+),
+c AS (
+  SELECT user_id, min(activity_day) AS cohort_day
+  FROM um GROUP BY user_id
+)
+SELECT c.cohort_day, um.activity_day, count(*) AS n_users
+FROM um JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
