@@ -244,6 +244,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_percentile_rank": _do.doc_percentile_rank,
         "value_quantiles": _do.value_quantiles,
         "retention_cohorts": _do.retention_cohorts,
+        "rolling_active_users": _do.rolling_active_users,
+        "copurchase_pairs": _do.copurchase_pairs,
         "crawl_titles": _crawl_table("titles"),
         "crawl_title_metadata": _crawl_table("title_metadata"),
         "crawl_volumes": _crawl_table("volumes"),
@@ -394,6 +396,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_percentile_rank": _do.ORACLE_DOC_PERCENTILE_RANK,
         "value_quantiles": _do.value_quantiles_oracle_sql(),
         "retention_cohorts": _do.ORACLE_RETENTION_COHORTS,
+        "rolling_active_users": _do.ORACLE_ROLLING_ACTIVE_USERS,
+        "copurchase_pairs": _do.ORACLE_COPURCHASE_PAIRS,
         "sessionize": _do.ORACLE_SESSIONIZE,
         "user_running_total": _do.ORACLE_USER_RUNNING_TOTAL,
         "events_sliding": _do.ORACLE_EVENTS_SLIDING,

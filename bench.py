@@ -65,7 +65,7 @@ BENCH_QUERIES = [
     "term_counts_topk", "heavy_hitters", "ann_range",
     "decontaminate_bloom", "knn_graph", "events_rollup", "lang_vocab",
     "doc_percentile_rank", "source_overlap", "value_quantiles",
-    "retention_cohorts",
+    "retention_cohorts", "rolling_active_users", "copurchase_pairs",
 ]
 
 

@@ -63,6 +63,8 @@ QUERIES = [
     "source_overlap",                           # cross-source gram matrix
     "value_quantiles",                          # continuous-domain selection
     "retention_cohorts",                        # cohort matrix, 1 shuffle
+    "rolling_active_users",                     # sliding COUNT DISTINCT
+    "copurchase_pairs",                         # frequent-pair mining
 ]
 
 

@@ -2506,3 +2506,224 @@ SELECT c.cohort_day, um.activity_day, count(*) AS n_users
 FROM um JOIN c USING (user_id)
 GROUP BY 1, 2
 """
+
+
+# ------------------------------------------- rolling active users
+def rolling_active_users(sf_dir: str, window_days: int = 7,
+                         parts: int = 64) -> ray.data.Dataset:
+    """Rolling window_days-day active-user count per day (the WAU
+    curve): for each anchor day, how many distinct users had at least
+    one event in the ``window_days`` days ending at that anchor.
+
+    Sliding distinct-count is the shape Ray Data's aggregates cannot
+    express directly (COUNT DISTINCT over overlapping windows).  The
+    composition keeps it to ONE user-keyed exchange: per-block distinct
+    (user, day) partials shrink the stream before the shuffle, then —
+    because all rows of a user land in one partition — each partition
+    expands activity days to their ``window_days`` covering anchors,
+    dedups (user, anchor) LOCALLY (a user active on consecutive days
+    covers overlapping anchor ranges), and emits per-anchor partial
+    counts.  A tiny two-phase sum finishes; no row ever carries a user
+    id past the first exchange.
+    """
+    from whakoom_webscrapper_ray.pipelines.text import mix64
+
+    ev = read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        day = (
+            us.astype("datetime64[us]").astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        t = pa.table({
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "day": pa.array(day, pa.int64()),
+        })
+        g = pa.TableGroupBy(t, ["user_id", "day"]).aggregate([])
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": g["user_id"],
+            "day": g["day"],
+            "part": pa.array(
+                (mix64(u.view(np.uint64)) % np.uint64(parts)).astype(
+                    np.int64
+                )
+            ),
+        })
+
+    def reduce_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "anchor_d": pa.array([], pa.int64()),
+                "n_p": pa.array([], pa.int64()),
+            })
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        d = g["day"].to_numpy(zero_copy_only=False)
+        # local user index so the (user, anchor) cell packs into int64
+        # (days-since-epoch < 2^20 until year ~4840)
+        _, uidx = np.unique(u, return_inverse=True)
+        assert d.size == 0 or (d.max() + window_days < (1 << 20)
+                               and d.min() >= 0)
+        # expand each activity day to its covering anchors, dedup cells
+        off = np.arange(window_days, dtype=np.int64)
+        pack = ((uidx.astype(np.int64) << 21)[:, None]
+                | (d[:, None] + off[None, :])).ravel()
+        cells = np.unique(pack)
+        anchors, cnt = np.unique(cells & ((1 << 21) - 1),
+                                 return_counts=True)
+        return pa.table({
+            "anchor_d": pa.array(anchors, pa.int64()),
+            "n_p": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    agg = two_phase_agg(
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(reduce_part, batch_format="pyarrow"),
+        ["anchor_d"], sums={"n_p": "active_users"},
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        v = (b["anchor_d"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]").astype("datetime64[us]"))
+        return pa.table({
+            "day": pa.array(v, pa.timestamp("us")),
+            "active_users": b["active_users"],
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+ORACLE_ROLLING_ACTIVE_USERS = """
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+),
+w AS (
+  SELECT DISTINCT user_id, d + o * INTERVAL 1 DAY AS day
+  FROM ud CROSS JOIN (SELECT UNNEST([0, 1, 2, 3, 4, 5, 6]) AS o)
+)
+SELECT day, count(*) AS active_users FROM w GROUP BY 1
+"""
+
+
+# ------------------------------------------- frequent co-occurring pairs
+def copurchase_pairs(sf_dir: str, k: int = 50,
+                     parts: int = 64) -> ray.data.Dataset:
+    """Top-k part pairs by the number of orders containing BOTH parts
+    (market-basket frequent pairs over ``lineitem``).
+
+    Pair mining is a self-join the engine never runs as a join: rows
+    hash-partition by order key (ONE exchange of distinct
+    (order, part) partials), each partition expands its orders' pairs
+    with a vectorized segment-pair kernel (np.repeat over per-order
+    fanout — no Python loop over orders), packs each (a < b) pair into
+    one int64, and pre-counts locally.  Pair totals then ride
+    ``hash_keyed_agg`` (pair-keyed partitions), and only per-partition
+    top-k survivors reach the final merge.  Per-order fanout bounds the
+    expansion (C(lines,2) ≤ ~136 at TPC-H shape); a skewed giant order
+    would need the same cap treatment as the LSH buckets — asserted.
+    """
+    from .common import hash_keyed_agg
+    from whakoom_webscrapper_ray.pipelines.text import mix64
+
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            b.select(["l_orderkey", "l_partkey"]),
+            ["l_orderkey", "l_partkey"],
+        ).aggregate([])
+        o = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o": g["l_orderkey"],
+            "p": g["l_partkey"],
+            "part": pa.array(
+                (mix64(o.view(np.uint64)) % np.uint64(parts)).astype(
+                    np.int64
+                )
+            ),
+        })
+
+    def pairs_part(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "pair": pa.array([], pa.int64()),
+            "n_p": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        o = g["o"].to_numpy(zero_copy_only=False)
+        p = g["p"].to_numpy(zero_copy_only=False)
+        assert p.size == 0 or (p.max() < (1 << 31) and p.min() >= 0)
+        # sort by (order, part); dedup cross-block repeats of a cell
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        keep = np.ones(o.size, dtype=bool)
+        keep[1:] = (o[1:] != o[:-1]) | (p[1:] != p[:-1])
+        o, p = o[keep], p[keep]
+        # segment-pair expansion: element at pos i of a segment ending
+        # at e pairs with positions i+1..e-1 (parts sorted → a < b)
+        seg_first = np.ones(o.size, dtype=bool)
+        seg_first[1:] = o[1:] != o[:-1]
+        starts = np.flatnonzero(seg_first)
+        lens = np.diff(np.append(starts, o.size))
+        ends = np.repeat(starts + lens, lens)
+        pos = np.arange(o.size, dtype=np.int64)
+        reps = ends - pos - 1
+        if int(reps.sum()) == 0:
+            return empty
+        L = np.repeat(pos, reps)
+        cum = np.concatenate([[0], np.cumsum(reps)])
+        R = (np.arange(cum[-1], dtype=np.int64)
+             - np.repeat(cum[:-1], reps) + np.repeat(pos + 1, reps))
+        pack = (p[L] << 32) | p[R]
+        pair, cnt = np.unique(pack, return_counts=True)
+        return pa.table({
+            "pair": pa.array(pair, pa.int64()),
+            "n_p": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    totals = hash_keyed_agg(
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_part, batch_format="pyarrow"),
+        "pair", sums={"n_p": "n_orders"}, parts=parts,
+    )
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        c = b["n_orders"].to_numpy(zero_copy_only=False)
+        pr = b["pair"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((pr, -c))[:k]
+        return b.take(pa.array(np.sort(idx), pa.int64()))
+
+    merged = (
+        totals.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["n_orders", "pair"], descending=[True, False])
+        .limit(k)
+    )
+
+    def unpack(b: pa.Table) -> pa.Table:
+        pr = b["pair"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part_a": pa.array(pr >> 32, pa.int64()),
+            "part_b": pa.array(pr & ((1 << 32) - 1), pa.int64()),
+            "n_orders": b["n_orders"],
+        })
+
+    return merged.map_batches(unpack, batch_format="pyarrow")
+
+
+ORACLE_COPURCHASE_PAIRS = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*) AS n_orders
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, n_orders FROM p
+ORDER BY n_orders DESC, part_a, part_b LIMIT 50
+"""
