@@ -239,7 +239,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ann_topk's Arrow _merge_topk by the *_fullprobe bit-exact
         # oracles in the local gate; the remaining crawl tables by the
         # in-cap crawl head over the same engine run).  All oracles
-        # still run via tools/check_oracle.py.
+        # still run via tools/check_oracle.py.  Ops landed after the
+        # cap filled (duplicate_ngram_coverage, keyword_search, ...)
+        # lead this region so the next rotation promotes them first.
+        "duplicate_ngram_coverage": _tx.duplicate_ngram_coverage,
+        "keyword_search": _tx.keyword_search,
         "simhash_dup_pairs": _dd.simhash_dup_pairs,
         "embedding_dups": _dd.embedding_dup_pairs,
         "incremental_dedup": _dd.incremental_dedup,
@@ -403,6 +407,10 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts": _do.ORACLE_RETENTION_COHORTS,
         "rolling_active_users": _do.ORACLE_ROLLING_ACTIVE_USERS,
         "copurchase_pairs": _do.ORACLE_COPURCHASE_PAIRS,
+        "duplicate_ngram_coverage": (
+            _tx.duplicate_ngram_coverage_oracle_sql()
+        ),
+        "keyword_search": _tx.keyword_search_oracle_sql(),
         "sessionize": _do.ORACLE_SESSIONIZE,
         "user_running_total": _do.ORACLE_USER_RUNNING_TOTAL,
         "events_sliding": _do.ORACLE_EVENTS_SLIDING,

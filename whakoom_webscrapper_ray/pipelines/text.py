@@ -1769,3 +1769,220 @@ SELECT a.source AS source_a, b.source AS source_b,
 FROM srcg a JOIN srcg b ON a.gram = b.gram AND a.source < b.source
 GROUP BY 1, 2
 """
+
+
+# --------------------------------- duplicated-n-gram coverage per doc
+def duplicate_ngram_coverage(sf_dir: str,
+                             parts: int = 64) -> ray.data.Dataset:
+    """Per-document duplicated-3-gram coverage: the fraction of a doc's
+    DISTINCT word-3-grams that occur in at least one OTHER document —
+    the per-doc "how boilerplate is this" metric behind
+    substring-dedup policies (cf. dedup training-data literature: docs
+    whose n-grams are mostly corpus-duplicated are pruned first).
+
+    Two exchanges, both shrinking: (1) per-doc distinct (doc, gram)
+    rows hash-partition by GRAM, so a gram's full posting list is
+    partition-local — document frequency and each row's dup flag are
+    computed there with one ``np.unique`` (no join); the partition
+    then collapses to per-doc PARTIAL counts before (2) a doc-keyed
+    ``hash_keyed_agg`` sums the partials.  No stage ever holds more
+    than (distinct grams in one hash partition); the gram strings ride
+    the first shuffle once (the exact-df requirement — a fingerprinted
+    variant halves the shuffle width at 100 TB at the cost of hash-
+    collision df error).
+    """
+    from .common import hash_keyed_agg
+
+    def partial(b: pa.Table) -> pa.Table:
+        grams, drow = _doc_grams_str(b)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)[drow]
+        h = token_hashes(grams.to_numpy(zero_copy_only=False))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "gram": grams,
+            "part": pa.array((h % np.uint64(parts)).astype(np.int64)),
+        })
+
+    def flag_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "n_grams_x": pa.array([], pa.int64()),
+                "n_dup_x": pa.array([], pa.int64()),
+            })
+        gr = g["gram"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        # rows are per-doc distinct by construction, so the posting
+        # list length IS the document frequency of the gram
+        _, ginv, df = np.unique(gr, return_inverse=True,
+                                return_counts=True)
+        dup = (df[ginv] >= 2).astype(np.int64)
+        uid, dinv = np.unique(ids, return_inverse=True)
+        n = np.zeros(uid.size, dtype=np.int64)
+        np.add.at(n, dinv, 1)
+        d = np.zeros(uid.size, dtype=np.int64)
+        np.add.at(d, dinv, dup)
+        return pa.table({
+            "doc_id": pa.array(uid, pa.int64()),
+            "n_grams_x": pa.array(n, pa.int64()),
+            "n_dup_x": pa.array(d, pa.int64()),
+        })
+
+    agg = hash_keyed_agg(
+        read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(flag_part, batch_format="pyarrow"),
+        "doc_id",
+        sums={"n_grams_x": "n_grams", "n_dup_x": "n_dup"},
+        parts=parts,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = b["n_grams"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        d = b["n_dup"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # single IEEE division of exact integers — bit-reproducible in
+        # SQL as the same integer-to-double division
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_grams": b["n_grams"],
+            "n_dup": b["n_dup"],
+            "dup_frac": pa.array(d / n, pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def duplicate_ngram_coverage_oracle_sql() -> str:
+    from .dedup import JACCARD_CTES
+
+    return f"""
+WITH {JACCARD_CTES},
+dg AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+df AS (SELECT g, count(*) AS df FROM dg GROUP BY g)
+SELECT dg.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup,
+       CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS dup_frac
+FROM dg JOIN df USING (g)
+GROUP BY dg.doc_id
+"""
+
+
+# ----------------------------------------------- keyword search (top-k)
+_KWS_TERMS = ("data", "model", "system", "search", "query")
+_KWS_K = 20
+_KWS_SCALE = 1_000_000
+
+
+def keyword_search(sf_dir: str, terms: tuple[str, ...] = _KWS_TERMS,
+                   k: int = _KWS_K) -> ray.data.Dataset:
+    """Integer-exact keyword retrieval: top-k documents for a bag of
+    query terms, scored tf x rarity (the BM25 shape with the floats
+    replaced by exact integers so the oracle compares bit-for-bit).
+
+    score(doc) = sum over query terms t of
+                 tf(t, doc) * (SCALE // (df(t) + 1))
+
+    Pass 1 streams once over the corpus computing df for the QUERY
+    TERMS ONLY (a |terms|-row aggregate — no vocabulary shuffle).
+    Pass 2 broadcasts the |terms| weights, scores every doc with one
+    vectorized is_in + np.add.at per block, keeps a per-block top-k,
+    and merges k x blocks rows.  At 100 TB both passes stream; the
+    only materialized state is the |terms|-row weight table.
+    """
+    qterms = np.asarray(sorted(set(terms)), dtype=object)
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.values.to_numpy(zero_copy_only=False)
+        offs = words.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        doc_of = np.repeat(np.arange(offs.size - 1, dtype=np.int64),
+                           np.diff(offs))
+        # docs-containing-term: dedup (doc, term-index) hits
+        ti = np.searchsorted(qterms, flat)
+        ti[ti == qterms.size] = 0
+        hit = qterms[ti] == flat
+        cells = np.unique(doc_of[hit] * qterms.size
+                          + ti[hit].astype(np.int64))
+        tidx, cnt = np.unique(cells % qterms.size, return_counts=True)
+        d = np.zeros(qterms.size, dtype=np.int64)
+        d[tidx] = cnt
+        return pa.table({
+            "ti": pa.array(np.arange(qterms.size), pa.int64()),
+            "df_p": pa.array(d, pa.int64()),
+        })
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    dfs = two_phase_agg(
+        docs.map_batches(df_partial, batch_format="pyarrow"),
+        ["ti"], sums={"df_p": "df"},
+    )
+    from .common import collect_small
+
+    dft = collect_small(dfs, pa.schema([("ti", pa.int64()),
+                                        ("df", pa.int64())]))
+    w = np.zeros(qterms.size, dtype=np.int64)
+    w[dft["ti"].to_numpy(zero_copy_only=False)] = (
+        _KWS_SCALE // (dft["df"].to_numpy(zero_copy_only=False) + 1)
+    )
+
+    def score_topk(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.values.to_numpy(zero_copy_only=False)
+        offs = words.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        doc_of = np.repeat(np.arange(offs.size - 1, dtype=np.int64),
+                           np.diff(offs))
+        ti = np.searchsorted(qterms, flat)
+        ti[ti == qterms.size] = 0
+        hit = qterms[ti] == flat
+        s = np.zeros(offs.size - 1, dtype=np.int64)
+        np.add.at(s, doc_of[hit], w[ti[hit]])
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        m = s > 0
+        ids, s = ids[m], s[m]
+        if ids.size > k:
+            top = np.lexsort((ids, -s))[:k]
+            ids, s = ids[top], s[top]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "score": pa.array(s, pa.int64()),
+        })
+
+    return (
+        docs.map_batches(score_topk, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def keyword_search_oracle_sql(terms: tuple[str, ...] = _KWS_TERMS,
+                              k: int = _KWS_K) -> str:
+    tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+WITH q AS (SELECT unnest([{tl}]) AS term),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN (SELECT term FROM q) GROUP BY 1, 2
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         sum(tf.tf * ({_KWS_SCALE} // (df.df + 1))) AS score
+  FROM tf JOIN df USING (term) GROUP BY 1
+)
+SELECT doc_id, CAST(score AS BIGINT) AS score FROM sc
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
