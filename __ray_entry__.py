@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lead this region so the next rotation promotes them first.
         "duplicate_ngram_coverage": _tx.duplicate_ngram_coverage,
         "keyword_search": _tx.keyword_search,
+        "interval_merge": _do.interval_merge,
         "simhash_dup_pairs": _dd.simhash_dup_pairs,
         "embedding_dups": _dd.embedding_dup_pairs,
         "incremental_dedup": _dd.incremental_dedup,
@@ -411,6 +412,7 @@ def oracle_sql() -> dict[str, str]:
             _tx.duplicate_ngram_coverage_oracle_sql()
         ),
         "keyword_search": _tx.keyword_search_oracle_sql(),
+        "interval_merge": _do.ORACLE_INTERVAL_MERGE,
         "sessionize": _do.ORACLE_SESSIONIZE,
         "user_running_total": _do.ORACLE_USER_RUNNING_TOTAL,
         "events_sliding": _do.ORACLE_EVENTS_SLIDING,

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "decontaminate_bloom", "knn_graph", "events_rollup", "lang_vocab",
     "doc_percentile_rank", "source_overlap", "value_quantiles",
     "retention_cohorts", "rolling_active_users", "copurchase_pairs",
+    "duplicate_ngram_coverage", "keyword_search", "interval_merge",
 ]
 
 

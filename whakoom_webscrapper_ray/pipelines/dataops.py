@@ -2727,3 +2727,128 @@ p AS (
 SELECT part_a, part_b, n_orders FROM p
 ORDER BY n_orders DESC, part_a, part_b LIMIT 50
 """
+
+
+# ------------------------------------------------- interval merge
+def interval_merge(sf_dir: str, parts: int = 64) -> ray.data.Dataset:
+    """Merge overlapping variable-length intervals per user — the
+    gaps-and-islands operator that sessionize can't express: each
+    event spans ``[ts, ts + value minutes)``, and an early LONG
+    interval may swallow several later short ones, so the island
+    break depends on the running MAX of interval ends, not the
+    previous row's end.
+
+    One shuffle (user-hash partitions), then ONE vectorized pass
+    merges every user in the partition: rank-compress the start/end
+    values jointly (so comparisons stay exact in a small int domain —
+    the same surrogate trick as the as-of sweep, immune to the
+    int64-overflow hazard ADVICE flagged for epoch-us arithmetic),
+    compute the per-user running max of ends with the segmented-cummax
+    offset trick, break where start > prev running max, and reduce
+    islands with ``np.maximum.reduceat``.  At 100 TB the shape holds:
+    partition by entity key, per-partition vectorized sweep, island
+    rows only leave the partition.
+    """
+    def add_part(b: pa.Table) -> pa.Table:
+        from .text import mix64
+
+        k = b["user_id"].to_numpy(zero_copy_only=False)
+        s = b["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").view(np.int64)
+        # duration: floor(value * 60e6) us — floor on BOTH sides so
+        # the float multiply rounds identically in numpy and DuckDB
+        dur = np.floor(
+            b["value"].to_numpy(zero_copy_only=False) * 60_000_000.0
+        ).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(k, pa.int64()),
+            "s": pa.array(s, pa.int64()),
+            "e": pa.array(s + dur, pa.int64()),
+            "part": pa.array(
+                (mix64(k.view(np.uint64)) % np.uint64(parts))
+                .astype(np.int64)),
+        })
+
+    def merge_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "interval_id": pa.array([], pa.int64()),
+                "start_ts": pa.array([], pa.timestamp("us")),
+                "end_ts": pa.array([], pa.timestamp("us")),
+                "n_merged": pa.array([], pa.int64()),
+            })
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        s = g["s"].to_numpy(zero_copy_only=False)
+        e = g["e"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, s, uid))
+        uid, s, e = uid[order], s[order], e[order]
+        # joint dense-rank of starts and ends: a > b iff rank(a) >
+        # rank(b), and nseg * nvals stays far below 2**63 for any
+        # partition that fits a worker
+        vals = np.unique(np.concatenate([s, e]))
+        sr = np.searchsorted(vals, s).astype(np.int64)
+        er = np.searchsorted(vals, e).astype(np.int64)
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        useg = np.cumsum(new_user) - 1
+        k = np.int64(vals.size + 1)
+        cm = np.maximum.accumulate(er + useg * k) - useg * k
+        prev = np.r_[np.int64(-1), cm[:-1]]
+        brk = new_user | (sr > prev)
+        starts = np.flatnonzero(brk)
+        cs = np.cumsum(brk)
+        ustart_cs = cs[np.flatnonzero(new_user)]
+        per_user_base = np.repeat(
+            ustart_cs,
+            np.diff(np.r_[np.flatnonzero(new_user), uid.size]),
+        )
+        island = (cs - per_user_base + 1)[starts]
+        lens = np.diff(np.r_[starts, uid.size])
+        end_us = np.maximum.reduceat(e, starts)
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "interval_id": pa.array(island, pa.int64()),
+            "start_ts": pa.array(s[starts].view("datetime64[us]")),
+            "end_ts": pa.array(end_us.view("datetime64[us]")),
+            "n_merged": pa.array(lens, pa.int64()),
+        })
+
+    return (
+        read(sf_dir, "events", columns=["user_id", "ts", "value"])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge_part, batch_format="pyarrow")
+    )
+
+
+ORACLE_INTERVAL_MERGE = """
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(FLOOR(value * 60000000) AS BIGINT) AS e
+  FROM events
+), m AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_max
+  FROM iv
+), g AS (
+  SELECT user_id, s, e,
+         CASE WHEN prev_max IS NULL OR s > prev_max
+              THEN 1 ELSE 0 END AS brk
+  FROM m
+), isl AS (
+  SELECT user_id, s, e,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS interval_id
+  FROM g
+)
+SELECT user_id, interval_id,
+       make_timestamp(min(s)) AS start_ts,
+       make_timestamp(max(e)) AS end_ts,
+       count(*) AS n_merged
+FROM isl
+GROUP BY user_id, interval_id
+"""
