@@ -245,6 +245,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_ngram_coverage": _tx.duplicate_ngram_coverage,
         "keyword_search": _tx.keyword_search,
         "interval_merge": _do.interval_merge,
+        "span_stitch": _il.span_stitch,
+        "media_context": _il.media_context,
+        "revenue_mom_growth": _do.revenue_mom_growth,
         "simhash_dup_pairs": _dd.simhash_dup_pairs,
         "embedding_dups": _dd.embedding_dup_pairs,
         "incremental_dedup": _dd.incremental_dedup,
@@ -413,6 +416,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "keyword_search": _tx.keyword_search_oracle_sql(),
         "interval_merge": _do.ORACLE_INTERVAL_MERGE,
+        "span_stitch": _il.ORACLE_SPAN_STITCH,
+        "media_context": _il.ORACLE_MEDIA_CONTEXT,
+        "revenue_mom_growth": _do.ORACLE_REVENUE_MOM_GROWTH,
         "sessionize": _do.ORACLE_SESSIONIZE,
         "user_running_total": _do.ORACLE_USER_RUNNING_TOTAL,
         "events_sliding": _do.ORACLE_EVENTS_SLIDING,

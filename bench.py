@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "doc_percentile_rank", "source_overlap", "value_quantiles",
     "retention_cohorts", "rolling_active_users", "copurchase_pairs",
     "duplicate_ngram_coverage", "keyword_search", "interval_merge",
+    "span_stitch", "media_context", "revenue_mom_growth",
 ]
 
 

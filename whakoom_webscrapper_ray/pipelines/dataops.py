@@ -2852,3 +2852,82 @@ SELECT user_id, interval_id,
 FROM isl
 GROUP BY user_id, interval_id
 """
+
+
+# ------------------------------------------- month-over-month growth
+def revenue_mom_growth(sf_dir: str) -> ray.data.Dataset:
+    """Month-over-month revenue delta per order priority — the
+    lead/lag window class: consecutive-row differences over an ordered
+    per-group series (TPC-H-style trend report).
+
+    The heavy part is one :func:`common.two_phase_agg` (map-side
+    partials, priority×month keys → a few hundred rows); the lag diff
+    itself then runs per priority on the tiny aggregate, so nothing
+    beyond partial aggregates ever moves.  First month of each
+    priority is excluded (no predecessor), keeping every output column
+    null-free int64 for exact hash compare.
+    """
+    def prep(b: pa.Table) -> pa.Table:
+        m = (b["o_orderdate"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[M]").astype("datetime64[us]")
+             .view(np.int64))
+        cents = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "priority": b["o_orderpriority"],
+            "month_us": pa.array(m, pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    agg = two_phase_agg(
+        read(sf_dir, "orders",
+             columns=["o_orderpriority", "o_orderdate", "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow"),
+        ["priority", "month_us"], sums={"cents": "revenue_cents"},
+    )
+
+    def growth(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "priority": pa.array([], pa.string()),
+            "month": pa.array([], pa.timestamp("us")),
+            "revenue_cents": pa.array([], pa.int64()),
+            "prev_cents": pa.array([], pa.int64()),
+            "growth_cents": pa.array([], pa.int64()),
+        })
+        if g.num_rows < 2:
+            return empty
+        m = g["month_us"].to_numpy(zero_copy_only=False)
+        r = g["revenue_cents"].to_numpy(zero_copy_only=False)
+        o = np.argsort(m)
+        m, r = m[o], r[o]
+        pr = g["priority"].take(pa.array(np.zeros(m.size - 1, np.int64)))
+        return pa.table({
+            "priority": pr,
+            "month": pa.array(m[1:].view("datetime64[us]")),
+            "revenue_cents": pa.array(r[1:], pa.int64()),
+            "prev_cents": pa.array(r[:-1], pa.int64()),
+            "growth_cents": pa.array(r[1:] - r[:-1], pa.int64()),
+        })
+
+    return agg.groupby("priority").map_groups(
+        growth, batch_format="pyarrow")
+
+
+ORACLE_REVENUE_MOM_GROWTH = """
+WITH m AS (
+  SELECT o_orderpriority AS priority,
+         date_trunc('month', o_orderdate) AS month,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders GROUP BY 1, 2
+), g AS (
+  SELECT priority, month, revenue_cents,
+         lag(revenue_cents) OVER (PARTITION BY priority
+                                  ORDER BY month) AS prev_cents
+  FROM m
+)
+SELECT priority, month, revenue_cents, prev_cents,
+       revenue_cents - prev_cents AS growth_cents
+FROM g WHERE prev_cents IS NOT NULL
+"""

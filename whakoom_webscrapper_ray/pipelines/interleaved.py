@@ -302,3 +302,177 @@ SELECT media_ref,
 FROM a
 GROUP BY media_ref
 """
+
+
+# ------------------------------------------------------- span stitch
+def _stitch_batch(b: pa.Table) -> pa.Table:
+    empty = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "para_id": pa.array([], pa.int64()),
+        "para_text": pa.array([], pa.string()),
+        "n_tokens": pa.array([], pa.int64()),
+        "start_offset": pa.array([], pa.int32()),
+    })
+    spans = b.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = pc.list_flatten(spans)
+    parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+    n = parent.size
+    if n == 0:
+        return empty
+    istext = pc.equal(flat.field("kind"), "text").to_numpy(
+        zero_copy_only=False)
+    off = flat.field("offset").to_numpy(zero_copy_only=False)
+    # paragraph id = number of non-text separators before the span,
+    # per doc: global separator cumsum minus its value at doc start
+    sep = (~istext).astype(np.int64)
+    gcs = np.cumsum(sep)
+    new_doc = np.r_[True, parent[1:] != parent[:-1]]
+    dstart = np.flatnonzero(new_doc)
+    base = (gcs - sep)[dstart]
+    para = gcs - np.repeat(base, np.diff(np.r_[dstart, n]))
+    keep = np.flatnonzero(istext)
+    if keep.size == 0:
+        return empty
+    kpar, kpara, koff = parent[keep], para[keep], off[keep]
+    brk = np.r_[True,
+                (kpar[1:] != kpar[:-1]) | (kpara[1:] != kpara[:-1])]
+    starts = np.flatnonzero(brk)
+    lens = np.diff(np.r_[starts, keep.size])
+    ktok = flat.field("text").take(pa.array(keep))
+    runs = pa.ListArray.from_arrays(
+        pa.array(np.r_[starts, keep.size].astype(np.int32)), ktok)
+    return pa.table({
+        "doc_id": pc.cast(b["doc_id"], pa.int64()).take(
+            pa.array(kpar[starts])),
+        "para_id": pa.array(kpara[starts], pa.int64()),
+        "para_text": pc.binary_join(runs, " "),
+        "n_tokens": pa.array(lens, pa.int64()),
+        "start_offset": pa.array(koff[starts].astype(np.int32),
+                                 pa.int32()),
+    })
+
+
+def span_stitch(sf_dir: str) -> ray.data.Dataset:
+    """Coalesce each run of consecutive TEXT spans into one paragraph
+    row (doc_id, para_id, para_text, n_tokens, start_offset) — the
+    ordered nested-data transform a doc-assembly stage needs (re-join
+    extracted fragments between media/link/heading separators, cf.
+    reference publications.py:96-102 iterating heterogeneous nodes in
+    document order).
+
+    Pure map-side: spans of one doc never cross batch boundaries, so
+    every paragraph is assembled inside its batch with one vectorized
+    pass (separator cumsum → run breaks → ``ListArray`` over the kept
+    tokens → ``pc.binary_join``) — no shuffle, no Python row loop, and
+    the output streams.
+    """
+    return interleaved_docs(sf_dir).map_batches(
+        _stitch_batch, batch_format="pyarrow")
+
+
+ORACLE_SPAN_STITCH = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), t AS (
+  SELECT doc_id, ws, unnest(range(0, len(ws))) AS i FROM w
+), f AS (
+  SELECT doc_id, i, ws[i + 1] AS tok,
+         CASE WHEN i % 5 = 0 OR i % 7 = 0 OR i % 11 = 0
+              THEN 1 ELSE 0 END AS sep
+  FROM t
+), p AS (
+  SELECT doc_id, i, tok, sep,
+         CAST(sum(sep) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS para_id
+  FROM f
+)
+SELECT doc_id, para_id,
+       string_agg(tok, ' ' ORDER BY i) AS para_text,
+       count(*) AS n_tokens,
+       CAST(min(i) AS INTEGER) AS start_offset
+FROM p WHERE sep = 0
+GROUP BY doc_id, para_id
+"""
+
+
+# ------------------------------------------------------ media context
+def _media_context_batch(b: pa.Table) -> pa.Table:
+    spans = b.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = pc.list_flatten(spans)
+    parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+    n = parent.size
+    if n == 0:
+        return pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "offset": pa.array([], pa.int32()),
+            "media_ref": pa.array([], pa.string()),
+            "caption": pa.array([], pa.string()),
+        })
+    kind = flat.field("kind")
+    istext = pc.equal(kind, "text").to_numpy(zero_copy_only=False)
+    isimg = pc.equal(kind, "image").to_numpy(zero_copy_only=False)
+    # nearest PRECEDING text span per row: segmented running max of
+    # (global index where text, else -1) with the per-doc offset trick
+    g = np.arange(n, dtype=np.int64)
+    val = np.where(istext, g, np.int64(-1))
+    docseg = np.cumsum(np.r_[True, parent[1:] != parent[:-1]]) - 1
+    k = np.int64(n + 2)
+    cma = np.maximum.accumulate(val + docseg * k)
+    prev = np.r_[-k, cma[:-1]] - docseg * k
+    img = np.flatnonzero(isimg)
+    pidx = prev[img]
+    has = pa.array(pidx >= 0)
+    caps = flat.field("text").take(
+        pa.array(np.where(pidx >= 0, pidx, 0), pa.int64()))
+    return pa.table({
+        "doc_id": pc.cast(b["doc_id"], pa.int64()).take(
+            pa.array(parent[img])),
+        "offset": flat.field("offset").take(pa.array(img)),
+        "media_ref": flat.field("media_ref").take(pa.array(img)),
+        "caption": pc.if_else(has, caps, pa.scalar("", pa.string())),
+    })
+
+
+def media_context(sf_dir: str) -> ray.data.Dataset:
+    """Caption heuristic for the multimodal columns: every image span
+    paired with the nearest PRECEDING text span's token in the same
+    document ('' when none) — the text-context lookup an image-caption
+    / alt-text training-pair builder performs over interleaved docs.
+
+    Map-side only: the preceding-text index is a per-doc segmented
+    running max (offset trick, one ``np.maximum.accumulate`` per
+    batch), so the operator streams with no shuffle and no row loop.
+    """
+    return interleaved_docs(sf_dir).map_batches(
+        _media_context_batch, batch_format="pyarrow")
+
+
+ORACLE_MEDIA_CONTEXT = """
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+), t AS (
+  SELECT doc_id, source, ws, unnest(range(0, len(ws))) AS i FROM w
+), k AS (
+  SELECT doc_id, source, ws, i,
+         CASE WHEN i % 5 = 0 THEN 'link'
+              WHEN i % 7 = 0 THEN 'image'
+              WHEN i % 11 = 0 THEN 'heading'
+              ELSE 'text' END AS kind
+  FROM t
+), x AS (
+  SELECT doc_id, source, ws, i, kind,
+         max(CASE WHEN kind = 'text' THEN i END) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pti
+  FROM k
+)
+SELECT doc_id, CAST(i AS INTEGER) AS "offset",
+       'img://' || source || '/' || i AS media_ref,
+       coalesce(ws[pti + 1], '') AS caption
+FROM x WHERE kind = 'image'
+"""
