@@ -65,6 +65,12 @@ QUERIES = [
     "retention_cohorts",                        # cohort matrix, 1 shuffle
     "rolling_active_users",                     # sliding COUNT DISTINCT
     "copurchase_pairs",                         # frequent-pair mining
+    "duplicate_ngram_coverage",                 # per-doc dup-gram frac
+    "keyword_search",                           # tf x rarity top-k
+    "interval_merge",                           # islands w/ running-max end
+    "span_stitch",                              # text-run paragraphs
+    "media_context",                            # image caption heuristic
+    "revenue_mom_growth",                       # lag-window deltas
 ]
 
 
