@@ -154,9 +154,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ORDERING IS DELIBERATE (rotating driver coverage): the driver's
     correctness file caps at 50 rows, so the in-cap prefix holds, in
     priority order: (a) every query with no prior driver row — the
-    round-4 operators; (b) the 19 rotated in per the round-3 verdict
-    (the 17 relational/streaming entries plus media_resize /
-    frame_sample); (c) the dedup family whose pair stage was REWRITTEN
+    round-4 operators, including the six landed latest
+    (duplicate_ngram_coverage .. revenue_mom_growth); (b) those of the
+    19 rotated in per the round-3 verdict that were touched this round
+    or never driver-checked; (c) the dedup family whose pair stage was REWRITTEN
     this round (bucket-collapse + distributed verify) and its cluster
     consumers — the round-3 verdict's explicit done-condition rows;
     (d) the crawl-family head (order, seen set, lists, junction, doc
@@ -195,15 +196,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": _do.retention_cohorts,
         "rolling_active_users": _do.rolling_active_users,
         "copurchase_pairs": _do.copurchase_pairs,
+        "duplicate_ngram_coverage": _tx.duplicate_ngram_coverage,
+        "keyword_search": _tx.keyword_search,
+        "interval_merge": _do.interval_merge,
+        "span_stitch": _il.span_stitch,
+        "media_context": _il.media_context,
+        "revenue_mom_growth": _do.revenue_mom_growth,
         # ---- relational / streaming operators (round-4 rotation head)
-        "docs_filter_project": _do.docs_filter_project,
-        "pricing_summary": _do.pricing_summary,
         "top_customers": _do.top_customers,
-        "customer_rollup": _do.customer_rollup,
-        "orders_by_month": _do.orders_by_month,
         "junction_min_position": _do.junction_min_position,
-        "customers_no_big_orders": _do.customers_no_big_orders,
-        "top_parts": _do.top_parts,
         "events_hourly": _do.events_hourly,
         "props_field_stats": _do.props_field_stats,
         "sessionize": _do.sessionize,
@@ -239,15 +240,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ann_topk's Arrow _merge_topk by the *_fullprobe bit-exact
         # oracles in the local gate; the remaining crawl tables by the
         # in-cap crawl head over the same engine run).  All oracles
-        # still run via tools/check_oracle.py.  Ops landed after the
-        # cap filled (duplicate_ngram_coverage, keyword_search, ...)
-        # lead this region so the next rotation promotes them first.
-        "duplicate_ngram_coverage": _tx.duplicate_ngram_coverage,
-        "keyword_search": _tx.keyword_search,
-        "interval_merge": _do.interval_merge,
-        "span_stitch": _il.span_stitch,
-        "media_context": _il.media_context,
-        "revenue_mom_growth": _do.revenue_mom_growth,
+        # still run via tools/check_oracle.py.  The six relational
+        # queries rotated out this session (docs_filter_project,
+        # pricing_summary, customer_rollup, orders_by_month,
+        # customers_no_big_orders, top_parts) were driver-green in
+        # BOTH r2 and r3 and are untouched this round; they yielded
+        # their cap slots to the six newest operators above.
+        "docs_filter_project": _do.docs_filter_project,
+        "pricing_summary": _do.pricing_summary,
+        "customer_rollup": _do.customer_rollup,
+        "orders_by_month": _do.orders_by_month,
+        "customers_no_big_orders": _do.customers_no_big_orders,
+        "top_parts": _do.top_parts,
         "simhash_dup_pairs": _dd.simhash_dup_pairs,
         "embedding_dups": _dd.embedding_dup_pairs,
         "incremental_dedup": _dd.incremental_dedup,
