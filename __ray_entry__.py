@@ -202,10 +202,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_stitch": _il.span_stitch,
         "media_context": _il.media_context,
         "revenue_mom_growth": _do.revenue_mom_growth,
+        "pareto_front": _do.pareto_front,
+        "time_weighted_avg": _do.time_weighted_avg,
+        "triangle_topk": _do.triangle_topk,
         # ---- relational / streaming operators (round-4 rotation head)
-        "top_customers": _do.top_customers,
-        "junction_min_position": _do.junction_min_position,
-        "events_hourly": _do.events_hourly,
         "props_field_stats": _do.props_field_stats,
         "sessionize": _do.sessionize,
         "user_running_total": _do.user_running_total,
@@ -243,9 +243,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # still run via tools/check_oracle.py.  The six relational
         # queries rotated out this session (docs_filter_project,
         # pricing_summary, customer_rollup, orders_by_month,
-        # customers_no_big_orders, top_parts) were driver-green in
+        # customers_no_big_orders, top_parts, plus top_customers /
+        # junction_min_position / events_hourly) were driver-green in
         # BOTH r2 and r3 and are untouched this round; they yielded
-        # their cap slots to the six newest operators above.
+        # their cap slots to the nine newest operators above.
+        "top_customers": _do.top_customers,
+        "junction_min_position": _do.junction_min_position,
+        "events_hourly": _do.events_hourly,
         "docs_filter_project": _do.docs_filter_project,
         "pricing_summary": _do.pricing_summary,
         "customer_rollup": _do.customer_rollup,
@@ -415,6 +419,9 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts": _do.ORACLE_RETENTION_COHORTS,
         "rolling_active_users": _do.ORACLE_ROLLING_ACTIVE_USERS,
         "copurchase_pairs": _do.ORACLE_COPURCHASE_PAIRS,
+        "pareto_front": _do.ORACLE_PARETO_FRONT,
+        "time_weighted_avg": _do.ORACLE_TIME_WEIGHTED_AVG,
+        "triangle_topk": _do.ORACLE_TRIANGLE_TOPK,
         "duplicate_ngram_coverage": (
             _tx.duplicate_ngram_coverage_oracle_sql()
         ),

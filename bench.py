@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "retention_cohorts", "rolling_active_users", "copurchase_pairs",
     "duplicate_ngram_coverage", "keyword_search", "interval_merge",
     "span_stitch", "media_context", "revenue_mom_growth",
+    "pareto_front", "time_weighted_avg", "triangle_topk",
 ]
 
 

@@ -71,6 +71,9 @@ QUERIES = [
     "span_stitch",                              # text-run paragraphs
     "media_context",                            # image caption heuristic
     "revenue_mom_growth",                       # lag-window deltas
+    "pareto_front",                             # skyline (local-then-merge)
+    "time_weighted_avg",                        # step-function integral
+    "triangle_topk",                            # degree-oriented triangles
 ]
 
 

@@ -2608,10 +2608,12 @@ SELECT day, count(*) AS active_users FROM w GROUP BY 1
 
 
 # ------------------------------------------- frequent co-occurring pairs
-def copurchase_pairs(sf_dir: str, k: int = 50,
-                     parts: int = 64) -> ray.data.Dataset:
-    """Top-k part pairs by the number of orders containing BOTH parts
-    (market-basket frequent pairs over ``lineitem``).
+def _copurchase_pair_counts(sf_dir: str, parts: int) -> ray.data.Dataset:
+    """(pair, n_orders): co-occurrence counts of every part pair that
+    shares at least one order — the shared pair-mining core of
+    :func:`copurchase_pairs` (top-k report) and :func:`triangle_topk`
+    (graph construction).  ``pair`` packs the two 31-bit part keys as
+    ``lo << 32 | hi`` with lo < hi.
 
     Pair mining is a self-join the engine never runs as a join: rows
     hash-partition by order key (ONE exchange of distinct
@@ -2619,10 +2621,10 @@ def copurchase_pairs(sf_dir: str, k: int = 50,
     with a vectorized segment-pair kernel (np.repeat over per-order
     fanout — no Python loop over orders), packs each (a < b) pair into
     one int64, and pre-counts locally.  Pair totals then ride
-    ``hash_keyed_agg`` (pair-keyed partitions), and only per-partition
-    top-k survivors reach the final merge.  Per-order fanout bounds the
-    expansion (C(lines,2) ≤ ~136 at TPC-H shape); a skewed giant order
-    would need the same cap treatment as the LSH buckets — asserted.
+    ``hash_keyed_agg`` (pair-keyed partitions).  Per-order fanout
+    bounds the expansion (C(lines,2) ≤ ~136 at TPC-H shape); a skewed
+    giant order would need the same cap treatment as the LSH buckets —
+    asserted.
     """
     from .common import hash_keyed_agg
     from whakoom_webscrapper_ray.pipelines.text import mix64
@@ -2683,12 +2685,24 @@ def copurchase_pairs(sf_dir: str, k: int = 50,
             "n_p": pa.array(cnt.astype(np.int64), pa.int64()),
         })
 
-    totals = hash_keyed_agg(
+    return hash_keyed_agg(
         li.map_batches(partial, batch_format="pyarrow")
         .groupby("part")
         .map_groups(pairs_part, batch_format="pyarrow"),
         "pair", sums={"n_p": "n_orders"}, parts=parts,
     )
+
+
+def copurchase_pairs(sf_dir: str, k: int = 50,
+                     parts: int = 64) -> ray.data.Dataset:
+    """Top-k part pairs by the number of orders containing BOTH parts
+    (market-basket frequent pairs over ``lineitem``).
+
+    Pair counts come from :func:`_copurchase_pair_counts` (see its
+    docstring for the no-join pair-mining shape); only per-partition
+    top-k survivors reach the final merge.
+    """
+    totals = _copurchase_pair_counts(sf_dir, parts)
 
     def local_topk(b: pa.Table) -> pa.Table:
         if b.num_rows <= k:
@@ -2930,4 +2944,399 @@ WITH m AS (
 SELECT priority, month, revenue_cents, prev_cents,
        revenue_cents - prev_cents AS growth_cents
 FROM g WHERE prev_cents IS NOT NULL
+"""
+
+
+# ------------------------------------------------- pareto front
+def pareto_front(sf_dir: str) -> ray.data.Dataset:
+    """(p_partkey, price_cents, p_size): the skyline of ``part`` —
+    every part not strictly dominated on (minimize price, maximize
+    size) — the multi-objective "best tradeoffs" query class.
+
+    Scale shape: skylines obey a local-then-merge algebra —
+    ``skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B))`` — so each
+    block reduces to its own front with ONE vectorized kernel (lexsort
+    + segmented running max, no row loop), and only per-block fronts
+    (typically a few dozen rows regardless of block size) reach the
+    single-task final merge.  Nothing corpus-sized ever moves: this is
+    the skyline analog of the map-side-partial combiner.
+
+    Dominance is evaluated on exact integer cents (floor(price·100),
+    mirrored in the oracle) so Ray and DuckDB agree bit for bit; ties
+    (equal price AND equal size) are mutually non-dominating and all
+    survive, matching the strict ``NOT EXISTS`` semantics.
+    """
+    def local_front(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "p_partkey": pa.array([], pa.int64()),
+            "price_cents": pa.array([], pa.int64()),
+            "p_size": pa.array([], pa.int64()),
+        })
+        if b.num_rows == 0:
+            return empty
+        pk = b["p_partkey"].to_numpy(zero_copy_only=False)
+        price = np.floor(
+            b["p_retailprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        size = b["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # sort (price asc, size desc): within an equal-price group only
+        # rows at the group-max size can survive; across groups a front
+        # point must STRICTLY beat the best size of all cheaper groups
+        order = np.lexsort((pk, -size, price))
+        price, size, pk = price[order], size[order], pk[order]
+        grp_start = np.ones(price.size, dtype=bool)
+        grp_start[1:] = price[1:] != price[:-1]
+        grp_idx = np.cumsum(grp_start) - 1
+        grp_max = size[grp_start]                   # size desc in group
+        prefix = np.empty(grp_max.size, dtype=np.int64)
+        prefix[0] = np.iinfo(np.int64).min
+        if grp_max.size > 1:
+            prefix[1:] = np.maximum.accumulate(grp_max)[:-1]
+        keep = (size == grp_max[grp_idx]) & (grp_max > prefix)[grp_idx]
+        return pa.table({
+            "p_partkey": pa.array(pk[keep], pa.int64()),
+            "price_cents": pa.array(price[keep], pa.int64()),
+            "p_size": pa.array(size[keep], pa.int64()),
+        })
+
+    def merge_front(b: pa.Table) -> pa.Table:
+        # per-block fronts re-enter the identical kernel (the algebra
+        # above); rebuild the double column the kernel expects
+        t = pa.table({
+            "p_partkey": b["p_partkey"],
+            "p_retailprice": pc.divide(
+                pc.cast(b["price_cents"], pa.float64()), 100.0),
+            "p_size": b["p_size"],
+        })
+        return local_front(t)
+
+    return (
+        read(sf_dir, "part",
+             columns=["p_partkey", "p_retailprice", "p_size"])
+        .map_batches(local_front, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge_front, batch_format="pyarrow")
+    )
+
+
+ORACLE_PARETO_FRONT = """
+WITH p AS (
+  SELECT p_partkey,
+         CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part
+)
+SELECT a.p_partkey, a.price_cents, a.p_size FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+    AND (b.price_cents < a.price_cents OR b.p_size > a.p_size)
+)
+"""
+
+
+# ------------------------------------------------- time-weighted average
+def time_weighted_avg(sf_dir: str, parts: int = 64) -> ray.data.Dataset:
+    """(user_id, n_intervals, active_s, weighted_cents_s, twa_cents):
+    per-user TIME-WEIGHTED average of the event value — each event's
+    value held until the next event (left-continuous step function),
+    weighted by the interval length in whole seconds.  The
+    billing/metering aggregate SQL expresses with a lead() window.
+
+    Scale shape: same ONE-exchange coarse-hash layout as sessionize —
+    events hash-partition by user (never a per-user task), and each
+    partition computes every user's integral with one lexsort + one
+    segmented diff.  Integer exactness: value → floor cents, interval
+    → floor seconds, so sums are order-independent; per-term magnitude
+    (≤ 5·10⁴ cents × ~10⁸ s) keeps the int64 accumulator far from
+    overflow even at multi-year spans.
+    """
+    from whakoom_webscrapper_ray.pipelines.text import mix64
+
+    ev = read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                         "value"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b["user_id"],
+            "t_us": pc.cast(b["ts"], pa.int64()),
+            "event_id": b["event_id"],
+            "vc": _floor_cents(b["value"]),
+            "part": pa.array(
+                (mix64(u.view(np.uint64)) % np.uint64(parts)).astype(
+                    np.int64)),
+        })
+
+    def integrate(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "n_intervals": pa.array([], pa.int64()),
+            "active_s": pa.array([], pa.int64()),
+            "weighted_cents_s": pa.array([], pa.int64()),
+            "twa_cents": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["t_us"].to_numpy(zero_copy_only=False)
+        e = g["event_id"].to_numpy(zero_copy_only=False)
+        v = g["vc"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, u))
+        u, t, v = u[order], t[order], v[order]
+        same = np.zeros(u.size, dtype=bool)
+        if u.size > 1:
+            same[:-1] = u[1:] == u[:-1]          # row i has a successor
+        if not same.any():
+            return empty
+        dt_s = np.zeros(u.size, dtype=np.int64)
+        dt_s[:-1] = (t[1:] - t[:-1]) // 1_000_000
+        uk, inv = np.unique(u, return_inverse=True)
+        n = np.zeros(uk.size, dtype=np.int64)
+        act = np.zeros(uk.size, dtype=np.int64)
+        wsum = np.zeros(uk.size, dtype=np.int64)
+        np.add.at(n, inv[same], 1)
+        np.add.at(act, inv[same], dt_s[same])
+        np.add.at(wsum, inv[same], (v * dt_s)[same])
+        keep = act > 0                            # ratio needs a divisor
+        return pa.table({
+            "user_id": pa.array(uk[keep], pa.int64()),
+            "n_intervals": pa.array(n[keep], pa.int64()),
+            "active_s": pa.array(act[keep], pa.int64()),
+            "weighted_cents_s": pa.array(wsum[keep], pa.int64()),
+            "twa_cents": pa.array(wsum[keep] // act[keep], pa.int64()),
+        })
+
+    return (
+        ev.map_batches(keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(integrate, batch_format="pyarrow")
+    )
+
+
+ORACLE_TIME_WEIGHTED_AVG = """
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(value * 100) AS BIGINT) AS vc,
+         epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+), iv AS (
+  SELECT user_id, vc, (nxt - t) // 1000000 AS dt_s
+  FROM e WHERE nxt IS NOT NULL
+)
+SELECT user_id,
+       count(*) AS n_intervals,
+       CAST(sum(dt_s) AS BIGINT) AS active_s,
+       CAST(sum(vc * dt_s) AS BIGINT) AS weighted_cents_s,
+       CAST(sum(vc * dt_s) // sum(dt_s) AS BIGINT) AS twa_cents
+FROM iv GROUP BY user_id HAVING sum(dt_s) > 0
+"""
+
+
+# ------------------------------------------------- triangle counting
+def triangle_topk(sf_dir: str, k: int = 20, min_orders: int = 2,
+                  parts: int = 64,
+                  join_partitions: int = 8) -> ray.data.Dataset:
+    """(part, n_triangles): the k parts participating in the most
+    triangles of the co-purchase graph (nodes = parts, undirected edge
+    iff the two parts share ≥ ``min_orders`` orders) — the classic
+    distributed graph-mining kernel (clustering coefficient /
+    community-density building block).
+
+    Algorithm (degree-oriented wedge counting, the MapReduce-standard
+    scheme): orient every edge from its lower-(degree, id) endpoint to
+    the higher one, so each node's OUT-degree is bounded by O(√m) on
+    any graph; generate each out-neighbor pair (a "wedge") at its
+    apex; a wedge closes into a triangle iff its far pair is itself an
+    edge.  Every triangle has exactly one vertex with out-degree 2
+    inside it, so it is generated and verified exactly once.
+
+    Scale shape: pair counts ride :func:`_copurchase_pair_counts`
+    (no self-join); degrees ride ``hash_keyed_agg``; the two
+    degree-attach steps are distributed hash joins (never a broadcast
+    — the degree table scales with the node set); wedges
+    hash-partition by apex and expand with the vectorized segment-pair
+    kernel; closure testing co-partitions wedges WITH the edge set by
+    a shared key hash, so the membership probe is a per-partition
+    ``np.isin`` — no driver-side set, no all-pairs blowup (the
+    orientation bounds per-apex fanout where raw id-orientation would
+    square a hub's degree).
+    """
+    from .common import hash_keyed_agg
+    from whakoom_webscrapper_ray.pipelines.text import mix64
+
+    mask32 = (1 << 32) - 1
+    pair_counts = _copurchase_pair_counts(sf_dir, parts)
+
+    def unpack_edges(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b["n_orders"], min_orders))
+        pr = t["pair"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "a": pa.array(pr >> 32, pa.int64()),
+            "b": pa.array(pr & mask32, pa.int64()),
+        })
+
+    edges = pair_counts.map_batches(
+        unpack_edges, batch_format="pyarrow").materialize()
+
+    def node_emit(b: pa.Table) -> pa.Table:
+        a = b["a"].combine_chunks() if isinstance(
+            b["a"], pa.ChunkedArray) else b["a"]
+        bb = b["b"].combine_chunks() if isinstance(
+            b["b"], pa.ChunkedArray) else b["b"]
+        return pa.table({"node": pa.concat_arrays([a, bb])})
+
+    deg = hash_keyed_agg(
+        edges.map_batches(node_emit, batch_format="pyarrow"),
+        "node", count_alias="deg", parts=parts,
+    ).select_columns(["node", "deg"])
+
+    # attach each endpoint's degree (two distributed hash joins; the
+    # rename keeps the second join's output columns collision-free)
+    e1 = edges.join(deg, "inner", join_partitions,
+                    on=("a",), right_on=("node",)).rename_columns(
+        {"deg": "deg_a"}).select_columns(["a", "b", "deg_a"])
+    e2 = e1.join(deg, "inner", join_partitions,
+                 on=("b",), right_on=("node",)).rename_columns(
+        {"deg": "deg_b"}).select_columns(["a", "b", "deg_a", "deg_b"])
+
+    def orient(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        c = b["b"].to_numpy(zero_copy_only=False)
+        da = b["deg_a"].to_numpy(zero_copy_only=False)
+        db = b["deg_b"].to_numpy(zero_copy_only=False)
+        a_first = (da < db) | ((da == db) & (a < c))
+        src = np.where(a_first, a, c)
+        dst = np.where(a_first, c, a)
+        return pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "part": pa.array(
+                (mix64(src.astype(np.uint64)) % np.uint64(parts))
+                .astype(np.int64)),
+        })
+
+    oriented = e2.map_batches(orient, batch_format="pyarrow")
+
+    def wedges_part(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "kind": pa.array([], pa.int8()),
+            "apex": pa.array([], pa.int64()),
+            "key": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        s = g["src"].to_numpy(zero_copy_only=False)
+        d = g["dst"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        seg_first = np.ones(s.size, dtype=bool)
+        seg_first[1:] = s[1:] != s[:-1]
+        starts = np.flatnonzero(seg_first)
+        lens = np.diff(np.append(starts, s.size))
+        ends = np.repeat(starts + lens, lens)
+        pos = np.arange(s.size, dtype=np.int64)
+        reps = ends - pos - 1
+        if int(reps.sum()) == 0:
+            return empty
+        L = np.repeat(pos, reps)
+        cum = np.concatenate([[0], np.cumsum(reps)])
+        R = (np.arange(cum[-1], dtype=np.int64)
+             - np.repeat(cum[:-1], reps) + np.repeat(pos + 1, reps))
+        lo, hi = d[L], d[R]                       # sorted: lo < hi
+        return pa.table({
+            "kind": pa.array(np.zeros(lo.size, np.int8), pa.int8()),
+            "apex": pa.array(s[L], pa.int64()),
+            "key": pa.array((lo << 32) | hi, pa.int64()),
+        })
+
+    wedges = (
+        oriented.groupby("part")
+        .map_groups(wedges_part, batch_format="pyarrow")
+    )
+
+    def edge_keys(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        c = b["b"].to_numpy(zero_copy_only=False)
+        key = (a << 32) | c                       # a < b by packing
+        return pa.table({
+            "kind": pa.array(np.ones(key.size, np.int8), pa.int8()),
+            "apex": pa.array(np.full(key.size, -1, np.int64),
+                             pa.int64()),
+            "key": pa.array(key, pa.int64()),
+        })
+
+    tagged = wedges.union(edges.map_batches(edge_keys,
+                                            batch_format="pyarrow"))
+
+    def add_key_part(b: pa.Table) -> pa.Table:
+        key = b["key"].to_numpy(zero_copy_only=False)
+        return b.append_column("kpart", pa.array(
+            (mix64(key.view(np.uint64)) % np.uint64(parts)).astype(
+                np.int64)))
+
+    def close_part(g: pa.Table) -> pa.Table:
+        empty = pa.table({"node": pa.array([], pa.int64()),
+                          "n_p": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy(zero_copy_only=False)
+        apex = g["apex"].to_numpy(zero_copy_only=False)
+        ek = key[kind == 1]
+        wsel = kind == 0
+        wk, wa = key[wsel], apex[wsel]
+        closed = np.isin(wk, ek)
+        if not closed.any():
+            return empty
+        wk, wa = wk[closed], wa[closed]
+        nodes = np.concatenate([wa, wk >> 32, wk & mask32])
+        un, cnt = np.unique(nodes, return_counts=True)
+        return pa.table({
+            "node": pa.array(un, pa.int64()),
+            "n_p": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    per_node = hash_keyed_agg(
+        tagged.map_batches(add_key_part, batch_format="pyarrow")
+        .groupby("kpart")
+        .map_groups(close_part, batch_format="pyarrow"),
+        "node", sums={"n_p": "n_triangles"}, parts=parts,
+    )
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        c = b["n_triangles"].to_numpy(zero_copy_only=False)
+        n = b["node"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((n, -c))[:k]
+        return b.take(pa.array(np.sort(idx), pa.int64()))
+
+    return (
+        per_node.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["n_triangles", "node"], descending=[True, False])
+        .limit(k)
+        .rename_columns({"node": "part"})
+        .select_columns(["part", "n_triangles"])
+    )
+
+
+ORACLE_TRIANGLE_TOPK = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+n AS (SELECT unnest([x, y, z]) AS part FROM t)
+SELECT part, count(*) AS n_triangles FROM n
+GROUP BY part ORDER BY n_triangles DESC, part LIMIT 20
 """
