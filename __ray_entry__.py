@@ -246,7 +246,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # customers_no_big_orders, top_parts, plus top_customers /
         # junction_min_position / events_hourly) were driver-green in
         # BOTH r2 and r3 and are untouched this round; they yielded
-        # their cap slots to the nine newest operators above.
+        # their cap slots to the nine newest operators above.  Ops
+        # landed after the cap filled lead this region so the next
+        # rotation promotes them first.
+        "bigram_assoc": _tx.bigram_assoc,
+        "chunk_dedup_ratio": _tx.chunk_dedup_ratio,
+        "weighted_sample": _cu.weighted_sample,
         "top_customers": _do.top_customers,
         "junction_min_position": _do.junction_min_position,
         "events_hourly": _do.events_hourly,
@@ -422,6 +427,9 @@ def oracle_sql() -> dict[str, str]:
         "pareto_front": _do.ORACLE_PARETO_FRONT,
         "time_weighted_avg": _do.ORACLE_TIME_WEIGHTED_AVG,
         "triangle_topk": _do.ORACLE_TRIANGLE_TOPK,
+        "bigram_assoc": _tx.bigram_assoc_oracle_sql(),
+        "chunk_dedup_ratio": _tx.chunk_dedup_ratio_oracle_sql(),
+        "weighted_sample": _cu.weighted_sample_oracle_sql(),
         "duplicate_ngram_coverage": (
             _tx.duplicate_ngram_coverage_oracle_sql()
         ),

@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "duplicate_ngram_coverage", "keyword_search", "interval_merge",
     "span_stitch", "media_context", "revenue_mom_growth",
     "pareto_front", "time_weighted_avg", "triangle_topk",
+    "bigram_assoc", "chunk_dedup_ratio", "weighted_sample",
 ]
 
 

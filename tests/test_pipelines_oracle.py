@@ -74,6 +74,9 @@ QUERIES = [
     "pareto_front",                             # skyline (local-then-merge)
     "time_weighted_avg",                        # step-function integral
     "triangle_topk",                            # degree-oriented triangles
+    "bigram_assoc",                             # integer-exact PMI ranking
+    "chunk_dedup_ratio",                        # fixed-window chunk dedup
+    "weighted_sample",                          # deterministic weighted draw
 ]
 
 

@@ -1177,3 +1177,81 @@ def decontaminate_bloom(sf_dir: str,
     return docs.map_batches(
         flag, fn_kwargs={"bloom": bits_ref}, batch_format="pyarrow"
     )
+
+
+# ----------------------------------- deterministic weighted sampling
+_WSAMPLE_SEED = 0xA24BAED4963EE407   # distinct seed: ⟂ split / shuffle
+_WSAMPLE_K = 200
+
+
+def weighted_sample(sf_dir: str, k: int = _WSAMPLE_K) -> ray.data.Dataset:
+    """(doc_id, n_chars): a deterministic size-weighted sample of k
+    documents — longer documents proportionally likelier, the
+    training-mix primitive for byte-budget-weighted corpus draws.
+
+    Priority scheme: ``pri = fmix64(doc_id ^ seed) // n_chars``; take
+    the k SMALLEST priorities.  Dividing a fixed uniform 64-bit hash
+    by the weight makes selection probability rise with weight
+    (integer analog of the exponential-jump A-ES scheme) while staying
+    pure-integer, so Ray and the DuckDB oracle agree bit for bit —
+    no float ``u^(1/w)`` whose ulps could flip a boundary row.
+
+    Scale shape: ZERO shuffles — each block reduces to its own k
+    smallest priorities (vectorized argpartition-equivalent), and only
+    k×blocks candidate rows reach the single-task final merge.  The
+    same top-k-by-priority layout at any corpus size; adding nodes
+    only adds candidate rows linearly in block count.
+    """
+    def local_k(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        w = b["n_chars"].to_numpy(zero_copy_only=False)
+        h = mix64(np.ascontiguousarray(ids).view(np.uint64)
+                  ^ np.uint64(_WSAMPLE_SEED))
+        pri = h // w.astype(np.uint64)
+        if ids.size > k:
+            idx = np.lexsort((ids, pri))[:k]
+            ids, w, pri = ids[idx], w[idx], pri[idx]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_chars": pa.array(w, pa.int64()),
+            # pri < 2**64 may exceed int64: split into high/low halves
+            # so the merge can reconstruct without overflow
+            "pri_hi": pa.array((pri >> np.uint64(32)).astype(np.int64),
+                               pa.int64()),
+            "pri_lo": pa.array(
+                (pri & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                pa.int64()),
+        })
+
+    def merge_k(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        w = b["n_chars"].to_numpy(zero_copy_only=False)
+        pri = (b["pri_hi"].to_numpy(zero_copy_only=False)
+               .astype(np.uint64) << np.uint64(32)) | (
+            b["pri_lo"].to_numpy(zero_copy_only=False)
+            .astype(np.uint64))
+        idx = np.lexsort((ids, pri))[:k]
+        return pa.table({
+            "doc_id": pa.array(ids[idx], pa.int64()),
+            "n_chars": pa.array(w[idx], pa.int64()),
+        })
+
+    return (
+        read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+        .map_batches(local_k, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge_k, batch_format="pyarrow")
+    )
+
+
+def weighted_sample_oracle_sql(k: int = _WSAMPLE_K) -> str:
+    from .text import fmix64_docid_ctes
+
+    ctes, final = fmix64_docid_ctes(_WSAMPLE_SEED, "ws")
+    return f"""
+WITH {ctes}
+SELECT m.doc_id, d.n_chars
+FROM {final} m JOIN documents d ON m.doc_id = d.doc_id
+ORDER BY m.h // CAST(d.n_chars AS UBIGINT), m.doc_id
+LIMIT {k}
+"""

@@ -1986,3 +1986,293 @@ sc AS (
 SELECT doc_id, CAST(score AS BIGINT) AS score FROM sc
 ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
+
+
+# ------------------------------------------- fixed-window chunk dedup
+_CHUNK_W = 64
+
+
+def chunk_dedup_ratio(sf_dir: str, width: int = _CHUNK_W,
+                      parts: int = 64) -> ray.data.Dataset:
+    """(source, n_chunks, n_distinct, dup_per_million): per-source
+    duplicated-content mass under FIXED-WIDTH chunking — the CAS /
+    chunk-store dedup estimator (how much of each source's bytes a
+    content-addressed store would collapse).  Complements
+    duplicate_ngram_coverage: windows instead of shingles, so the
+    metric matches what a block-level deduplicating store would see.
+
+    Scale shape (the lang_vocab layout): total chunk counts are pure
+    map-side partials (ceil(len/width) per doc — no strings move for
+    the denominator); distinct counting collapses each block to its
+    distinct (source, chunk) pairs FIRST, hash-partitions on the
+    composite key so each pair lands in exactly one partition, and
+    emits tiny (source, n) partials.  Chunk slicing is one
+    ``utf8_slice_codeunits`` per window index over the whole column —
+    ≤ max_len/width vectorized passes, no row loop.  Exactness:
+    distinctness is decided on the chunk STRING inside its partition
+    (hashes only route), so there is no collision risk.
+    """
+    sep = "\x1f"  # control char, absent from the corpus text
+
+    def total_chunks(b: pa.Table) -> pa.Table:
+        n = pc.utf8_length(b["text"])
+        return pa.table({
+            "source": b["source"],
+            "n_c": pc.cast(
+                pc.divide(pc.add(n, width - 1), width), pa.int64()),
+        })
+
+    totals = two_phase_agg(
+        read(sf_dir, "documents", columns=["source", "text"])
+        .map_batches(total_chunks, batch_format="pyarrow"),
+        ["source"], sums={"n_c": "n_chunks"},
+    )
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        text = b["text"].combine_chunks() if isinstance(
+            b["text"], pa.ChunkedArray) else b["text"]
+        src = b["source"].combine_chunks() if isinstance(
+            b["source"], pa.ChunkedArray) else b["source"]
+        lens = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        max_len = int(lens.max()) if lens.size else 0
+        chunk_parts, src_parts = [], []
+        for start in range(0, max_len, width):
+            sel = lens > start
+            if not sel.any():
+                break
+            mask = pa.array(sel)
+            piece = pc.utf8_slice_codeunits(
+                text.filter(mask), start, start + width)
+            chunk_parts.append(piece)
+            src_parts.append(src.filter(mask))
+        if not chunk_parts:
+            return pa.table({
+                "source": pa.array([], pa.string()),
+                "chunk": pa.array([], pa.string()),
+                "part": pa.array([], pa.int64()),
+            })
+        chunks = pa.concat_arrays(
+            [c.cast(pa.string()) for c in chunk_parts])
+        srcs = pa.concat_arrays([s.cast(pa.string()) for s in src_parts])
+        joined = pc.binary_join_element_wise(srcs, chunks, sep)
+        jnp = joined.to_numpy(zero_copy_only=False)
+        _, idx = np.unique(jnp, return_index=True)
+        take = pa.array(idx, pa.int64())
+        h = token_hashes(jnp[idx])
+        return pa.table({
+            "source": srcs.take(take),
+            "chunk": chunks.take(take),
+            "part": pa.array((h % np.uint64(parts)).astype(np.int64)),
+        })
+
+    def count_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        src = g["source"].to_numpy(zero_copy_only=False)
+        ch = g["chunk"].to_numpy(zero_copy_only=False)
+        pair = np.char.add(np.char.add(src.astype(str), sep),
+                           ch.astype(str))
+        _, idx = np.unique(pair, return_index=True)
+        usrc, counts = np.unique(src[idx], return_counts=True)
+        return pa.table({
+            "source": pa.array(usrc, pa.string()),
+            "n": pa.array(counts, pa.int64()),
+        })
+
+    distinct = two_phase_agg(
+        read(sf_dir, "documents", columns=["source", "text"])
+        .map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(count_part, batch_format="pyarrow"),
+        ["source"], sums={"n": "n_distinct"},
+    )
+
+    joined = totals.join(distinct, "inner", 2,
+                         on=("source",), right_on=("source",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        nc = b["n_chunks"].to_numpy(zero_copy_only=False)
+        nd = b["n_distinct"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": b["source"],
+            "n_chunks": b["n_chunks"],
+            "n_distinct": b["n_distinct"],
+            "dup_per_million": pa.array(
+                (nc - nd) * 1_000_000 // nc, pa.int64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def chunk_dedup_ratio_oracle_sql(width: int = _CHUNK_W) -> str:
+    return f"""
+WITH c AS (
+  SELECT source, substr(text, s, {width}) AS chunk
+  FROM documents, unnest(generate_series(1, len(text), {width})) AS t(s)
+)
+SELECT source,
+       count(*) AS n_chunks,
+       count(DISTINCT chunk) AS n_distinct,
+       (count(*) - count(DISTINCT chunk)) * 1000000 // count(*)
+         AS dup_per_million
+FROM c GROUP BY source
+"""
+
+
+# ------------------------------------------- bigram association (PMI)
+_BIGRAM_K = 30
+_BIGRAM_MIN = 3
+
+
+def bigram_assoc(sf_dir: str, k: int = _BIGRAM_K,
+                 min_count: int = _BIGRAM_MIN,
+                 parts: int = 64,
+                 join_partitions: int = 8) -> ray.data.Dataset:
+    """(w1, w2, n_xy, score): the k adjacent-token bigrams most
+    associated beyond chance — collocation mining, the PMI family.
+    ``score = (n_xy·10⁶ // n_x) · 10⁶ // n_y`` is a monotone integer
+    transform of n_xy/(n_x·n_y) (the corpus-constant factors of PMI
+    drop out of the ranking), so both engines rank and emit identical
+    integers — no float log in sight.  n_xy ≤ min(n_x, n_y) bounds the
+    first quotient by 10⁶ and the score by 10¹²: int64-safe.
+
+    Scale shape: bigram and unigram counts each ride the exact
+    heavy-hitter layout (per-block Arrow group-by partials, ONE
+    hash-partitioned exchange, vectorized merge); the ``min_count``
+    support filter runs BEFORE the two count-attach steps, so the
+    distributed joins (never broadcasts — the vocabulary scales with
+    the corpus) only move surviving bigrams.
+    """
+    def bigram_partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        parent = pc.list_parent_indices(words)
+        flat = pc.list_flatten(words)
+        pnp = parent.to_numpy(zero_copy_only=False)
+        n = len(flat)
+        if n < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n_p": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int64())})
+        # adjacent within the same document only
+        left_sel = np.flatnonzero(pnp[1:] == pnp[:-1])
+        w1 = flat.take(pa.array(left_sel, pa.int64()))
+        w2 = flat.take(pa.array(left_sel + 1, pa.int64()))
+        g = pa.TableGroupBy(
+            pa.table({"w1": w1, "w2": w2}), ["w1", "w2"]
+        ).aggregate([([], "count_all")])
+        h = token_hashes(
+            pc.binary_join_element_wise(
+                g["w1"], g["w2"], " ").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "w1": g["w1"], "w2": g["w2"], "n_p": g["count_all"],
+            "part": pa.array((h % np.uint64(parts)).astype(np.int64)),
+        })
+
+    def bigram_reduce(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n_xy": pa.array([], pa.int64())})
+        t = pa.TableGroupBy(g.select(["w1", "w2", "n_p"]),
+                            ["w1", "w2"]).aggregate([("n_p", "sum")])
+        t = t.filter(pc.greater_equal(t["n_p_sum"], min_count))
+        return pa.table({"w1": t["w1"], "w2": t["w2"],
+                         "n_xy": t["n_p_sum"]})
+
+    bigrams = (
+        read(sf_dir, "documents", columns=["text"])
+        .map_batches(bigram_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(bigram_reduce, batch_format="pyarrow")
+    )
+
+    def unigram_partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = pc.list_flatten(words)
+        g = pa.TableGroupBy(pa.table({"term": flat}),
+                            ["term"]).aggregate([([], "count_all")])
+        h = token_hashes(g["term"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "term": g["term"], "n_p": g["count_all"],
+            "part": pa.array((h % np.uint64(parts)).astype(np.int64)),
+        })
+
+    def unigram_reduce(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n_t": pa.array([], pa.int64())})
+        t = pa.TableGroupBy(g.select(["term", "n_p"]),
+                            ["term"]).aggregate([("n_p", "sum")])
+        return pa.table({"term": t["term"], "n_t": t["n_p_sum"]})
+
+    unigrams = (
+        read(sf_dir, "documents", columns=["text"])
+        .map_batches(unigram_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(unigram_reduce, batch_format="pyarrow")
+    )
+
+    j1 = bigrams.join(unigrams, "inner", join_partitions,
+                      on=("w1",), right_on=("term",)).rename_columns(
+        {"n_t": "n_x"}).select_columns(["w1", "w2", "n_xy", "n_x"])
+    j2 = j1.join(unigrams, "inner", join_partitions,
+                 on=("w2",), right_on=("term",)).rename_columns(
+        {"n_t": "n_y"}).select_columns(
+        ["w1", "w2", "n_xy", "n_x", "n_y"])
+
+    def score_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n_xy": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.int64())})
+        nxy = b["n_xy"].to_numpy(zero_copy_only=False)
+        nx = b["n_x"].to_numpy(zero_copy_only=False)
+        ny = b["n_y"].to_numpy(zero_copy_only=False)
+        score = (nxy * 1_000_000 // nx) * 1_000_000 // ny
+        t = pa.table({"w1": b["w1"], "w2": b["w2"],
+                      "n_xy": pa.array(nxy, pa.int64()),
+                      "score": pa.array(score, pa.int64())})
+        if t.num_rows <= k:
+            return t
+        w1 = t["w1"].to_numpy(zero_copy_only=False)
+        w2 = t["w2"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((w2, w1, -score))[:k]
+        return t.take(pa.array(np.sort(idx), pa.int64()))
+
+    return (
+        j2.map_batches(score_topk, batch_format="pyarrow")
+        .sort(["score", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+    )
+
+
+def bigram_assoc_oracle_sql(k: int = _BIGRAM_K,
+                            min_count: int = _BIGRAM_MIN) -> str:
+    return f"""
+WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+                i -> [l[i], l[i + 1]])) AS p
+  FROM toks WHERE len(l) >= 2
+),
+bc AS (
+  SELECT p[1] AS w1, p[2] AS w2, count(*) AS n_xy
+  FROM bg GROUP BY 1, 2 HAVING count(*) >= {min_count}
+),
+uc AS (
+  SELECT t AS term, count(*) AS n_t
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  GROUP BY t
+)
+SELECT w1, w2, n_xy,
+       (n_xy * 1000000 // x.n_t) * 1000000 // y.n_t AS score
+FROM bc JOIN uc x ON bc.w1 = x.term JOIN uc y ON bc.w2 = y.term
+ORDER BY score DESC, w1, w2 LIMIT {k}
+"""
