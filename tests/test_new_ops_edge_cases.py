@@ -1,0 +1,250 @@
+"""Edge-case conformance for the continuation-session operators.
+
+The sf0.001 / sf0.01 oracle suite exercises the ops on the driver
+testdata; these tests feed them ADVERSARIAL tiny tables (dominance
+ties, zero-length intervals, triangle-free hubs, k > n samples,
+chunk-boundary lengths) and check Ray == DuckDB on the exact same
+oracle SQL the driver runs — so the comparison logic itself is the
+production one, only the inputs are hostile.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_sf(tmp_path, **tables: pa.Table) -> str:
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    for name, t in tables.items():
+        pq.write_table(t, f"{sf}/{name}.parquet")
+    return sf
+
+
+def _compare(sf_dir: str, result, sql: str) -> None:
+    import ray.data
+
+    con = duckdb.connect()
+    import glob
+    import os
+
+    for p in glob.glob(f"{sf_dir}/*.parquet"):
+        t = os.path.basename(p)[:-8]
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    if isinstance(result, ray.data.Dataset):
+        mine = result.to_pandas()
+    elif isinstance(result, pa.Table):
+        mine = result.to_pandas()
+    else:
+        mine = result
+    orc = con.sql(sql).df()
+    con.close()
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].astype(str)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    a, b = canon(mine), canon(orc)
+    if len(a) == 0 and len(b) == 0 and len(a.columns) == 0:
+        # a fully-empty Ray Dataset carries no blocks, hence no
+        # schema — both sides agree the result is empty, which is
+        # the semantic contract here
+        return
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b), (len(a), len(b))
+    if len(a):
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_pareto_front_ties_and_duplicates(ray_session, tmp_path):
+    """Duplicate front points BOTH survive; a dominated duplicate pair
+    is fully removed; equal-price groups keep only the max size."""
+    from whakoom_webscrapper_ray.pipelines import dataops as do
+
+    part = pa.table({
+        "p_partkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        # (price, size): (1.00,10) twice — both on the front;
+        # (1.00, 5) dominated inside its price group;
+        # (0.50, 10) dominates the 1.00 pair entirely? strictly
+        # cheaper, equal size → yes: the pair must DROP.
+        # (2.00, 11) survives (bigger size than anything cheaper).
+        "p_retailprice": pa.array([1.0, 1.0, 1.0, 0.5, 2.0, 3.0]),
+        "p_size": pa.array([10, 10, 5, 10, 11, 11], pa.int32()),
+    })
+    sf = _write_sf(tmp_path, part=part)
+    _compare(sf, do.pareto_front(sf), do.ORACLE_PARETO_FRONT)
+    # sanity: the dominated 1.00 duplicates are gone, 0.50 stays
+    got = do.pareto_front(sf).to_pandas()
+    assert set(got["p_partkey"]) == {4, 5}
+
+
+def test_pareto_front_single_and_identical(ray_session, tmp_path):
+    from whakoom_webscrapper_ray.pipelines import dataops as do
+
+    part = pa.table({
+        "p_partkey": pa.array([7, 8, 9], pa.int64()),
+        "p_retailprice": pa.array([2.5, 2.5, 2.5]),
+        "p_size": pa.array([3, 3, 3], pa.int32()),
+    })
+    sf = _write_sf(tmp_path, part=part)
+    _compare(sf, do.pareto_front(sf), do.ORACLE_PARETO_FRONT)
+    assert len(do.pareto_front(sf).to_pandas()) == 3
+
+
+def test_time_weighted_avg_ties_and_singletons(ray_session, tmp_path):
+    """Same-timestamp consecutive events (dt 0), single-event users
+    (no interval), and a user whose ONLY intervals are zero-length
+    (active_s == 0 → excluded) all match the lead() oracle."""
+    from whakoom_webscrapper_ray.pipelines import dataops as do
+
+    ts = pa.array([
+        # user 1: two events 10 s apart
+        1_000_000, 11_000_000,
+        # user 2: three events, middle pair at the same microsecond
+        5_000_000, 5_000_000, 8_500_000,
+        # user 3: single event
+        9_000_000,
+        # user 4: two events at the same instant (active_s == 0)
+        4_000_000, 4_000_000,
+    ], pa.timestamp("us"))
+    events = pa.table({
+        "event_id": pa.array(list(range(8)), pa.int64()),
+        "ts": ts,
+        "user_id": pa.array([1, 1, 2, 2, 2, 3, 4, 4], pa.int64()),
+        "event_type": pa.array(["x"] * 8, pa.string()),
+        "value": pa.array([1.5, 9.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0]),
+        "props": pa.array(["{}"] * 8, pa.string()),
+    })
+    sf = _write_sf(tmp_path, events=events)
+    _compare(sf, do.time_weighted_avg(sf), do.ORACLE_TIME_WEIGHTED_AVG)
+    got = do.time_weighted_avg(sf).to_pandas().set_index("user_id")
+    assert 3 not in got.index and 4 not in got.index
+    assert got.loc[1, "active_s"] == 10
+    assert got.loc[1, "weighted_cents_s"] == 150 * 10
+
+
+def test_triangle_topk_star_and_clique(ray_session, tmp_path):
+    """A hub star (triangle-free) yields no rows; a K4 clique yields
+    4 nodes × 3 triangles each; both built as co-purchase orders."""
+    from whakoom_webscrapper_ray.pipelines import dataops as do
+
+    rows = []
+    oid = 0
+
+    def add_order(parts):
+        nonlocal oid
+        for p in parts:
+            rows.append((oid, p))
+        oid += 1
+
+    # K4 on parts 1-4: every pair needs >= 2 shared orders; two
+    # orders containing all four parts give every pair count 2.
+    add_order([1, 2, 3, 4])
+    add_order([1, 2, 3, 4])
+    # star: hub 10 with spokes 11..15, each pair twice — spokes never
+    # co-occur, so no triangles from the star.
+    for s in (11, 12, 13, 14, 15):
+        add_order([10, s])
+        add_order([10, s])
+    li = pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+    })
+    sf = _write_sf(tmp_path, lineitem=li)
+    _compare(sf, do.triangle_topk(sf), do.ORACLE_TRIANGLE_TOPK)
+    got = do.triangle_topk(sf).to_pandas()
+    assert set(got["part"]) == {1, 2, 3, 4}
+    assert (got["n_triangles"] == 3).all()
+
+
+def test_triangle_topk_no_edges(ray_session, tmp_path):
+    """Every pair below the min_orders support → empty result."""
+    from whakoom_webscrapper_ray.pipelines import dataops as do
+
+    li = pa.table({
+        "l_orderkey": pa.array([0, 0, 1, 1], pa.int64()),
+        "l_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    sf = _write_sf(tmp_path, lineitem=li)
+    _compare(sf, do.triangle_topk(sf), do.ORACLE_TRIANGLE_TOPK)
+
+
+def test_weighted_sample_k_exceeds_n(ray_session, tmp_path):
+    from whakoom_webscrapper_ray.pipelines import curate as cu
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a", "bb", "ccc"], pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+        "n_chars": pa.array([1, 2, 3], pa.int64()),
+    })
+    sf = _write_sf(tmp_path, documents=docs)
+    _compare(sf, cu.weighted_sample(sf), cu.weighted_sample_oracle_sql())
+    assert len(cu.weighted_sample(sf).to_pandas()) == 3
+
+
+def test_chunk_dedup_ratio_boundary_lengths(ray_session, tmp_path):
+    """Lengths exactly at the window boundary (64, 128), one char
+    over, shorter than a window, and exact duplicate docs."""
+    from whakoom_webscrapper_ray.pipelines import text as tx
+
+    texts = [
+        "x" * 64,          # one full chunk
+        "x" * 64,          # duplicate doc -> duplicate chunk
+        "y" * 65,          # two chunks, second of length 1
+        "z" * 10,          # sub-window doc
+        "x" * 128,         # two identical 64-char chunks
+    ]
+    docs = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["a", "a", "a", "b", "b"], pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    sf = _write_sf(tmp_path, documents=docs)
+    _compare(sf, tx.chunk_dedup_ratio(sf),
+             tx.chunk_dedup_ratio_oracle_sql())
+    got = tx.chunk_dedup_ratio(sf).to_pandas().set_index("source")
+    # source a: chunks [x64, x64, y64, y1] -> 4 total, 3 distinct
+    assert got.loc["a", "n_chunks"] == 4
+    assert got.loc["a", "n_distinct"] == 3
+    # source b: chunks [z10, x64, x64] -> 3 total, 2 distinct
+    assert got.loc["b", "n_chunks"] == 3
+    assert got.loc["b", "n_distinct"] == 2
+
+
+def test_bigram_assoc_short_docs_and_repeats(ray_session, tmp_path):
+    """Single-token docs contribute no bigrams but DO count as
+    unigrams; a doc-spanning pair is never a bigram."""
+    from whakoom_webscrapper_ray.pipelines import text as tx
+
+    texts = [
+        "alpha beta alpha beta alpha beta",
+        "beta alpha beta alpha",
+        "gamma",                     # no bigram
+        "alpha",                     # boosts n_x only
+        "delta epsilon delta epsilon delta epsilon delta epsilon",
+    ]
+    docs = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    sf = _write_sf(tmp_path, documents=docs)
+    _compare(sf, tx.bigram_assoc(sf), tx.bigram_assoc_oracle_sql())
+    got = tx.bigram_assoc(sf).to_pandas()
+    # delta/epsilon alternate exclusively -> highest association
+    assert got.iloc[0]["w1"] in ("delta", "epsilon")

@@ -244,3 +244,141 @@ def cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
     import pyarrow.compute as pc
 
     return pc.cast(pc.round(pc.multiply(arr, 100.0)), pa.int64())
+
+
+def ensure_schema(ds: "ray.data.Dataset", schema: pa.Schema
+                  ) -> "ray.data.Dataset":
+    """Normalize empty shuffle artifacts before a hash join.
+
+    ``groupby().map_groups()`` stages can emit ZERO-ROW blocks that
+    carry no columns at all (Ray logs them as ``new schema: .``);
+    Ray's hash-join finalize then concats them into a partition table
+    whose key columns are missing and acero raises ``No match ... for
+    key field``.  This rewrites schema-less empties to
+    ``schema.empty_table()`` and projects non-empty blocks to the
+    expected column order, so every block entering the join carries
+    the join keys.  Zero-copy for non-empty blocks (a column select).
+    """
+    def fix(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        return t.select(schema.names).cast(schema)
+
+    return ds.map_batches(fix, batch_format="pyarrow")
+
+
+def copartition_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                     on: str, right_on: str | None = None,
+                     parts: int = 32,
+                     left_schema: pa.Schema | None = None,
+                     right_schema: pa.Schema | None = None
+                     ) -> "ray.data.Dataset":
+    """Inner hash join via the engine's own co-partitioning — ONE
+    exchange, then a vectorized per-partition Arrow (acero) join.
+
+    Exists because Ray Data's built-in ``Dataset.join`` builds each
+    hash partition by concatenating received blocks and crashes with
+    ``No match ... for key field`` when a partition receives no blocks
+    from one side (routine for small/filtered inputs, and possible at
+    any scale for a skewed key space).  Here both sides ride one
+    ``groupby(part)`` exchange tagged with their origin; each
+    partition rebuilds two schema-stable tables and joins them with
+    ``pa.Table.join`` — empty sides are fine because the schema always
+    travels with the partition.
+
+    Key columns must be join-compatible; ``right_on`` defaults to
+    ``on``.  Output columns = left columns + right columns minus the
+    right key (acero inner-join layout).  Keys may be int64 (hashed
+    via mix64) or string (hashed via the token hash) — both routes are
+    deterministic so the same key always lands in one partition.
+    """
+    import numpy as np
+
+    from whakoom_webscrapper_ray.pipelines.text import (mix64,
+                                                        token_hashes)
+
+    right_on = right_on or on
+    # explicit Arrow schemas: ds.schema() returns a Ray wrapper and is
+    # unreliable on pipelines whose tail stage can emit zero-schema
+    # empties, so callers state what their blocks carry
+    if left_schema is None or right_schema is None:
+        raise ValueError("copartition_join requires explicit "
+                         "left_schema/right_schema")
+    lschema, rschema = left_schema, right_schema
+    lnames = list(lschema.names)
+    rnames = list(rschema.names)
+    out_rnames = [n for n in rnames if n != right_on]
+    overlap = set(lnames) & set(out_rnames)
+    if overlap:
+        raise ValueError(f"column collision in copartition_join: "
+                         f"{sorted(overlap)}")
+
+    lfields = [pa.field(f"__L_{n}", lschema.field(n).type)
+               for n in lnames]
+    rfields = [pa.field(f"__R_{n}", rschema.field(n).type)
+               for n in rnames]
+    union_schema = pa.schema(
+        [pa.field("__kind", pa.int8()), pa.field("part", pa.int64())]
+        + lfields + rfields)
+
+    def key_parts(col: pa.Array) -> pa.Array:
+        v = col.to_numpy(zero_copy_only=False)
+        if v.dtype == object or v.dtype.kind in "US":
+            h = token_hashes(v)
+        else:
+            h = mix64(np.ascontiguousarray(
+                v.astype(np.int64)).view(np.uint64))
+        return pa.array((h % np.uint64(parts)).astype(np.int64))
+
+    def tag(kind: int, keycol: str):
+        def fn(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return union_schema.empty_table()
+            cols = {
+                "__kind": pa.array(
+                    np.full(b.num_rows, kind, np.int8), pa.int8()),
+                "part": key_parts(b[keycol].combine_chunks()
+                                  if isinstance(b[keycol],
+                                                pa.ChunkedArray)
+                                  else b[keycol]),
+            }
+            for f in lfields:
+                n = f.name[4:]
+                cols[f.name] = (b[n] if kind == 0 else
+                                pa.nulls(b.num_rows, f.type))
+            for f in rfields:
+                n = f.name[4:]
+                cols[f.name] = (b[n] if kind == 1 else
+                                pa.nulls(b.num_rows, f.type))
+            return pa.table(cols).cast(union_schema)
+        return fn
+
+    tagged = left.map_batches(
+        tag(0, on), batch_format="pyarrow"
+    ).union(right.map_batches(tag(1, right_on),
+                              batch_format="pyarrow"))
+
+    out_fields = ([pa.field(n, lschema.field(n).type) for n in lnames]
+                  + [pa.field(n, rschema.field(n).type)
+                     for n in out_rnames])
+    out_schema = pa.schema(out_fields)
+
+    def join_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        kind = g["__kind"].to_numpy(zero_copy_only=False)
+        lt = g.filter(pa.array(kind == 0)).select(
+            [f"__L_{n}" for n in lnames]).rename_columns(lnames)
+        rt = g.filter(pa.array(kind == 1)).select(
+            [f"__R_{n}" for n in rnames]).rename_columns(rnames)
+        # drop the all-null placeholder typing: cast to origin schemas
+        lt = lt.cast(pa.schema([lschema.field(n) for n in lnames]))
+        rt = rt.cast(pa.schema([rschema.field(n) for n in rnames]))
+        j = lt.join(rt, keys=[on], right_keys=[right_on],
+                    join_type="inner")
+        return j.select(out_schema.names).cast(out_schema)
+
+    return (
+        tagged.groupby("part")
+        .map_groups(join_part, batch_format="pyarrow")
+    )

@@ -3171,6 +3171,9 @@ def triangle_topk(sf_dir: str, k: int = 20, min_orders: int = 2,
     pair_counts = _copurchase_pair_counts(sf_dir, parts)
 
     def unpack_edges(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:          # zero-schema shuffle artifact
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
         t = b.filter(pc.greater_equal(b["n_orders"], min_orders))
         pr = t["pair"].to_numpy(zero_copy_only=False)
         return pa.table({
@@ -3188,19 +3191,28 @@ def triangle_topk(sf_dir: str, k: int = 20, min_orders: int = 2,
             b["b"], pa.ChunkedArray) else b["b"]
         return pa.table({"node": pa.concat_arrays([a, bb])})
 
+    from .common import copartition_join
+
     deg = hash_keyed_agg(
         edges.map_batches(node_emit, batch_format="pyarrow"),
         "node", count_alias="deg", parts=parts,
-    ).select_columns(["node", "deg"])
+    ).select_columns(["node", "deg"]).materialize()
+    deg_schema = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+    edge_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
 
-    # attach each endpoint's degree (two distributed hash joins; the
-    # rename keeps the second join's output columns collision-free)
-    e1 = edges.join(deg, "inner", join_partitions,
-                    on=("a",), right_on=("node",)).rename_columns(
-        {"deg": "deg_a"}).select_columns(["a", "b", "deg_a"])
-    e2 = e1.join(deg, "inner", join_partitions,
-                 on=("b",), right_on=("node",)).rename_columns(
-        {"deg": "deg_b"}).select_columns(["a", "b", "deg_a", "deg_b"])
+    # attach each endpoint's degree (two co-partitioned hash joins —
+    # the engine's own, so sparse partitions are fine; the rename
+    # keeps the second join's output columns collision-free)
+    e1 = copartition_join(
+        edges, deg, on="a", right_on="node", parts=join_partitions,
+        left_schema=edge_schema, right_schema=deg_schema,
+    ).rename_columns({"deg": "deg_a"})
+    e1_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                           ("deg_a", pa.int64())])
+    e2 = copartition_join(
+        e1, deg, on="b", right_on="node", parts=join_partitions,
+        left_schema=e1_schema, right_schema=deg_schema,
+    ).rename_columns({"deg": "deg_b"})
 
     def orient(b: pa.Table) -> pa.Table:
         a = b["a"].to_numpy(zero_copy_only=False)
@@ -3314,12 +3326,20 @@ def triangle_topk(sf_dir: str, k: int = 20, min_orders: int = 2,
         idx = np.lexsort((n, -c))[:k]
         return b.take(pa.array(np.sort(idx), pa.int64()))
 
+    out_schema = pa.schema([("part", pa.int64()),
+                            ("n_triangles", pa.int64())])
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:      # keep the schema on an empty graph
+            return out_schema.empty_table()
+        return pa.table({"part": b["node"],
+                         "n_triangles": b["n_triangles"]})
+
     return (
         per_node.map_batches(local_topk, batch_format="pyarrow")
         .sort(["n_triangles", "node"], descending=[True, False])
         .limit(k)
-        .rename_columns({"node": "part"})
-        .select_columns(["part", "n_triangles"])
+        .map_batches(finish, batch_format="pyarrow")
     )
 
 

@@ -2088,8 +2088,15 @@ def chunk_dedup_ratio(sf_dir: str, width: int = _CHUNK_W,
         ["source"], sums={"n": "n_distinct"},
     )
 
-    joined = totals.join(distinct, "inner", 2,
-                         on=("source",), right_on=("source",))
+    from .common import copartition_join
+
+    joined = copartition_join(
+        totals, distinct, on="source", parts=2,
+        left_schema=pa.schema([("source", pa.string()),
+                               ("n_chunks", pa.int64())]),
+        right_schema=pa.schema([("source", pa.string()),
+                                ("n_distinct", pa.int64())]),
+    )
 
     def finish(b: pa.Table) -> pa.Table:
         nc = b["n_chunks"].to_numpy(zero_copy_only=False)
@@ -2218,13 +2225,24 @@ def bigram_assoc(sf_dir: str, k: int = _BIGRAM_K,
         .map_groups(unigram_reduce, batch_format="pyarrow")
     )
 
-    j1 = bigrams.join(unigrams, "inner", join_partitions,
-                      on=("w1",), right_on=("term",)).rename_columns(
-        {"n_t": "n_x"}).select_columns(["w1", "w2", "n_xy", "n_x"])
-    j2 = j1.join(unigrams, "inner", join_partitions,
-                 on=("w2",), right_on=("term",)).rename_columns(
-        {"n_t": "n_y"}).select_columns(
-        ["w1", "w2", "n_xy", "n_x", "n_y"])
+    from .common import copartition_join
+
+    bg_schema = pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                           ("n_xy", pa.int64())])
+    uni_schema = pa.schema([("term", pa.string()), ("n_t", pa.int64())])
+    unigrams = unigrams.materialize()      # consumed by BOTH joins
+    j1 = copartition_join(
+        bigrams, unigrams, on="w1", right_on="term",
+        parts=join_partitions, left_schema=bg_schema,
+        right_schema=uni_schema,
+    ).rename_columns({"n_t": "n_x"})
+    j1_schema = pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                           ("n_xy", pa.int64()), ("n_x", pa.int64())])
+    j2 = copartition_join(
+        j1, unigrams, on="w2", right_on="term",
+        parts=join_partitions, left_schema=j1_schema,
+        right_schema=uni_schema,
+    ).rename_columns({"n_t": "n_y"})
 
     def score_topk(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
