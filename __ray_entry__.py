@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_assoc": _tx.bigram_assoc,
         "chunk_dedup_ratio": _tx.chunk_dedup_ratio,
         "weighted_sample": _cu.weighted_sample,
+        "copurchase_components": _do.copurchase_components,
         "top_customers": _do.top_customers,
         "junction_min_position": _do.junction_min_position,
         "events_hourly": _do.events_hourly,
@@ -430,6 +431,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_assoc": _tx.bigram_assoc_oracle_sql(),
         "chunk_dedup_ratio": _tx.chunk_dedup_ratio_oracle_sql(),
         "weighted_sample": _cu.weighted_sample_oracle_sql(),
+        "copurchase_components": _do.ORACLE_COPURCHASE_COMPONENTS,
         "duplicate_ngram_coverage": (
             _tx.duplicate_ngram_coverage_oracle_sql()
         ),

@@ -77,6 +77,7 @@ QUERIES = [
     "bigram_assoc",                             # integer-exact PMI ranking
     "chunk_dedup_ratio",                        # fixed-window chunk dedup
     "weighted_sample",                          # deterministic weighted draw
+    "copurchase_components",                    # CC via Hash-to-Min reuse
 ]
 
 

@@ -3360,3 +3360,69 @@ n AS (SELECT unnest([x, y, z]) AS part FROM t)
 SELECT part, count(*) AS n_triangles FROM n
 GROUP BY part ORDER BY n_triangles DESC, part LIMIT 20
 """
+
+
+# ------------------------------------------------- co-purchase components
+def copurchase_components(sf_dir: str, min_orders: int = 2,
+                          parts: int = 64) -> ray.data.Dataset:
+    """(part, component_id): connected components of the co-purchase
+    graph (same edge definition as :func:`triangle_topk`), labeling
+    every part in the edge set with its component's minimum part key —
+    the product-affinity "market segment" discovery query.
+
+    Scale shape: edges ride :func:`_copurchase_pair_counts`, and the
+    labeling reuses the curation engine's Hash-to-Min component solver
+    (``curate._cc_labels``): one all-to-all per round over
+    node-hash-partitioned star states, vectorized per partition,
+    convergence decided by a distributed digest — never by collecting
+    labels driver-side.  The recursive-CTE oracle proves the
+    distributed fixpoint equals sequential min-label propagation.
+    """
+    mask32 = (1 << 32) - 1
+    pair_counts = _copurchase_pair_counts(sf_dir, parts)
+
+    def unpack_edges(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        t = b.filter(pc.greater_equal(b["n_orders"], min_orders))
+        pr = t["pair"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_a": pa.array(pr >> 32, pa.int64()),
+            "doc_b": pa.array(pr & mask32, pa.int64()),
+        })
+
+    from .curate import _cc_labels
+
+    labels = _cc_labels(
+        pair_counts.map_batches(unpack_edges, batch_format="pyarrow"))
+
+    out_schema = pa.schema([("part", pa.int64()),
+                            ("component_id", pa.int64())])
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        return pa.table({"part": b["node"],
+                         "component_id": b["cluster_id"]})
+
+    return labels.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_COPURCHASE_COMPONENTS = """
+WITH RECURSIVE d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+ud AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+reach(node, lab) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM ud)
+  UNION
+  SELECT ud.s, reach.lab FROM ud JOIN reach ON reach.node = ud.t
+)
+SELECT node AS part, min(lab) AS component_id
+FROM reach GROUP BY node
+"""
