@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedup_ratio": _tx.chunk_dedup_ratio,
         "weighted_sample": _cu.weighted_sample,
         "copurchase_components": _do.copurchase_components,
+        "fuzzy_name_pairs": _do.fuzzy_name_pairs,
         "top_customers": _do.top_customers,
         "junction_min_position": _do.junction_min_position,
         "events_hourly": _do.events_hourly,
@@ -432,6 +433,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_dedup_ratio": _tx.chunk_dedup_ratio_oracle_sql(),
         "weighted_sample": _cu.weighted_sample_oracle_sql(),
         "copurchase_components": _do.ORACLE_COPURCHASE_COMPONENTS,
+        "fuzzy_name_pairs": _do.ORACLE_FUZZY_NAME_PAIRS,
         "duplicate_ngram_coverage": (
             _tx.duplicate_ngram_coverage_oracle_sql()
         ),

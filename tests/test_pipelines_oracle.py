@@ -78,6 +78,7 @@ QUERIES = [
     "chunk_dedup_ratio",                        # fixed-window chunk dedup
     "weighted_sample",                          # deterministic weighted draw
     "copurchase_components",                    # CC via Hash-to-Min reuse
+    "fuzzy_name_pairs",                         # exact dist-1 string join
 ]
 
 

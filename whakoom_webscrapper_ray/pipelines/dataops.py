@@ -3426,3 +3426,153 @@ reach(node, lab) AS (
 SELECT node AS part, min(lab) AS component_id
 FROM reach GROUP BY node
 """
+
+
+# ------------------------------------------------- fuzzy string join
+def fuzzy_name_pairs(sf_dir: str, parts: int = 64) -> ray.data.Dataset:
+    """(name_a, name_b): every pair of DISTINCT customer names at edit
+    distance exactly 1 — the string-similarity self-join (entity
+    resolution / record-linkage blocking), solved EXACTLY with no
+    quadratic pass.
+
+    Algorithm (deletion-variant blocking, the FastSS scheme): each
+    name of length L emits L single-deletion variants plus itself.
+    Distance-1 pairs are exactly (a) two names whose deletion variants
+    coincide AT THE SAME POSITION (a substitution), or (b) a name
+    equal to another's deletion variant (an insertion/deletion) — so
+    bucketing by variant string finds every qualifying pair and only
+    qualifying pairs: no verification stage, no Levenshtein kernel.
+
+    Scale shape: work is vocabulary-linear (L+1 emitted rows per
+    name); ONE exchange partitions by variant hash; per-partition pair
+    generation rides the shared segment-pair kernel over row indices
+    (zero Python loops).  Bucket fanout is bounded structurally — a
+    variant's bucket can only hold names formed by inserting one
+    alphabet char into it, so |bucket| ≤ (L+1)·|alphabet| regardless
+    of corpus size (contrast LSH's unbounded degenerate buckets).
+    Duplicate discoveries (a run of equal chars deletes to the same
+    variant at several positions) collapse inside the bucket's
+    partition — never a second exchange.
+    """
+    from whakoom_webscrapper_ray.pipelines.dedup import _allpairs_contig
+    from whakoom_webscrapper_ray.pipelines.text import token_hashes
+
+    names = read(sf_dir, "customer", columns=["c_name"])
+
+    def variants(b: pa.Table) -> pa.Table:
+        col = b["c_name"].combine_chunks() if isinstance(
+            b["c_name"], pa.ChunkedArray) else b["c_name"]
+        col = col.cast(pa.string())
+        # block-local distinct (names are unique per customer row, but
+        # stay safe under any input layout)
+        col = pc.unique(col)
+        lens = pc.utf8_length(col).to_numpy(zero_copy_only=False)
+        if lens.size == 0:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "pos": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "part": pa.array([], pa.int64())})
+        keys, poss, terms = [col], [np.full(len(col), -1, np.int64)], [col]
+        big = 1 << 30
+        for i in range(int(lens.max())):
+            sel = pa.array(lens > i)
+            sub = col.filter(sel)
+            if len(sub) == 0:
+                break
+            d = pc.binary_join_element_wise(
+                pc.utf8_slice_codeunits(sub, 0, i),
+                pc.utf8_slice_codeunits(sub, i + 1, big), "")
+            keys.append(d)
+            poss.append(np.full(len(sub), i, np.int64))
+            terms.append(sub)
+        key = pa.concat_arrays([k.cast(pa.string()) for k in keys])
+        term = pa.concat_arrays([t.cast(pa.string()) for t in terms])
+        h = token_hashes(key.to_numpy(zero_copy_only=False))
+        return pa.table({
+            "key": key,
+            "pos": pa.array(np.concatenate(poss), pa.int64()),
+            "term": term,
+            "part": pa.array((h % np.uint64(parts)).astype(np.int64)),
+        })
+
+    out_schema = pa.schema([("name_a", pa.string()),
+                            ("name_b", pa.string())])
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        key = g["key"].to_numpy(zero_copy_only=False)
+        pos = g["pos"].to_numpy(zero_copy_only=False)
+        term = g["term"].to_numpy(zero_copy_only=False)
+        # cross-block repeats of the same (key,pos,term) emission can
+        # occur only if a name appeared in two input blocks; distinct
+        order = np.lexsort((term, pos, key))
+        key, pos, term = key[order], pos[order], term[order]
+        keep = np.ones(key.size, dtype=bool)
+        keep[1:] = ((key[1:] != key[:-1]) | (pos[1:] != pos[:-1])
+                    | (term[1:] != term[:-1]))
+        key, pos, term = key[keep], pos[keep], term[keep]
+        idx = np.arange(key.size, dtype=np.int64)
+        pa_list, pb_list = [], []
+        # (a) substitutions: all-pairs within identical (key, pos>=0)
+        sub = pos >= 0
+        if sub.any():
+            sk, sp, si = key[sub], pos[sub], idx[sub]
+            grp_first = np.ones(sk.size, dtype=bool)
+            grp_first[1:] = (sk[1:] != sk[:-1]) | (sp[1:] != sp[:-1])
+            gid = np.cumsum(grp_first) - 1
+            cnt = np.bincount(gid).astype(np.int64)
+            cnt_per_row = cnt[gid]
+            rank = (np.arange(sk.size, dtype=np.int64)
+                    - np.repeat(np.flatnonzero(grp_first), cnt))
+            a, b2 = _allpairs_contig(si, cnt_per_row, rank)
+            pa_list.append(a)
+            pb_list.append(b2)
+        # (b) insert/delete: the pos=-1 row of a key (at most one —
+        # names are distinct) pairs with every pos>=0 row of that key
+        base = pos == -1
+        if base.any() and sub.any():
+            # segment boundaries over ALL rows of each key
+            kf = np.ones(key.size, dtype=bool)
+            kf[1:] = key[1:] != key[:-1]
+            kid = np.cumsum(kf) - 1
+            n_keys = int(kid[-1]) + 1
+            base_row = np.full(n_keys, -1, np.int64)
+            base_row[kid[base]] = idx[base]
+            del_rows = idx[sub]
+            partner = base_row[kid[sub]]
+            ok = partner >= 0
+            pa_list.append(del_rows[ok])
+            pb_list.append(partner[ok])
+        if not pa_list:
+            return out_schema.empty_table()
+        ia = np.concatenate(pa_list)
+        ib = np.concatenate(pb_list)
+        ta, tb = term[ia], term[ib]
+        ne = ta != tb
+        ta, tb = ta[ne], tb[ne]
+        lo = np.minimum(ta, tb)
+        hi = np.maximum(ta, tb)
+        # collapse duplicate discoveries (equal-char runs) in place
+        pair = np.char.add(np.char.add(lo.astype(str), "\x1f"),
+                           hi.astype(str))
+        _, uidx = np.unique(pair, return_index=True)
+        return pa.table({
+            "name_a": pa.array(lo[uidx], pa.string()),
+            "name_b": pa.array(hi[uidx], pa.string()),
+        })
+
+    return (
+        names.map_batches(variants, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+
+
+ORACLE_FUZZY_NAME_PAIRS = """
+WITH v AS (SELECT DISTINCT c_name AS t FROM customer)
+SELECT a.t AS name_a, b.t AS name_b
+FROM v a JOIN v b
+  ON a.t < b.t AND abs(len(a.t) - len(b.t)) <= 1
+ AND levenshtein(a.t, b.t) = 1
+"""
