@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _cu.weighted_sample,
         "copurchase_components": _do.copurchase_components,
         "fuzzy_name_pairs": _do.fuzzy_name_pairs,
+        "state_history": _do.state_history,
         "top_customers": _do.top_customers,
         "junction_min_position": _do.junction_min_position,
         "events_hourly": _do.events_hourly,
@@ -434,6 +435,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _cu.weighted_sample_oracle_sql(),
         "copurchase_components": _do.ORACLE_COPURCHASE_COMPONENTS,
         "fuzzy_name_pairs": _do.ORACLE_FUZZY_NAME_PAIRS,
+        "state_history": _do.ORACLE_STATE_HISTORY,
         "duplicate_ngram_coverage": (
             _tx.duplicate_ngram_coverage_oracle_sql()
         ),

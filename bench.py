@@ -70,7 +70,7 @@ BENCH_QUERIES = [
     "span_stitch", "media_context", "revenue_mom_growth",
     "pareto_front", "time_weighted_avg", "triangle_topk",
     "bigram_assoc", "chunk_dedup_ratio", "weighted_sample",
-    "copurchase_components", "fuzzy_name_pairs",
+    "copurchase_components", "fuzzy_name_pairs", "state_history",
 ]
 
 

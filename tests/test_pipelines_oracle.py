@@ -79,6 +79,7 @@ QUERIES = [
     "weighted_sample",                          # deterministic weighted draw
     "copurchase_components",                    # CC via Hash-to-Min reuse
     "fuzzy_name_pairs",                         # exact dist-1 string join
+    "state_history",                            # SCD-2 change intervals
 ]
 
 

@@ -3576,3 +3576,108 @@ FROM v a JOIN v b
   ON a.t < b.t AND abs(len(a.t) - len(b.t)) <= 1
  AND levenshtein(a.t, b.t) = 1
 """
+
+
+# ------------------------------------------------- state-change history
+def state_history(sf_dir: str, parts: int = 64) -> ray.data.Dataset:
+    """(user_id, state, valid_from, valid_to, n_events): the SCD-2
+    history table — consecutive same-type runs of each user's event
+    stream collapse to one validity interval, closed by the start of
+    the next run (the change-data-capture shape; open last runs are
+    excluded so every output column is null-free for exact compare).
+
+    Complements the other stream operators: sessionize cuts on TIME
+    gaps, interval_merge unions OVERLAPS, this cuts on VALUE change.
+
+    Scale shape: the standard ONE-exchange layout — events
+    hash-partition by user, one lexsort per partition orders every
+    user's stream at once, run boundaries and per-run aggregates fall
+    out of two vectorized diffs (no per-user task, no window join).
+    """
+    from whakoom_webscrapper_ray.pipelines.text import mix64
+
+    ev = read(sf_dir, "events",
+              columns=["user_id", "ts", "event_id", "event_type"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b["user_id"],
+            "t_us": pc.cast(b["ts"], pa.int64()),
+            "event_id": b["event_id"],
+            "state": b["event_type"],
+            "part": pa.array(
+                (mix64(u.view(np.uint64)) % np.uint64(parts)).astype(
+                    np.int64)),
+        })
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("state", pa.string()),
+        ("valid_from", pa.timestamp("us")),
+        ("valid_to", pa.timestamp("us")), ("n_events", pa.int64()),
+    ])
+
+    def runs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["t_us"].to_numpy(zero_copy_only=False)
+        e = g["event_id"].to_numpy(zero_copy_only=False)
+        s = g["state"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, u))
+        u, t, s = u[order], t[order], s[order]
+        run_start = np.ones(u.size, dtype=bool)
+        run_start[1:] = (u[1:] != u[:-1]) | (s[1:] != s[:-1])
+        starts = np.flatnonzero(run_start)
+        lens = np.diff(np.append(starts, u.size))
+        ru, rs, rt = u[starts], s[starts], t[starts]
+        # a run is CLOSED iff the next run belongs to the same user
+        closed = np.zeros(starts.size, dtype=bool)
+        if starts.size > 1:
+            closed[:-1] = ru[1:] == ru[:-1]
+        nxt_from = np.empty(starts.size, dtype=np.int64)
+        if starts.size > 1:
+            nxt_from[:-1] = rt[1:]
+        return pa.table({
+            "user_id": pa.array(ru[closed], pa.int64()),
+            "state": pa.array(rs[closed], pa.string()),
+            "valid_from": pa.array(
+                rt[closed].view("datetime64[us]")),
+            "valid_to": pa.array(
+                nxt_from[closed].view("datetime64[us]")),
+            "n_events": pa.array(lens[closed], pa.int64()),
+        })
+
+    return (
+        ev.map_batches(keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(runs, batch_format="pyarrow")
+    )
+
+
+ORACLE_STATE_HISTORY = """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), r AS (
+  SELECT user_id, event_type, ts,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM e
+), agg AS (
+  SELECT user_id, run_id, min(event_type) AS state,
+         min(ts) AS valid_from, count(*) AS n_events
+  FROM r GROUP BY user_id, run_id
+), closed AS (
+  SELECT user_id, state, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id
+                                ORDER BY run_id) AS valid_to,
+         n_events
+  FROM agg
+)
+SELECT user_id, state, valid_from, valid_to, n_events
+FROM closed WHERE valid_to IS NOT NULL
+"""
