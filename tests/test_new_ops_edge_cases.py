@@ -248,3 +248,98 @@ def test_bigram_assoc_short_docs_and_repeats(ray_session, tmp_path):
     got = tx.bigram_assoc(sf).to_pandas()
     # delta/epsilon alternate exclusively -> highest association
     assert got.iloc[0]["w1"] in ("delta", "epsilon")
+
+
+def test_triangle_topk_exchange_path_matches_fast_path(ray_session,
+                                                       tmp_path):
+    """small_graph_budget=0 forces the multi-stage exchange path; it
+    must equal the single-task fast path and the oracle on the same
+    clique+star graph."""
+    from whakoom_webscrapper_ray.pipelines import dataops as do
+
+    rows = []
+    oid = 0
+    for _ in range(2):
+        for p in (1, 2, 3, 4):
+            rows.append((oid, p))
+        oid += 1
+    for s in (11, 12, 13):
+        for _ in range(2):
+            rows.append((oid, 10))
+            rows.append((oid, s))
+            oid += 1
+    li = pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+    })
+    sf = _write_sf(tmp_path, lineitem=li)
+    fast = do.triangle_topk(sf).to_pandas().sort_values(
+        ["n_triangles", "part"], ascending=[False, True]
+    ).reset_index(drop=True)
+    slow = do.triangle_topk(sf, small_graph_budget=0).to_pandas(
+    ).sort_values(["n_triangles", "part"],
+                  ascending=[False, True]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+    _compare(sf, do.triangle_topk(sf, small_graph_budget=0),
+             do.ORACLE_TRIANGLE_TOPK)
+
+
+def test_bigram_assoc_join_path_matches_broadcast(ray_session,
+                                                  tmp_path):
+    """vocab_broadcast_budget=0 forces the co-partitioned join path."""
+    from whakoom_webscrapper_ray.pipelines import text as tx
+
+    texts = [
+        "alpha beta alpha beta alpha beta",
+        "beta alpha beta alpha",
+        "delta epsilon delta epsilon delta epsilon delta epsilon",
+    ]
+    docs = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    sf = _write_sf(tmp_path, documents=docs)
+    _compare(sf, tx.bigram_assoc(sf, vocab_broadcast_budget=0),
+             tx.bigram_assoc_oracle_sql())
+
+
+def test_copurchase_components_exchange_path(ray_session, tmp_path):
+    """small_graph_budget=0 forces the Hash-to-Min exchange engine;
+    fast path, exchange path and the recursive-CTE oracle agree on a
+    two-component graph (a path and a separate clique)."""
+    from whakoom_webscrapper_ray.pipelines import dataops as do
+
+    rows = []
+    oid = 0
+
+    def add_order(parts):
+        nonlocal oid
+        for p in parts:
+            rows.append((oid, p))
+        oid += 1
+
+    # path 1-2-3 (each adjacent pair twice), clique 7-8-9
+    for pair in ((1, 2), (2, 3)):
+        add_order(pair)
+        add_order(pair)
+    add_order([7, 8, 9])
+    add_order([7, 8, 9])
+    li = pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+    })
+    sf = _write_sf(tmp_path, lineitem=li)
+    fast = do.copurchase_components(sf).to_pandas().sort_values(
+        "part").reset_index(drop=True)
+    slow = do.copurchase_components(sf, small_graph_budget=0
+                                    ).to_pandas().sort_values(
+        "part").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+    _compare(sf, do.copurchase_components(sf),
+             do.ORACLE_COPURCHASE_COMPONENTS)
+    got = fast.set_index("part")["component_id"]
+    assert (got.loc[[1, 2, 3]] == 1).all()
+    assert (got.loc[[7, 8, 9]] == 7).all()

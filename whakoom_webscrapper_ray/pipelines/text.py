@@ -2135,7 +2135,9 @@ _BIGRAM_MIN = 3
 def bigram_assoc(sf_dir: str, k: int = _BIGRAM_K,
                  min_count: int = _BIGRAM_MIN,
                  parts: int = 64,
-                 join_partitions: int = 8) -> ray.data.Dataset:
+                 join_partitions: int = 8,
+                 vocab_broadcast_budget: int = 5_000_000
+                 ) -> ray.data.Dataset:
     """(w1, w2, n_xy, score): the k adjacent-token bigrams most
     associated beyond chance — collocation mining, the PMI family.
     ``score = (n_xy·10⁶ // n_x) · 10⁶ // n_y`` is a monotone integer
@@ -2147,9 +2149,13 @@ def bigram_assoc(sf_dir: str, k: int = _BIGRAM_K,
     Scale shape: bigram and unigram counts each ride the exact
     heavy-hitter layout (per-block Arrow group-by partials, ONE
     hash-partitioned exchange, vectorized merge); the ``min_count``
-    support filter runs BEFORE the two count-attach steps, so the
-    distributed joins (never broadcasts — the vocabulary scales with
-    the corpus) only move surviving bigrams.
+    support filter runs BEFORE the count-attach steps, so only
+    surviving bigrams move.  Count attach is budget-gated: a unigram
+    table under ``vocab_broadcast_budget`` distinct terms broadcasts
+    once (``ray.put`` + per-block ``searchsorted``, zero extra
+    exchanges); a web-scale vocabulary switches to two co-partitioned
+    hash joins instead.  Oracle-identical both sides of the gate (the
+    sf0.001 oracle suite pins the join path with budget 0).
     """
     def bigram_partial(b: pa.Table) -> pa.Table:
         words = pc.split_pattern(b["text"], " ")
@@ -2225,24 +2231,60 @@ def bigram_assoc(sf_dir: str, k: int = _BIGRAM_K,
         .map_groups(unigram_reduce, batch_format="pyarrow")
     )
 
-    from .common import copartition_join
+    from .common import collect_small, copartition_join
 
     bg_schema = pa.schema([("w1", pa.string()), ("w2", pa.string()),
                            ("n_xy", pa.int64())])
     uni_schema = pa.schema([("term", pa.string()), ("n_t", pa.int64())])
-    unigrams = unigrams.materialize()      # consumed by BOTH joins
-    j1 = copartition_join(
-        bigrams, unigrams, on="w1", right_on="term",
-        parts=join_partitions, left_schema=bg_schema,
-        right_schema=uni_schema,
-    ).rename_columns({"n_t": "n_x"})
-    j1_schema = pa.schema([("w1", pa.string()), ("w2", pa.string()),
-                           ("n_xy", pa.int64()), ("n_x", pa.int64())])
-    j2 = copartition_join(
-        j1, unigrams, on="w2", right_on="term",
-        parts=join_partitions, left_schema=j1_schema,
-        right_schema=uni_schema,
-    ).rename_columns({"n_t": "n_y"})
+    unigrams = unigrams.materialize()      # consumed twice either way
+
+    if unigrams.count() <= vocab_broadcast_budget:
+        import ray as _ray
+
+        from .common import deref
+
+        ut = collect_small(unigrams, uni_schema)
+        terms = ut["term"].to_numpy(zero_copy_only=False)
+        cnts = ut["n_t"].to_numpy(zero_copy_only=False)
+        order = np.argsort(terms)
+        ref = _ray.put((terms[order], cnts[order].astype(np.int64)))
+
+        def attach(b: pa.Table, lut=None) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "n_xy": pa.array([], pa.int64()),
+                    "n_x": pa.array([], pa.int64()),
+                    "n_y": pa.array([], pa.int64())})
+            t, c = deref(lut)
+            w1 = b["w1"].to_numpy(zero_copy_only=False)
+            w2 = b["w2"].to_numpy(zero_copy_only=False)
+            # every surviving bigram term IS in the unigram vocabulary
+            i1 = np.searchsorted(t, w1)
+            i2 = np.searchsorted(t, w2)
+            return pa.table({
+                "w1": b["w1"], "w2": b["w2"], "n_xy": b["n_xy"],
+                "n_x": pa.array(c[i1], pa.int64()),
+                "n_y": pa.array(c[i2], pa.int64()),
+            })
+
+        j2 = bigrams.map_batches(attach, batch_format="pyarrow",
+                                 fn_kwargs={"lut": ref})
+    else:
+        j1 = copartition_join(
+            bigrams, unigrams, on="w1", right_on="term",
+            parts=join_partitions, left_schema=bg_schema,
+            right_schema=uni_schema,
+        ).rename_columns({"n_t": "n_x"})
+        j1_schema = pa.schema([
+            ("w1", pa.string()), ("w2", pa.string()),
+            ("n_xy", pa.int64()), ("n_x", pa.int64())])
+        j2 = copartition_join(
+            j1, unigrams, on="w2", right_on="term",
+            parts=join_partitions, left_schema=j1_schema,
+            right_schema=uni_schema,
+        ).rename_columns({"n_t": "n_y"})
 
     def score_topk(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
