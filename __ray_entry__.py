@@ -255,6 +255,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_components": _do.copurchase_components,
         "fuzzy_name_pairs": _do.fuzzy_name_pairs,
         "state_history": _do.state_history,
+        "event_path_topk": _do.event_path_topk,
+        "embedding_centroids": _ann.embedding_centroids,
         "top_customers": _do.top_customers,
         "junction_min_position": _do.junction_min_position,
         "events_hourly": _do.events_hourly,
@@ -436,6 +438,8 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_components": _do.ORACLE_COPURCHASE_COMPONENTS,
         "fuzzy_name_pairs": _do.ORACLE_FUZZY_NAME_PAIRS,
         "state_history": _do.ORACLE_STATE_HISTORY,
+        "event_path_topk": _do.ORACLE_EVENT_PATH_TOPK,
+        "embedding_centroids": _ann.ORACLE_EMBEDDING_CENTROIDS,
         "duplicate_ngram_coverage": (
             _tx.duplicate_ngram_coverage_oracle_sql()
         ),

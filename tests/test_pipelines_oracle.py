@@ -80,6 +80,8 @@ QUERIES = [
     "copurchase_components",                    # CC via Hash-to-Min reuse
     "fuzzy_name_pairs",                         # exact dist-1 string join
     "state_history",                            # SCD-2 change intervals
+    "event_path_topk",                          # sequential trigram mining
+    "embedding_centroids",                      # quantized class prototypes
 ]
 
 

@@ -788,3 +788,78 @@ SELECT vec_id, neighbor_id, rank FROM (
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
 ) WHERE rank <= {k}
 """
+
+
+# ------------------------------------------- per-label centroids
+def embedding_centroids(sf_dir: str) -> ray.data.Dataset:
+    """(label, dim, centroid_q, n): the per-label mean embedding,
+    QUANTIZED to exact integers — the class-prototype reduction
+    (nearest-class-mean classifiers, cluster summaries, drift checks).
+
+    Exactness discipline: each float32 component quantizes to
+    ``floor(x·10⁶)`` int64 FIRST (float32→float64 and the multiply are
+    bit-identical in numpy and DuckDB), so the sums are
+    order-independent integers; the mean uses TRUNCATING division to
+    match DuckDB's ``//`` on signed values.
+
+    Scale shape: one pass — each block collapses to (label × dim)
+    partial sums via one ``np.add.at`` on a fused label·dim index (no
+    per-label loop, no unnest blowup leaving the task); partials ride
+    the two-phase combiner keyed by (label, dim) — ≤ labels×dims rows
+    exchanged regardless of corpus size.
+    """
+    from .common import two_phase_agg
+
+    dims = None
+
+    def partial(b: pa.Table) -> pa.Table:
+        nonlocal dims
+        mat = emb_matrix(b["embedding"])
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = mat.shape[1]
+        q = np.floor(mat.astype(np.float64) * 1_000_000.0).astype(
+            np.int64)
+        ul, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((ul.size, d), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(ul, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    ul.size), pa.int64()),
+            "s_q": pa.array(sums.ravel(), pa.int64()),
+            "n_q": pa.array(np.repeat(cnt, d), pa.int64()),
+        })
+
+    agg = two_phase_agg(
+        read(sf_dir, "embeddings", columns=["embedding", "label"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"], sums={"s_q": "s", "n_q": "n"},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = b["s"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        cq = np.sign(s) * (np.abs(s) // n)      # trunc, matches SQL //
+        return pa.table({
+            "label": b["label"], "dim": b["dim"],
+            "centroid_q": pa.array(cq, pa.int64()),
+            "n": b["n"],
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_EMBEDDING_CENTROIDS = """
+WITH x AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS q
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       CAST(sum(q) // count(*) AS BIGINT) AS centroid_q,
+       count(*) AS n
+FROM x GROUP BY label, dim
+"""

@@ -3786,3 +3786,87 @@ WITH e AS (
 SELECT user_id, state, valid_from, valid_to, n_events
 FROM closed WHERE valid_to IS NOT NULL
 """
+
+
+# ------------------------------------------------- event path mining
+def event_path_topk(sf_dir: str, k: int = 20,
+                    parts: int = 64) -> ray.data.Dataset:
+    """(path, n): the k most common consecutive event-type TRIGRAMS
+    across all user streams ("view>click>purchase") — sequential
+    pattern mining, the journey-analysis staple.
+
+    Scale shape: one user-keyed exchange orders each user's stream
+    (the state_history layout); trigrams fall out of two shifted
+    comparisons per partition (no window join, no per-user task); path
+    cardinality is bounded by |event_types|³, so the final count rides
+    the cheap two-phase combiner and only per-partition partials move.
+    """
+    from .common import two_phase_agg
+    from whakoom_webscrapper_ray.pipelines.text import mix64
+
+    ev = read(sf_dir, "events",
+              columns=["user_id", "ts", "event_id", "event_type"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b["user_id"],
+            "t_us": pc.cast(b["ts"], pa.int64()),
+            "event_id": b["event_id"],
+            "etype": b["event_type"],
+            "part": pa.array(
+                (mix64(u.view(np.uint64)) % np.uint64(parts)).astype(
+                    np.int64)),
+        })
+
+    def trigrams(g: pa.Table) -> pa.Table:
+        empty = pa.table({"path": pa.array([], pa.string()),
+                          "n_p": pa.array([], pa.int64())})
+        if g.num_rows < 3:
+            return empty
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["t_us"].to_numpy(zero_copy_only=False)
+        e = g["event_id"].to_numpy(zero_copy_only=False)
+        s = g["etype"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, u))
+        u, s = u[order], s[order]
+        ok = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        if not ok.any():
+            return empty
+        i = np.flatnonzero(ok)
+        path = np.char.add(
+            np.char.add(np.char.add(np.char.add(
+                s[i].astype(str), ">"), s[i + 1].astype(str)), ">"),
+            s[i + 2].astype(str))
+        up, cnt = np.unique(path, return_counts=True)
+        return pa.table({
+            "path": pa.array(up, pa.string()),
+            "n_p": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    counts = two_phase_agg(
+        ev.map_batches(keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(trigrams, batch_format="pyarrow"),
+        ["path"], sums={"n_p": "n"},
+    )
+    return (
+        counts.repartition(1)
+        .sort(["n", "path"], descending=[True, False])
+        .limit(k)
+    )
+
+
+ORACLE_EVENT_PATH_TOPK = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || e2 || '>' || e3 AS path,
+       count(*) AS n
+FROM s WHERE e3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+"""
