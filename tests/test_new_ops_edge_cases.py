@@ -343,3 +343,46 @@ def test_copurchase_components_exchange_path(ray_session, tmp_path):
     got = fast.set_index("part")["component_id"]
     assert (got.loc[[1, 2, 3]] == 1).all()
     assert (got.loc[[7, 8, 9]] == 7).all()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 6, 7])
+def test_copartition_join_matches_pandas_merge(ray_session, seed):
+    """copartition_join == pandas inner merge on randomized inputs:
+    int and string keys, duplicate keys on both sides (fanout),
+    keys present on only one side, and empty partitions (parts >>
+    distinct keys — the exact pathology Ray's built-in join dies on)."""
+    import numpy as np
+    import ray.data
+
+    from whakoom_webscrapper_ray.pipelines.common import (
+        copartition_join,
+    )
+
+    rng = np.random.default_rng(seed)
+    nl, nr = int(rng.integers(0, 40)), int(rng.integers(0, 40))
+    keyspace = [f"k{i}" for i in range(int(rng.integers(1, 12)))]
+    lk = rng.choice(keyspace, size=nl).tolist() if nl else []
+    rk = rng.choice(keyspace, size=nr).tolist() if nr else []
+    left = pa.table({
+        "kl": pa.array(lk, pa.string()),
+        "lv": pa.array(rng.integers(0, 100, nl), pa.int64()),
+    })
+    right = pa.table({
+        "kr": pa.array(rk, pa.string()),
+        "rv": pa.array(rng.integers(0, 100, nr), pa.int64()),
+    })
+    got = copartition_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        on="kl", right_on="kr", parts=16,
+        left_schema=left.schema, right_schema=right.schema,
+    ).to_pandas()
+    want = left.to_pandas().merge(
+        right.to_pandas(), left_on="kl", right_on="kr", how="inner"
+    )[["kl", "lv", "rv"]]
+    if len(want) == 0:
+        assert len(got) == 0
+        return
+    key = ["kl", "lv", "rv"]
+    got = got[key].sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
