@@ -386,3 +386,31 @@ def test_copartition_join_matches_pandas_merge(ray_session, seed):
     got = got[key].sort_values(key).reset_index(drop=True)
     want = want.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_cc_labels_exchange_path_matches_fast_path(ray_session, seed):
+    """The Hash-to-Min exchange engine (small_graph_budget=0) and the
+    single-task kernel agree on random graphs with chains, cliques and
+    singleton-free edge sets."""
+    import numpy as np
+    import ray.data
+
+    from whakoom_webscrapper_ray.pipelines.curate import _cc_labels
+
+    rng = np.random.default_rng(seed)
+    n_edges = int(rng.integers(1, 60))
+    a = rng.integers(0, 30, n_edges).astype("int64")
+    b = rng.integers(0, 30, n_edges).astype("int64")
+    keep = a != b
+    a, b = a[keep], b[keep]
+    if a.size == 0:
+        a = np.array([1], dtype="int64")
+        b = np.array([2], dtype="int64")
+    pairs = pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b)})
+    fast = _cc_labels(ray.data.from_arrow(pairs)).to_pandas(
+    ).sort_values("node").reset_index(drop=True)
+    slow = _cc_labels(ray.data.from_arrow(pairs), small_graph_budget=0
+                      ).to_pandas().sort_values("node").reset_index(
+        drop=True)
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)

@@ -175,8 +175,37 @@ def _labels_from_state(state: ray.data.Dataset) -> ray.data.Dataset:
     return state.map_batches(decode, batch_format="pyarrow")
 
 
+def _cc_one_task(a, b) -> "pa.Table":
+    """Single-task connected components over (a, b) int64 edge arrays:
+    vectorized min-label relaxation with pointer jumping (O(log n)
+    in-task rounds).  The budget-gated fast path of :func:`_cc_labels`;
+    also reused by dataops.copurchase_components."""
+    import numpy as np
+
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = inv[:a.size], inv[a.size:]
+    lab = np.arange(nodes.size, dtype=np.int64)
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, ea, lab[eb])
+        np.minimum.at(new, eb, lab[ea])
+        while True:                       # pointer jumping
+            j = new[new]
+            if np.array_equal(j, new):
+                break
+            new = j
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    return pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "cluster_id": pa.array(nodes[lab], pa.int64()),
+    })
+
+
 def _cc_labels(pairs: ray.data.Dataset,
-               max_rounds: int = 64) -> ray.data.Dataset:
+               max_rounds: int = 64,
+               small_graph_budget: int = 5_000_000) -> ray.data.Dataset:
     """(node, cluster_id=component min) for every node in ``pairs``.
 
     ONE all-to-all per round: the star groupby, keyed by
@@ -198,14 +227,34 @@ def _cc_labels(pairs: ray.data.Dataset,
     checked by an exact distributed multiset digest — never by
     materializing labels driver-side.
     """
-    state = pairs.map_batches(
-        _seed_state, batch_format="pyarrow"
-    ).materialize()
-    if state.count() == 0:
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return ray.data.from_arrow(
             pa.table({"node": pa.array([], pa.int64()),
                       "cluster_id": pa.array([], pa.int64())})
         )
+    if n_pairs <= small_graph_budget:
+        # budget gate: a dup-pair graph that fits one worker's heap
+        # solves in ONE vectorized task — the per-round exchanges of
+        # the Hash-to-Min engine are pure fixed overhead there.  The
+        # exchange engine below runs unchanged past the budget and is
+        # pinned by tests with small_graph_budget=0.
+        def one_task(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({
+                    "node": pa.array([], pa.int64()),
+                    "cluster_id": pa.array([], pa.int64())})
+            a = b["doc_a"].to_numpy(zero_copy_only=False)
+            d = b["doc_b"].to_numpy(zero_copy_only=False)
+            return _cc_one_task(a, d)
+
+        return pairs.repartition(1).map_batches(
+            one_task, batch_format="pyarrow")
+
+    state = pairs.map_batches(
+        _seed_state, batch_format="pyarrow"
+    ).materialize()
     prev: tuple[int, int] | None = None
     for rnd in range(max_rounds):
         strip = _strip_labels if rnd else None  # round 0 input has none

@@ -3463,44 +3463,14 @@ def copurchase_components(sf_dir: str, min_orders: int = 2,
         })
 
     edges = pair_counts.map_batches(
-        unpack_edges, batch_format="pyarrow").materialize()
+        unpack_edges, batch_format="pyarrow")
 
     out_schema = pa.schema([("part", pa.int64()),
                             ("component_id", pa.int64())])
 
-    if edges.count() <= small_graph_budget:
-        def one_task(b: pa.Table) -> pa.Table:
-            if b.num_rows == 0:
-                return out_schema.empty_table()
-            a = b["doc_a"].to_numpy(zero_copy_only=False)
-            c = b["doc_b"].to_numpy(zero_copy_only=False)
-            nodes, inv = np.unique(np.concatenate([a, c]),
-                                   return_inverse=True)
-            ea, eb = inv[:a.size], inv[a.size:]
-            lab = np.arange(nodes.size, dtype=np.int64)
-            while True:
-                new = lab.copy()
-                np.minimum.at(new, ea, lab[eb])
-                np.minimum.at(new, eb, lab[ea])
-                while True:               # pointer jumping
-                    j = new[new]
-                    if np.array_equal(j, new):
-                        break
-                    new = j
-                if np.array_equal(new, lab):
-                    break
-                lab = new
-            return pa.table({
-                "part": pa.array(nodes, pa.int64()),
-                "component_id": pa.array(nodes[lab], pa.int64()),
-            })
-
-        return edges.repartition(1).map_batches(
-            one_task, batch_format="pyarrow")
-
     from .curate import _cc_labels
 
-    labels = _cc_labels(edges)
+    labels = _cc_labels(edges, small_graph_budget=small_graph_budget)
 
     out_schema = pa.schema([("part", pa.int64()),
                             ("component_id", pa.int64())])
