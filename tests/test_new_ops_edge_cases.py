@@ -414,3 +414,35 @@ def test_cc_labels_exchange_path_matches_fast_path(ray_session, seed):
                       ).to_pandas().sort_values("node").reset_index(
         drop=True)
     pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+
+
+def test_label_join_broadcast_matches_hash_join(ray_session):
+    """_label_join's broadcast fast path == the hash-join path on ids
+    around 2**53 (the float-corruption regime the string encoding
+    protects) and unlabeled rows."""
+    import numpy as np
+    import ray.data
+
+    from whakoom_webscrapper_ray.pipelines.curate import _label_join
+
+    big = 2**53
+    base = pa.table({"doc_id": pa.array(
+        [1, 2, 3, big + 1, big + 3], pa.int64())})
+    labels = pa.table({
+        "doc_id": pa.array([2, big + 3], pa.int64()),
+        "cluster_id": pa.array([1, big + 1], pa.int64()),
+    })
+    fast = _label_join(ray.data.from_arrow(base),
+                       ray.data.from_arrow(labels), "doc_id", 2
+                       ).to_pandas().sort_values("doc_id"
+                                                 ).reset_index(drop=True)
+    slow = _label_join(ray.data.from_arrow(base),
+                       ray.data.from_arrow(labels), "doc_id", 2,
+                       broadcast_budget=0
+                       ).to_pandas().sort_values("doc_id"
+                                                 ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+    got = fast.set_index("doc_id")["cluster_id"]
+    assert got.loc[2] == 1 and got.loc[big + 3] == big + 1
+    assert got.loc[1] == 1 and got.loc[3] == 3
+    assert got.loc[big + 1] == big + 1

@@ -276,17 +276,52 @@ def _cc_labels(pairs: ray.data.Dataset,
 
 
 def _label_join(base: ray.data.Dataset, labels: ray.data.Dataset,
-                idcol: str, num_partitions: int) -> ray.data.Dataset:
+                idcol: str, num_partitions: int,
+                broadcast_budget: int = 5_000_000) -> ray.data.Dataset:
     """Left-attach component labels onto the full id column, losslessly.
 
-    Ray's left-outer hash join may hand the nullable side back through
-    pandas, where int64-with-nulls becomes float64 — silently corrupting
-    ids >= 2**53.  The label therefore travels as a STRING through the
-    join (object/utf8 survives pandas exactly) and is decoded back to
-    int64 after the null fill.  ``labels`` must have columns
-    (idcol:int64, cluster_id:int64); rows of ``base`` without a label
-    get their own id.
+    Budget gate: a label table under ``broadcast_budget`` rows is
+    ``ray.put`` once and probed per block with a sorted ``searchsorted``
+    lookup — zero exchanges.  Past the budget (at 100 TB labels can be
+    a third of the corpus — a broadcast would not hold) the
+    co-partitioned hash join below engages.
+
+    Join-path detail: Ray's left-outer hash join may hand the nullable
+    side back through pandas, where int64-with-nulls becomes float64 —
+    silently corrupting ids >= 2**53.  The label therefore travels as
+    a STRING through the join (object/utf8 survives pandas exactly)
+    and is decoded back to int64 after the null fill.  ``labels`` must
+    have columns (idcol:int64, cluster_id:int64); rows of ``base``
+    without a label get their own id.
     """
+    import ray as _ray
+
+    from .common import collect_small, deref
+
+    if labels.count() <= broadcast_budget:
+        lt = collect_small(labels, pa.schema([
+            (idcol, pa.int64()), ("cluster_id", pa.int64())]))
+        ids = lt[idcol].to_numpy(zero_copy_only=False)
+        cid = lt["cluster_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ref = _ray.put((ids[order], cid[order]))
+
+        def attach(b: pa.Table, lut=None) -> pa.Table:
+            k, v = deref(lut)
+            d = b[idcol].to_numpy(zero_copy_only=False)
+            out = d.copy()                 # unlabeled → own id
+            if k.size:
+                pos = np.minimum(np.searchsorted(k, d), k.size - 1)
+                m = k[pos] == d
+                out[m] = v[pos[m]]
+            return pa.table({
+                idcol: b[idcol],
+                "cluster_id": pa.array(out, pa.int64()),
+            })
+
+        return base.map_batches(attach, batch_format="pyarrow",
+                                fn_kwargs={"lut": ref})
+
     enc = labels.map_batches(
         lambda b: pa.table({
             idcol: b[idcol],
