@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "state_history": _do.state_history,
         "event_path_topk": _do.event_path_topk,
         "embedding_centroids": _ann.embedding_centroids,
+        "graph_bfs_hops": _do.graph_bfs_hops,
         "top_customers": _do.top_customers,
         "junction_min_position": _do.junction_min_position,
         "events_hourly": _do.events_hourly,
@@ -440,6 +441,7 @@ def oracle_sql() -> dict[str, str]:
         "state_history": _do.ORACLE_STATE_HISTORY,
         "event_path_topk": _do.ORACLE_EVENT_PATH_TOPK,
         "embedding_centroids": _ann.ORACLE_EMBEDDING_CENTROIDS,
+        "graph_bfs_hops": _do.ORACLE_GRAPH_BFS_HOPS,
         "duplicate_ngram_coverage": (
             _tx.duplicate_ngram_coverage_oracle_sql()
         ),

@@ -71,7 +71,7 @@ BENCH_QUERIES = [
     "pareto_front", "time_weighted_avg", "triangle_topk",
     "bigram_assoc", "chunk_dedup_ratio", "weighted_sample",
     "copurchase_components", "fuzzy_name_pairs", "state_history",
-    "event_path_topk", "embedding_centroids",
+    "event_path_topk", "embedding_centroids", "graph_bfs_hops",
 ]
 
 

@@ -446,3 +446,35 @@ def test_label_join_broadcast_matches_hash_join(ray_session):
     assert got.loc[2] == 1 and got.loc[big + 3] == big + 1
     assert got.loc[1] == 1 and got.loc[3] == 3
     assert got.loc[big + 1] == big + 1
+
+
+def test_graph_bfs_hops_exchange_path(ray_session, tmp_path):
+    """budget=0 forces the per-round frontier-join + visited anti-join
+    engine; both paths and the recursive oracle agree on a path graph
+    with an unreachable clique."""
+    from whakoom_webscrapper_ray.pipelines import dataops as do
+
+    rows, oid = [], 0
+    for pair in ((1, 2), (2, 3), (3, 4)):   # path 1-2-3-4
+        for _ in range(2):
+            rows.append((oid, pair[0]))
+            rows.append((oid, pair[1]))
+            oid += 1
+    for _ in range(2):                        # unreachable clique 8-9
+        rows.append((oid, 8))
+        rows.append((oid, 9))
+        oid += 1
+    li = pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+    })
+    sf = _write_sf(tmp_path, lineitem=li)
+    fast = do.graph_bfs_hops(sf).to_pandas().sort_values(
+        "part").reset_index(drop=True)
+    slow = do.graph_bfs_hops(sf, small_graph_budget=0
+                             ).to_pandas().sort_values(
+        "part").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+    _compare(sf, do.graph_bfs_hops(sf), do.ORACLE_GRAPH_BFS_HOPS)
+    got = fast.set_index("part")["hops"]
+    assert got.to_dict() == {1: 0, 2: 1, 3: 2, 4: 3}

@@ -82,6 +82,7 @@ QUERIES = [
     "state_history",                            # SCD-2 change intervals
     "event_path_topk",                          # sequential trigram mining
     "embedding_centroids",                      # quantized class prototypes
+    "graph_bfs_hops",                           # iterative frontier BFS
 ]
 
 

@@ -3840,3 +3840,178 @@ SELECT event_type || '>' || e2 || '>' || e3 AS path,
 FROM s WHERE e3 IS NOT NULL
 GROUP BY 1 ORDER BY n DESC, path LIMIT 20
 """
+
+
+# ------------------------------------------------- BFS hop distances
+def graph_bfs_hops(sf_dir: str, max_hops: int = 6, min_orders: int = 2,
+                   parts: int = 64,
+                   small_graph_budget: int = 5_000_000
+                   ) -> ray.data.Dataset:
+    """(part, hops): exact minimum hop distance from a deterministic
+    seed (the lowest part key in the edge set) to every part within
+    ``max_hops`` over the co-purchase graph — the iterative
+    frontier-expansion shape (the crawl engine's frontier + seen
+    anti-join in miniature, here with a recursive-CTE oracle the crawl
+    loop itself cannot have).
+
+    Scale shape past the budget gate: one materialized symmetric edge
+    table; per round the frontier attaches its neighbors through the
+    engine's co-partitioned hash join, and the visited set filters new
+    nodes with a tagged-union anti-join (``np.isin`` per hash
+    partition — the same discipline as the crawl seen-set, never a
+    driver-side set).  Rounds are bounded by ``max_hops``.  Under the
+    budget the whole walk is ONE vectorized CSR-levels task.
+    """
+    from whakoom_webscrapper_ray.pipelines.text import mix64
+
+    mask32 = (1 << 32) - 1
+    pair_counts = _copurchase_pair_counts(sf_dir, parts)
+
+    def unpack_sym(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"s": pa.array([], pa.int64()),
+                             "t": pa.array([], pa.int64())})
+        t = b.filter(pc.greater_equal(b["n_orders"], min_orders))
+        pr = t["pair"].to_numpy(zero_copy_only=False)
+        a = pr >> 32
+        c = pr & mask32
+        return pa.table({
+            "s": pa.array(np.concatenate([a, c]), pa.int64()),
+            "t": pa.array(np.concatenate([c, a]), pa.int64()),
+        })
+
+    edges = pair_counts.map_batches(
+        unpack_sym, batch_format="pyarrow").materialize()
+
+    out_schema = pa.schema([("part", pa.int64()), ("hops", pa.int64())])
+
+    if edges.count() <= small_graph_budget:
+        def one_task(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return out_schema.empty_table()
+            s = b["s"].to_numpy(zero_copy_only=False)
+            t = b["t"].to_numpy(zero_copy_only=False)
+            nodes, inv = np.unique(np.concatenate([s, t]),
+                                   return_inverse=True)
+            es, et = inv[:s.size], inv[s.size:]
+            order = np.argsort(es, kind="stable")
+            es, et = es[order], et[order]
+            starts = np.searchsorted(es, np.arange(nodes.size + 1))
+            hops = np.full(nodes.size, -1, np.int64)
+            frontier = np.array([0], dtype=np.int64)  # min id = index 0
+            hops[0] = 0
+            for h in range(1, max_hops + 1):
+                reps = starts[frontier + 1] - starts[frontier]
+                if int(reps.sum()) == 0:
+                    break
+                idx = (np.repeat(starts[frontier], reps)
+                       + np.arange(int(reps.sum()), dtype=np.int64)
+                       - np.repeat(np.concatenate(
+                           [[0], np.cumsum(reps)[:-1]]), reps))
+                neigh = np.unique(et[idx])
+                new = neigh[hops[neigh] < 0]
+                if new.size == 0:
+                    break
+                hops[new] = h
+                frontier = new
+            seen = hops >= 0
+            return pa.table({
+                "part": pa.array(nodes[seen], pa.int64()),
+                "hops": pa.array(hops[seen], pa.int64()),
+            })
+
+        return edges.repartition(1).map_batches(
+            one_task, batch_format="pyarrow")
+
+    # ---- exchange path: per-round frontier join + visited anti-join
+    from .common import copartition_join
+
+    edge_schema = pa.schema([("s", pa.int64()), ("t", pa.int64())])
+    seed = int(edges.min("s"))
+    visited = ray.data.from_arrow(pa.table({
+        "node": pa.array([seed], pa.int64()),
+        "hops": pa.array([0], pa.int64()),
+    })).materialize()
+    frontier = visited.select_columns(["node"]).materialize()
+
+    def anti_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.int64())})
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        node = g["node"].to_numpy(zero_copy_only=False)
+        cand = np.unique(node[kind == 0])
+        seen = node[kind == 1]
+        return pa.table({"node": pa.array(
+            cand[~np.isin(cand, seen)], pa.int64())})
+
+    for h in range(1, max_hops + 1):
+        if frontier.count() == 0:
+            break
+        neigh = copartition_join(
+            frontier, edges, on="node", right_on="s", parts=parts,
+            left_schema=pa.schema([("node", pa.int64())]),
+            right_schema=edge_schema,
+        ).select_columns(["t"]).rename_columns({"t": "node"})
+
+        def tag(kind):
+            def fn(b: pa.Table) -> pa.Table:
+                if b.num_rows == 0:
+                    return pa.table({
+                        "kind": pa.array([], pa.int8()),
+                        "node": pa.array([], pa.int64()),
+                        "part": pa.array([], pa.int64())})
+                n = b["node"].to_numpy(zero_copy_only=False)
+                return pa.table({
+                    "kind": pa.array(
+                        np.full(n.size, kind, np.int8), pa.int8()),
+                    "node": b["node"],
+                    "part": pa.array(
+                        (mix64(n.view(np.uint64)) % np.uint64(parts))
+                        .astype(np.int64)),
+                })
+            return fn
+
+        new = (
+            neigh.map_batches(tag(0), batch_format="pyarrow")
+            .union(visited.select_columns(["node"]).map_batches(
+                tag(1), batch_format="pyarrow"))
+            .groupby("part")
+            .map_groups(anti_part, batch_format="pyarrow")
+        ).materialize()
+        if new.count() == 0:
+            break
+        stamped = new.map_batches(
+            lambda b, hh=h: b.append_column(
+                "hops", pa.array(np.full(b.num_rows, hh, np.int64))),
+            batch_format="pyarrow",
+        )
+        visited = visited.union(stamped).materialize()
+        frontier = new
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        return pa.table({"part": b["node"], "hops": b["hops"]})
+
+    return visited.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_GRAPH_BFS_HOPS = """
+WITH RECURSIVE d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+ud AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+seed AS (SELECT min(s) AS n FROM ud),
+walk(node, hops) AS (
+  SELECT n, 0 FROM seed
+  UNION
+  SELECT ud.t, walk.hops + 1 FROM ud JOIN walk ON ud.s = walk.node
+  WHERE walk.hops < 6
+)
+SELECT node AS part, CAST(min(hops) AS BIGINT) AS hops
+FROM walk GROUP BY node
+"""
