@@ -246,27 +246,6 @@ def cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pc.cast(pc.round(pc.multiply(arr, 100.0)), pa.int64())
 
 
-def ensure_schema(ds: "ray.data.Dataset", schema: pa.Schema
-                  ) -> "ray.data.Dataset":
-    """Normalize empty shuffle artifacts before a hash join.
-
-    ``groupby().map_groups()`` stages can emit ZERO-ROW blocks that
-    carry no columns at all (Ray logs them as ``new schema: .``);
-    Ray's hash-join finalize then concats them into a partition table
-    whose key columns are missing and acero raises ``No match ... for
-    key field``.  This rewrites schema-less empties to
-    ``schema.empty_table()`` and projects non-empty blocks to the
-    expected column order, so every block entering the join carries
-    the join keys.  Zero-copy for non-empty blocks (a column select).
-    """
-    def fix(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return schema.empty_table()
-        return t.select(schema.names).cast(schema)
-
-    return ds.map_batches(fix, batch_format="pyarrow")
-
-
 def copartition_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                      on: str, right_on: str | None = None,
                      parts: int = 32,
