@@ -478,3 +478,36 @@ def test_graph_bfs_hops_exchange_path(ray_session, tmp_path):
     _compare(sf, do.graph_bfs_hops(sf), do.ORACLE_GRAPH_BFS_HOPS)
     got = fast.set_index("part")["hops"]
     assert got.to_dict() == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_weighted_sample_zero_length_doc(ray_session, tmp_path):
+    """A zero-length doc must not divide by zero on either engine."""
+    from whakoom_webscrapper_ray.pipelines import curate as cu
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["", "bb", "ccc"], pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+        "n_chars": pa.array([0, 2, 3], pa.int64()),
+    })
+    sf = _write_sf(tmp_path, documents=docs)
+    _compare(sf, cu.weighted_sample(sf), cu.weighted_sample_oracle_sql())
+
+
+def test_time_weighted_avg_negative_values(ray_session, tmp_path):
+    """Negative values (refunds): the trunc-division ratio must match
+    DuckDB's signed // semantics."""
+    from whakoom_webscrapper_ray.pipelines import dataops as do
+
+    events = pa.table({
+        "event_id": pa.array([0, 1, 2], pa.int64()),
+        "ts": pa.array([1_000_000, 4_000_000, 11_000_000],
+                       pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "event_type": pa.array(["x"] * 3, pa.string()),
+        "value": pa.array([-3.33, 1.0, 2.0]),
+        "props": pa.array(["{}"] * 3, pa.string()),
+    })
+    sf = _write_sf(tmp_path, events=events)
+    _compare(sf, do.time_weighted_avg(sf), do.ORACLE_TIME_WEIGHTED_AVG)

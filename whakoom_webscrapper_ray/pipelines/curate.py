@@ -1291,7 +1291,10 @@ def weighted_sample(sf_dir: str, k: int = _WSAMPLE_K) -> ray.data.Dataset:
         w = b["n_chars"].to_numpy(zero_copy_only=False)
         h = mix64(np.ascontiguousarray(ids).view(np.uint64)
                   ^ np.uint64(_WSAMPLE_SEED))
-        pri = h // w.astype(np.uint64)
+        # clamp to >=1 (mirrored by greatest() in the oracle): a
+        # zero-length doc must not divide by zero — numpy would
+        # silently yield priority 0 (always selected) while SQL errors
+        pri = h // np.maximum(w, 1).astype(np.uint64)
         if ids.size > k:
             idx = np.lexsort((ids, pri))[:k]
             ids, w, pri = ids[idx], w[idx], pri[idx]
@@ -1336,6 +1339,6 @@ def weighted_sample_oracle_sql(k: int = _WSAMPLE_K) -> str:
 WITH {ctes}
 SELECT m.doc_id, d.n_chars
 FROM {final} m JOIN documents d ON m.doc_id = d.doc_id
-ORDER BY m.h // CAST(d.n_chars AS UBIGINT), m.doc_id
+ORDER BY m.h // CAST(greatest(d.n_chars, 1) AS UBIGINT), m.doc_id
 LIMIT {k}
 """

@@ -3099,12 +3099,18 @@ def time_weighted_avg(sf_dir: str, parts: int = 64) -> ray.data.Dataset:
         np.add.at(act, inv[same], dt_s[same])
         np.add.at(wsum, inv[same], (v * dt_s)[same])
         keep = act > 0                            # ratio needs a divisor
+        ws, ac = wsum[keep], act[keep]
+        # TRUNCATING division mirrors DuckDB's `//` on signed sums
+        # (negative values never occur in the fixture, but the
+        # operator should not silently disagree with its oracle on a
+        # domain where they could)
+        twa = np.sign(ws) * (np.abs(ws) // ac)
         return pa.table({
             "user_id": pa.array(uk[keep], pa.int64()),
             "n_intervals": pa.array(n[keep], pa.int64()),
-            "active_s": pa.array(act[keep], pa.int64()),
-            "weighted_cents_s": pa.array(wsum[keep], pa.int64()),
-            "twa_cents": pa.array(wsum[keep] // act[keep], pa.int64()),
+            "active_s": pa.array(ac, pa.int64()),
+            "weighted_cents_s": pa.array(ws, pa.int64()),
+            "twa_cents": pa.array(twa, pa.int64()),
         })
 
     return (
