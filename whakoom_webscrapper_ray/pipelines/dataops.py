@@ -2966,19 +2966,14 @@ def pareto_front(sf_dir: str) -> ray.data.Dataset:
     (equal price AND equal size) are mutually non-dominating and all
     survive, matching the strict ``NOT EXISTS`` semantics.
     """
-    def local_front(b: pa.Table) -> pa.Table:
-        empty = pa.table({
-            "p_partkey": pa.array([], pa.int64()),
-            "price_cents": pa.array([], pa.int64()),
-            "p_size": pa.array([], pa.int64()),
-        })
-        if b.num_rows == 0:
-            return empty
-        pk = b["p_partkey"].to_numpy(zero_copy_only=False)
-        price = np.floor(
-            b["p_retailprice"].to_numpy(zero_copy_only=False) * 100.0
-        ).astype(np.int64)
-        size = b["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+    empty = pa.table({
+        "p_partkey": pa.array([], pa.int64()),
+        "price_cents": pa.array([], pa.int64()),
+        "p_size": pa.array([], pa.int64()),
+    })
+
+    def front_kernel(pk: np.ndarray, price: np.ndarray,
+                     size: np.ndarray) -> pa.Table:
         # sort (price asc, size desc): within an equal-price group only
         # rows at the group-max size can survive; across groups a front
         # point must STRICTLY beat the best size of all cheaper groups
@@ -2999,16 +2994,27 @@ def pareto_front(sf_dir: str) -> ray.data.Dataset:
             "p_size": pa.array(size[keep], pa.int64()),
         })
 
+    def local_front(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        return front_kernel(
+            b["p_partkey"].to_numpy(zero_copy_only=False),
+            np.floor(b["p_retailprice"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64),
+            b["p_size"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+
     def merge_front(b: pa.Table) -> pa.Table:
         # per-block fronts re-enter the identical kernel (the algebra
-        # above); rebuild the double column the kernel expects
-        t = pa.table({
-            "p_partkey": b["p_partkey"],
-            "p_retailprice": pc.divide(
-                pc.cast(b["price_cents"], pa.float64()), 100.0),
-            "p_size": b["p_size"],
-        })
-        return local_front(t)
+        # above) ON THE INTEGER CENTS — never a cents→double→cents
+        # round-trip, whose last-ulp error could shift the floor
+        if b.num_rows == 0:
+            return empty
+        return front_kernel(
+            b["p_partkey"].to_numpy(zero_copy_only=False),
+            b["price_cents"].to_numpy(zero_copy_only=False),
+            b["p_size"].to_numpy(zero_copy_only=False),
+        )
 
     return (
         read(sf_dir, "part",
