@@ -810,10 +810,7 @@ def embedding_centroids(sf_dir: str) -> ray.data.Dataset:
     """
     from .common import two_phase_agg
 
-    dims = None
-
     def partial(b: pa.Table) -> pa.Table:
-        nonlocal dims
         mat = emb_matrix(b["embedding"])
         lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
         d = mat.shape[1]
