@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_path_topk": _do.event_path_topk,
         "embedding_centroids": _ann.embedding_centroids,
         "graph_bfs_hops": _do.graph_bfs_hops,
+        "kll_token_quantiles": _tx.kll_token_quantiles,
         "top_customers": _do.top_customers,
         "junction_min_position": _do.junction_min_position,
         "events_hourly": _do.events_hourly,

@@ -511,3 +511,51 @@ def test_time_weighted_avg_negative_values(ray_session, tmp_path):
     })
     sf = _write_sf(tmp_path, events=events)
     _compare(sf, do.time_weighted_avg(sf), do.ORACLE_TIME_WEIGHTED_AVG)
+
+
+@pytest.mark.parametrize("dist", ["uniform", "zipf", "normal"])
+def test_kll_sketch_rank_error_bound(dist):
+    """Distributed KLL-style sketch: merged block sketches answer
+    quantiles within 5% rank error at capacity 192 (measured ~2%
+    worst-case on these distributions)."""
+    import numpy as np
+
+    from whakoom_webscrapper_ray.pipelines.text import (_kll_build,
+                                                        _kll_merge,
+                                                        _kll_quantile)
+
+    rng = np.random.default_rng(7)
+    if dist == "uniform":
+        data = rng.integers(0, 10_000, 100_000)
+    elif dist == "zipf":
+        data = rng.zipf(1.5, 100_000).astype("int64")
+    else:
+        data = np.abs(rng.normal(500, 100, 100_000)).astype("int64")
+    sk = None
+    for chunk in np.array_split(data, 16):
+        s = _kll_build(chunk.astype("int64"))
+        sk = s if sk is None else _kll_merge(sk, s)
+    srt = np.sort(data)
+    n = data.size
+    for pct in (50, 90, 99):
+        est = _kll_quantile(sk, pct)
+        true_rank = np.searchsorted(srt, est, side="right")
+        target = -(-pct * n // 100)
+        assert abs(true_rank - target) / n <= 0.05
+
+
+def test_kll_matches_exact_on_fixture(ray_session):
+    """On the sf0.001 fixture the sketch's percentiles land within the
+    exact companion's neighborhood (domain is small ints, so they are
+    typically equal)."""
+    from whakoom_webscrapper_ray.pipelines.text import (
+        kll_token_quantiles,
+        token_quantiles,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = token_quantiles(sf).to_pandas().set_index("pct")["value"]
+    est = kll_token_quantiles(sf).to_pandas().set_index("pct")["value"]
+    for pct in exact.index:
+        assert abs(int(est.loc[pct]) - int(exact.loc[pct])) <= max(
+            2, int(0.1 * exact.loc[pct]))

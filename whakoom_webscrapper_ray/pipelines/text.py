@@ -2336,3 +2336,142 @@ SELECT w1, w2, n_xy,
 FROM bc JOIN uc x ON bc.w1 = x.term JOIN uc y ON bc.w2 = y.term
 ORDER BY score DESC, w1, w2 LIMIT {k}
 """
+
+
+# ------------------------------------------- KLL-style quantile sketch
+_KLL_CAP = 192          # per-level compactor capacity
+
+
+def _kll_build(vals: np.ndarray, cap: int = _KLL_CAP
+               ) -> list[np.ndarray]:
+    """Build a deterministic KLL-style sketch of int64 values.
+
+    Levels hold sorted arrays; level L's items each stand for 2^L
+    inputs.  A level over capacity SORTS and keeps alternate elements
+    (offset alternates by compaction parity — the deterministic stand-
+    in for KLL's coin flip, chosen so repeated runs and resumes agree
+    bit for bit), promoting the survivors one level up.  State is
+    O(cap · log(n/cap)) regardless of input size.
+    """
+    levels: list[np.ndarray] = [np.sort(vals.astype(np.int64))]
+    parity = 0
+    lv = 0
+    while lv < len(levels):
+        if levels[lv].size > cap:
+            arr = np.sort(levels[lv])
+            keep = arr[parity::2]
+            parity ^= 1
+            levels[lv] = np.empty(0, np.int64)
+            if lv + 1 == len(levels):
+                levels.append(np.empty(0, np.int64))
+            levels[lv + 1] = np.sort(
+                np.concatenate([levels[lv + 1], keep]))
+        lv += 1
+    return levels
+
+
+def _kll_merge(a: list[np.ndarray], b: list[np.ndarray],
+               cap: int = _KLL_CAP) -> list[np.ndarray]:
+    """Merge two sketches level-wise, then re-compact (mergeable —
+    the property that makes the sketch distributable)."""
+    out: list[np.ndarray] = []
+    for lv in range(max(len(a), len(b))):
+        xs = a[lv] if lv < len(a) else np.empty(0, np.int64)
+        ys = b[lv] if lv < len(b) else np.empty(0, np.int64)
+        out.append(np.sort(np.concatenate([xs, ys])))
+    parity = 0
+    lv = 0
+    while lv < len(out):
+        if out[lv].size > cap:
+            arr = out[lv]
+            keep = arr[parity::2]
+            parity ^= 1
+            out[lv] = np.empty(0, np.int64)
+            if lv + 1 == len(out):
+                out.append(np.empty(0, np.int64))
+            out[lv + 1] = np.sort(np.concatenate([out[lv + 1], keep]))
+        lv += 1
+    return out
+
+
+def _kll_quantile(levels: list[np.ndarray], pct: int) -> int:
+    """ceil(pct/100 · N)-th smallest, estimated from weighted items."""
+    vals = np.concatenate([l for l in levels if l.size]
+                          ) if any(l.size for l in levels) else (
+        np.empty(0, np.int64))
+    if vals.size == 0:
+        return 0
+    wts = np.concatenate([
+        np.full(l.size, 1 << lv, np.int64)
+        for lv, l in enumerate(levels) if l.size
+    ])
+    order = np.argsort(vals, kind="stable")
+    vals, wts = vals[order], wts[order]
+    cum = np.cumsum(wts)
+    n = int(cum[-1])
+    target = -(-pct * n // 100)
+    return int(vals[np.searchsorted(cum, target)])
+
+
+def _kll_to_table(levels: list[np.ndarray]) -> pa.Table:
+    lv = np.concatenate([
+        np.full(l.size, i, np.int64) for i, l in enumerate(levels)
+    ]) if levels else np.empty(0, np.int64)
+    v = (np.concatenate([l for l in levels])
+         if levels else np.empty(0, np.int64))
+    return pa.table({"lv": pa.array(lv, pa.int64()),
+                     "v": pa.array(v, pa.int64())})
+
+
+def _kll_from_table(t: pa.Table) -> list[np.ndarray]:
+    lv = t["lv"].to_numpy(zero_copy_only=False)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    if lv.size == 0:
+        return [np.empty(0, np.int64)]
+    out = []
+    for i in range(int(lv.max()) + 1):
+        out.append(np.sort(v[lv == i]).astype(np.int64))
+    return out
+
+
+def kll_token_quantiles(sf_dir: str,
+                        cap: int = _KLL_CAP) -> ray.data.Dataset:
+    """(pct, value): token-count percentiles from a BOUNDED-STATE
+    mergeable quantile sketch — the streaming path for the question
+    ``token_quantiles`` answers exactly.
+
+    Why it exists at 100 TB: the exact path's state is the distinct-
+    value histogram — bounded for token counts but corpus-sized for a
+    continuous domain; the sketch never holds more than
+    O(cap·log(n/cap)) items per block no matter the domain.  Each
+    block builds a sketch map-side, sketches gather (they are tiny —
+    the repartition moves sketch state, never corpus rows) and merge
+    level-wise.  Approximate BY DESIGN, so no SQL oracle: the exact
+    companion is ``token_quantiles`` and the KLL rank-error bound is
+    property-tested (tests/test_new_ops_edge_cases.py).
+    """
+    def block_sketch(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        n_tok = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return _kll_to_table(_kll_build(n_tok, cap))
+
+    def merge_final(g: pa.Table) -> pa.Table:
+        levels = _kll_from_table(g)
+        # re-compaction inside merge keeps the invariant; the single
+        # gathered table is itself a valid (possibly over-capacity)
+        # sketch, so one more build pass normalizes it
+        levels = _kll_merge(levels, [np.empty(0, np.int64)], cap)
+        out_p, out_v = [], []
+        for pct in _QUANTILE_PCTS:
+            out_p.append(pct)
+            out_v.append(_kll_quantile(levels, pct))
+        return pa.table({"pct": pa.array(out_p, pa.int64()),
+                         "value": pa.array(out_v, pa.int64())})
+
+    return (
+        read(sf_dir, "documents", columns=["text"])
+        .map_batches(block_sketch, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge_final, batch_format="pyarrow")
+    )
