@@ -3540,6 +3540,12 @@ def fuzzy_name_pairs(sf_dir: str, parts: int = 64) -> ray.data.Dataset:
     Duplicate discoveries (a run of equal chars deletes to the same
     variant at several positions) collapse inside the bucket's
     partition — never a second exchange.
+
+    Input assumption: names are short identifiers (the variant stage
+    runs one vectorized Arrow pass per character position up to the
+    block's LONGEST name, so a pathological megabyte-long outlier
+    would serialize that block; key columns of that shape belong in
+    the n-gram/LSH family instead).
     """
     from whakoom_webscrapper_ray.pipelines.dedup import _allpairs_contig
     from whakoom_webscrapper_ray.pipelines.text import token_hashes
