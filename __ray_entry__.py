@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": _ann.embedding_centroids,
         "graph_bfs_hops": _do.graph_bfs_hops,
         "kll_token_quantiles": _tx.kll_token_quantiles,
+        "lang_term_topk": _tx.lang_term_topk,
         "top_customers": _do.top_customers,
         "junction_min_position": _do.junction_min_position,
         "events_hourly": _do.events_hourly,
@@ -447,6 +448,7 @@ def oracle_sql() -> dict[str, str]:
         "event_path_topk": _do.ORACLE_EVENT_PATH_TOPK,
         "embedding_centroids": _ann.ORACLE_EMBEDDING_CENTROIDS,
         "graph_bfs_hops": _do.ORACLE_GRAPH_BFS_HOPS,
+        "lang_term_topk": _tx.lang_term_topk_oracle_sql(),
         "duplicate_ngram_coverage": (
             _tx.duplicate_ngram_coverage_oracle_sql()
         ),

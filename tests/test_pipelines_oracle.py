@@ -83,6 +83,7 @@ QUERIES = [
     "event_path_topk",                          # sequential trigram mining
     "embedding_centroids",                      # quantized class prototypes
     "graph_bfs_hops",                           # iterative frontier BFS
+    "lang_term_topk",                           # grouped heavy hitters
 ]
 
 

@@ -2475,3 +2475,128 @@ def kll_token_quantiles(sf_dir: str,
         .repartition(1)
         .map_batches(merge_final, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------- grouped heavy hitters
+_LANG_TERM_K = 5
+
+
+def lang_term_topk(sf_dir: str, k: int = _LANG_TERM_K,
+                   parts: int = 64) -> ray.data.Dataset:
+    """(lang, term, n, rank): each language's k most frequent
+    non-stopword tokens — GROUPED heavy hitters, the per-stratum
+    variant of ``term_counts_topk`` (vocabulary reports per language /
+    domain / source are the training-mix debugging staple).
+
+    Scale shape: per-block Arrow group-by partials on the composite
+    (lang, term) key, ONE exchange routed by the composite hash (both
+    columns hash, so one language's vocabulary spreads over many
+    partitions — a hot language cannot pin a worker), vectorized
+    per-partition merge, per-partition per-lang top-k survivors, and a
+    final per-lang merge over ≤ k·parts rows.  Ranks are assigned at
+    the final merge (count DESC, term ASC — deterministic both sides).
+    """
+    stop = pa.array(STOPWORDS, pa.string())
+    sep = "\x1f"
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        parent = pc.list_parent_indices(words)
+        flat = pc.list_flatten(words)
+        keep = pc.invert(pc.is_in(flat, value_set=stop))
+        flat = flat.filter(keep)
+        langs = b["lang"].take(parent).filter(keep)
+        g = pa.TableGroupBy(
+            pa.table({"lang": langs, "term": flat}), ["lang", "term"]
+        ).aggregate([([], "count_all")])
+        h = token_hashes(
+            pc.binary_join_element_wise(
+                g["lang"], g["term"], sep
+            ).to_numpy(zero_copy_only=False))
+        return pa.table({
+            "lang": g["lang"], "term": g["term"],
+            "n_p": g["count_all"],
+            "part": pa.array((h % np.uint64(parts)).astype(np.int64)),
+        })
+
+    def reduce_part(g: pa.Table) -> pa.Table:
+        empty = pa.table({"lang": pa.array([], pa.string()),
+                          "term": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        t = pa.TableGroupBy(g.select(["lang", "term", "n_p"]),
+                            ["lang", "term"]).aggregate([("n_p", "sum")])
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        term = t["term"].to_numpy(zero_copy_only=False)
+        n = t["n_p_sum"].to_numpy(zero_copy_only=False)
+        # per-lang top-k survivors: sort (lang, -n, term), keep rank<k
+        order = np.lexsort((term, -n, lang))
+        lang, term, n = lang[order], term[order], n[order]
+        first = np.ones(lang.size, dtype=bool)
+        first[1:] = lang[1:] != lang[:-1]
+        gid = np.cumsum(first) - 1
+        starts = np.flatnonzero(first)
+        rank = np.arange(lang.size) - starts[gid]
+        keep = rank < k
+        return pa.table({
+            "lang": pa.array(lang[keep], pa.string()),
+            "term": pa.array(term[keep], pa.string()),
+            "n": pa.array(n[keep], pa.int64()),
+        })
+
+    def final_merge(b: pa.Table) -> pa.Table:
+        empty = pa.table({"lang": pa.array([], pa.string()),
+                          "term": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        lang = b["lang"].to_numpy(zero_copy_only=False)
+        term = b["term"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((term, -n, lang))
+        lang, term, n = lang[order], term[order], n[order]
+        first = np.ones(lang.size, dtype=bool)
+        first[1:] = lang[1:] != lang[:-1]
+        gid = np.cumsum(first) - 1
+        starts = np.flatnonzero(first)
+        rank = np.arange(lang.size) - starts[gid]
+        keep = rank < k
+        return pa.table({
+            "lang": pa.array(lang[keep], pa.string()),
+            "term": pa.array(term[keep], pa.string()),
+            "n": pa.array(n[keep], pa.int64()),
+            "rank": pa.array(rank[keep] + 1, pa.int64()),
+        })
+
+    return (
+        read(sf_dir, "documents", columns=["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(reduce_part, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final_merge, batch_format="pyarrow")
+    )
+
+
+def lang_term_topk_oracle_sql(k: int = _LANG_TERM_K) -> str:
+    return f"""
+WITH t AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+),
+c AS (
+  SELECT lang, term, count(*) AS n FROM t
+  WHERE NOT list_contains({list(STOPWORDS)}, term)
+  GROUP BY lang, term
+),
+r AS (
+  SELECT lang, term, n,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n DESC, term ASC) AS rank
+  FROM c
+)
+SELECT lang, term, n, rank FROM r WHERE rank <= {k}
+"""
