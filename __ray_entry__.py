@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_bfs_hops": _do.graph_bfs_hops,
         "kll_token_quantiles": _tx.kll_token_quantiles,
         "lang_term_topk": _tx.lang_term_topk,
+        "dedup_report": _cu.dedup_report,
         "top_customers": _do.top_customers,
         "junction_min_position": _do.junction_min_position,
         "events_hourly": _do.events_hourly,
@@ -449,6 +450,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroids": _ann.ORACLE_EMBEDDING_CENTROIDS,
         "graph_bfs_hops": _do.ORACLE_GRAPH_BFS_HOPS,
         "lang_term_topk": _tx.lang_term_topk_oracle_sql(),
+        "dedup_report": _cu.ORACLE_DEDUP_REPORT,
         "duplicate_ngram_coverage": (
             _tx.duplicate_ngram_coverage_oracle_sql()
         ),

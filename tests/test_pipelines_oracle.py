@@ -84,6 +84,7 @@ QUERIES = [
     "embedding_centroids",                      # quantized class prototypes
     "graph_bfs_hops",                           # iterative frontier BFS
     "lang_term_topk",                           # grouped heavy hitters
+    "dedup_report",                             # per-source dedup impact
 ]
 
 

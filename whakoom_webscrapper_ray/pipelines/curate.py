@@ -1342,3 +1342,80 @@ FROM {final} m JOIN documents d ON m.doc_id = d.doc_id
 ORDER BY m.h // CAST(greatest(d.n_chars, 1) AS UBIGINT), m.doc_id
 LIMIT {k}
 """
+
+
+def dedup_report(sf_dir: str, parts: int = 32) -> ray.data.Dataset:
+    """(source, n_docs, n_removed, removed_per_million): what the
+    near-dup pass would delete from each source — the dedup-impact
+    telemetry a curation run reports before anyone commits to the
+    pruned corpus.
+
+    Composition: :func:`dedup_clusters` labels every document; a doc
+    is REMOVED iff it is not its own cluster representative
+    (cluster_id != doc_id).  Labels co-partition-join back onto the
+    (doc_id, source) projection — doc→source is corpus-sized, so this
+    is never a broadcast — and per-source counts ride the two-phase
+    combiner.
+    """
+    from .common import copartition_join, read, two_phase_agg
+
+    labels = dedup_clusters(sf_dir)
+    docs = read(sf_dir, "documents", columns=["doc_id", "source"])
+    joined = copartition_join(
+        labels, docs, on="doc_id", parts=parts,
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("cluster_id", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("source", pa.string())]),
+    )
+
+    def flag(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        c = b["cluster_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": b["source"],
+            "one": pa.array(np.ones(d.size, np.int64), pa.int64()),
+            "rem": pa.array((d != c).astype(np.int64), pa.int64()),
+        })
+
+    agg = two_phase_agg(
+        joined.map_batches(flag, batch_format="pyarrow"),
+        ["source"], sums={"one": "n_docs", "rem": "n_removed"},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        nd = b["n_docs"].to_numpy(zero_copy_only=False)
+        nr = b["n_removed"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": b["source"],
+            "n_docs": b["n_docs"],
+            "n_removed": b["n_removed"],
+            "removed_per_million": pa.array(
+                nr * 1_000_000 // nd, pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_DEDUP_REPORT = f"""
+WITH RECURSIVE {JACCARD_CTES},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM jpairs WHERE j >= 0.8
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM jpairs WHERE j >= 0.8
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.doc_id, e.v FROM reach JOIN edges e ON e.u = reach.r
+),
+labels AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN l.cluster_id <> l.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN l.cluster_id <> l.doc_id THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS removed_per_million
+FROM labels l JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
