@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kll_token_quantiles": _tx.kll_token_quantiles,
         "lang_term_topk": _tx.lang_term_topk,
         "dedup_report": _cu.dedup_report,
+        "order_gaps": _do.order_gaps,
         "top_customers": _do.top_customers,
         "junction_min_position": _do.junction_min_position,
         "events_hourly": _do.events_hourly,
@@ -451,6 +452,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_bfs_hops": _do.ORACLE_GRAPH_BFS_HOPS,
         "lang_term_topk": _tx.lang_term_topk_oracle_sql(),
         "dedup_report": _cu.ORACLE_DEDUP_REPORT,
+        "order_gaps": _do.ORACLE_ORDER_GAPS,
         "duplicate_ngram_coverage": (
             _tx.duplicate_ngram_coverage_oracle_sql()
         ),

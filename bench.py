@@ -72,7 +72,7 @@ BENCH_QUERIES = [
     "bigram_assoc", "chunk_dedup_ratio", "weighted_sample",
     "copurchase_components", "fuzzy_name_pairs", "state_history",
     "event_path_topk", "embedding_centroids", "graph_bfs_hops",
-    "kll_token_quantiles", "lang_term_topk", "dedup_report",
+    "kll_token_quantiles", "lang_term_topk", "dedup_report", "order_gaps",
 ]
 
 

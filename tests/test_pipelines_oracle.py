@@ -85,6 +85,7 @@ QUERIES = [
     "graph_bfs_hops",                           # iterative frontier BFS
     "lang_term_topk",                           # grouped heavy hitters
     "dedup_report",                             # per-source dedup impact
+    "order_gaps",                               # inter-purchase cadence
 ]
 
 

@@ -4033,3 +4033,97 @@ walk(node, hops) AS (
 SELECT node AS part, CAST(min(hops) AS BIGINT) AS hops
 FROM walk GROUP BY node
 """
+
+
+# ------------------------------------------------- inter-order gaps
+def order_gaps(sf_dir: str, parts: int = 64) -> ray.data.Dataset:
+    """(o_custkey, n_orders, total_gap_days, avg_gap_days,
+    max_gap_days): per-customer inter-purchase intervals — the
+    repeat-purchase cadence report (churn/retention feature
+    engineering).  Customers with one order have no interval and are
+    excluded, keeping every column null-free.
+
+    Scale shape: the standard ONE-exchange per-entity layout — orders
+    hash-partition by customer, one lexsort per partition orders every
+    customer's history, gaps fall out of one segmented diff.  Days are
+    exact integers (timestamp diff // 86_400_000_000 μs, mirrored in
+    the oracle), so sums, trunc-averages and maxes hash-compare.
+    """
+    from whakoom_webscrapper_ray.pipelines.text import mix64
+
+    orders = read(sf_dir, "orders",
+                  columns=["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        u = b["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cust": b["o_custkey"],
+            "t_us": pc.cast(b["o_orderdate"], pa.int64()),
+            "okey": b["o_orderkey"],
+            "part": pa.array(
+                (mix64(u.view(np.uint64)) % np.uint64(parts)).astype(
+                    np.int64)),
+        })
+
+    out_schema = pa.schema([
+        ("o_custkey", pa.int64()), ("n_orders", pa.int64()),
+        ("total_gap_days", pa.int64()), ("avg_gap_days", pa.int64()),
+        ("max_gap_days", pa.int64()),
+    ])
+
+    def gaps(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        u = g["cust"].to_numpy(zero_copy_only=False)
+        t = g["t_us"].to_numpy(zero_copy_only=False)
+        o = g["okey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((o, t, u))
+        u, t = u[order], t[order]
+        same = np.zeros(u.size, dtype=bool)
+        if u.size > 1:
+            same[:-1] = u[1:] == u[:-1]
+        if not same.any():
+            return out_schema.empty_table()
+        gap_d = np.zeros(u.size, dtype=np.int64)
+        gap_d[:-1] = (t[1:] - t[:-1]) // 86_400_000_000
+        uk, inv = np.unique(u, return_inverse=True)
+        n = np.zeros(uk.size, dtype=np.int64)
+        tot = np.zeros(uk.size, dtype=np.int64)
+        mx = np.zeros(uk.size, dtype=np.int64)
+        np.add.at(n, inv[same], 1)
+        np.add.at(tot, inv[same], gap_d[same])
+        np.maximum.at(mx, inv[same], gap_d[same])
+        keep = n > 0
+        return pa.table({
+            "o_custkey": pa.array(uk[keep], pa.int64()),
+            "n_orders": pa.array(n[keep] + 1, pa.int64()),
+            "total_gap_days": pa.array(tot[keep], pa.int64()),
+            "avg_gap_days": pa.array(tot[keep] // n[keep], pa.int64()),
+            "max_gap_days": pa.array(mx[keep], pa.int64()),
+        })
+
+    return (
+        orders.map_batches(keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(gaps, batch_format="pyarrow")
+    )
+
+
+ORACLE_ORDER_GAPS = """
+WITH o AS (
+  SELECT o_custkey, epoch_us(o_orderdate) AS t,
+         lead(epoch_us(o_orderdate)) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS nxt
+  FROM orders
+), iv AS (
+  SELECT o_custkey, (nxt - t) // 86400000000 AS gap_d
+  FROM o WHERE nxt IS NOT NULL
+)
+SELECT o_custkey,
+       count(*) + 1 AS n_orders,
+       CAST(sum(gap_d) AS BIGINT) AS total_gap_days,
+       CAST(sum(gap_d) // count(*) AS BIGINT) AS avg_gap_days,
+       CAST(max(gap_d) AS BIGINT) AS max_gap_days
+FROM iv GROUP BY o_custkey
+"""
