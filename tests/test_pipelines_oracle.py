@@ -86,6 +86,7 @@ QUERIES = [
     "lang_term_topk",                           # grouped heavy hitters
     "dedup_report",                             # per-source dedup impact
     "order_gaps",                               # inter-purchase cadence
+    "ship_window_join",                         # non-equi date range join
 ]
 
 

@@ -4127,3 +4127,131 @@ SELECT o_custkey,
        CAST(max(gap_d) AS BIGINT) AS max_gap_days
 FROM iv GROUP BY o_custkey
 """
+
+
+# --------------------------------------------------- range (band) join
+def ship_window_join(sf_dir: str, window_days: int = 7,
+                     parts: int = 64) -> ray.data.Dataset:
+    """(o_orderkey, o_orderdate, n_items, revenue_cents): for every
+    order, the count and revenue of ALL lineitems (any order's) shipped
+    inside ``[o_orderdate, o_orderdate + window_days)`` — a pure
+    non-equi RANGE JOIN on the date axis (demand experienced in the
+    week following each order's placement).
+
+    Ray Data has no range join; the scale shape is the classic band
+    join: both sides key by a coarse date BUCKET at least as wide as
+    the window, so every order's window overlaps at most 2 buckets —
+    orders flat-map to the 1–2 covering buckets, ONE shuffle co-locates
+    each bucket, and a per-bucket vectorized sweep (sorted ship dates +
+    prefix sums, two searchsorted per order batch) replaces the O(n·m)
+    nested loop.  Per-order partials from the ≤2 buckets then merge in
+    the engine's coarse-hash aggregate.  No broadcast side: both inputs
+    stream, the exchange moves each row exactly once (orders twice at
+    worst), and skew is bounded by rows-per-16-days, which at 100 TB is
+    handled by raising ``parts`` / narrowing the bucket to the window
+    width.  Oracle: the equivalent LEFT JOIN ON range predicate.
+    """
+    from .common import hash_keyed_agg
+
+    w_us = window_days * 86_400_000_000
+    bucket_us = 16 * 86_400_000_000
+    assert w_us <= bucket_us
+
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    items = read(sf_dir, "lineitem",
+                 columns=["l_shipdate", "l_extendedprice"])
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        t0 = pc.cast(b["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        b0 = t0 // bucket_us
+        b1 = (t0 + w_us - 1) // bucket_us
+        two = b1 != b0
+        okey = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(np.concatenate([b0, b1[two]]), pa.int64()),
+            "okey": pa.array(np.concatenate([okey, okey[two]]),
+                             pa.int64()),
+            "t": pa.array(np.concatenate([t0, t0[two]]), pa.int64()),
+            "cents": pa.array(
+                np.zeros(t0.size + int(two.sum()), np.int64), pa.int64()),
+            "side": pa.array(
+                np.zeros(t0.size + int(two.sum()), np.int8), pa.int8()),
+        })
+
+    def tag_items(b: pa.Table) -> pa.Table:
+        t = pc.cast(b["l_shipdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(t // bucket_us, pa.int64()),
+            "okey": pa.array(np.full(t.size, -1, np.int64), pa.int64()),
+            "t": pa.array(t, pa.int64()),
+            "cents": _floor_cents(b["l_extendedprice"]),
+            "side": pa.array(np.ones(t.size, np.int8), pa.int8()),
+        })
+
+    both = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        items.map_batches(tag_items, batch_format="pyarrow"))
+
+    partial_schema = pa.schema([
+        ("o_orderkey", pa.int64()), ("t0", pa.int64()),
+        ("n_p", pa.int64()), ("cents_p", pa.int64()),
+    ])
+
+    def sweep(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return partial_schema.empty_table()
+        side = g["side"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        ord_mask = side == 0
+        if not ord_mask.any():
+            return partial_schema.empty_table()
+        lt = t[~ord_mask]
+        lc = g["cents"].to_numpy(zero_copy_only=False)[~ord_mask]
+        srt = np.argsort(lt, kind="stable")
+        lt = lt[srt]
+        psum = np.concatenate([[0], np.cumsum(lc[srt])])
+        t0 = t[ord_mask]
+        lo = np.searchsorted(lt, t0, side="left")
+        hi = np.searchsorted(lt, t0 + w_us, side="left")
+        return pa.table({
+            "o_orderkey": pa.array(
+                g["okey"].to_numpy(zero_copy_only=False)[ord_mask],
+                pa.int64()),
+            "t0": pa.array(t0, pa.int64()),
+            "n_p": pa.array((hi - lo).astype(np.int64), pa.int64()),
+            "cents_p": pa.array(psum[hi] - psum[lo], pa.int64()),
+        })
+
+    partials = both.groupby("bucket").map_groups(
+        sweep, batch_format="pyarrow")
+    merged = hash_keyed_agg(
+        partials, "o_orderkey",
+        sums={"n_p": "n_items", "cents_p": "revenue_cents"},
+        mins={"t0": "t_us"}, parts=parts,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_orderdate": pc.cast(
+                pc.cast(b["t_us"], pa.int64()), pa.timestamp("us")),
+            "n_items": b["n_items"],
+            "revenue_cents": b["revenue_cents"],
+        })
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_SHIP_WINDOW_JOIN = """
+SELECT o.o_orderkey, o.o_orderdate,
+       count(l.l_shipdate) AS n_items,
+       CAST(coalesce(sum(
+         CAST(floor(l.l_extendedprice * 100) AS BIGINT)), 0) AS BIGINT)
+         AS revenue_cents
+FROM orders o
+LEFT JOIN lineitem l
+  ON l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+GROUP BY 1, 2
+"""
