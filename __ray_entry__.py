@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- NEW this round (driver rows needed first)
         "ship_window_join": _do.ship_window_join,
+        "ship_disorder": _do.ship_disorder,
         "anchor_text_stats": _il.anchor_text_stats,
         "cooccurrence_topk": _tx.cooccurrence_topk,
         "distinctive_terms": _tx.distinctive_terms,
@@ -455,6 +456,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_report": _cu.ORACLE_DEDUP_REPORT,
         "order_gaps": _do.ORACLE_ORDER_GAPS,
         "ship_window_join": _do.ORACLE_SHIP_WINDOW_JOIN,
+        "ship_disorder": _do.ORACLE_SHIP_DISORDER,
         "duplicate_ngram_coverage": (
             _tx.duplicate_ngram_coverage_oracle_sql()
         ),

@@ -87,6 +87,7 @@ QUERIES = [
     "dedup_report",                             # per-source dedup impact
     "order_gaps",                               # inter-purchase cadence
     "ship_window_join",                         # non-equi date range join
+    "ship_disorder",                            # watermark-lateness profile
 ]
 
 

@@ -4255,3 +4255,115 @@ LEFT JOIN lineitem l
  AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------- stream disorder metric
+def ship_disorder(sf_dir: str, parts: int = 64) -> ray.data.Dataset:
+    """(l_orderkey, n_lines, n_late, max_late_days): per-order
+    out-of-order shipping report — scanning each order's lineitems in
+    LINE order (l_linenumber, deterministically tie-broken by
+    (l_partkey, l_suppkey), which is unique per order), a line is late
+    when its ship date precedes the running max of every earlier line;
+    ``max_late_days`` is the worst such regression.  This is the
+    watermark-lateness profile of a disordered stream (the synthetic
+    events table is ts-ordered by construction — zero disorder — so
+    the operator runs over lineitem, where ~half the lines ship out of
+    line order).
+
+    Scale shape: the standard ONE-exchange per-entity layout (lines
+    hash-partition by order key), then one vectorized pass per
+    partition — a segmented running max via rank-compressed surrogates
+    (seg·span + ts_rank, the as-of sweep's overflow-safe trick), so no
+    per-key Python loop.  All outputs are exact integer days.
+    """
+    from .text import mix64
+
+    items = read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_linenumber", "l_partkey",
+                          "l_suppkey", "l_shipdate"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        u = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": b["l_orderkey"],
+            "eid": pc.cast(b["l_linenumber"], pa.int64()),
+            "pk": pc.cast(b["l_partkey"], pa.int64()),
+            "sk": pc.cast(b["l_suppkey"], pa.int64()),
+            "t": pc.cast(b["l_shipdate"], pa.int64()),
+            "part": pa.array(
+                (mix64(u.view(np.uint64)) % np.uint64(parts)).astype(
+                    np.int64)),
+        })
+
+    out_schema = pa.schema([
+        ("l_orderkey", pa.int64()), ("n_lines", pa.int64()),
+        ("n_late", pa.int64()), ("max_late_days", pa.int64()),
+    ])
+
+    def sweep(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        u = g["u"].to_numpy(zero_copy_only=False)
+        e = g["eid"].to_numpy(zero_copy_only=False)
+        pk = g["pk"].to_numpy(zero_copy_only=False)
+        sk = g["sk"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, pk, e, u))
+        u, t = u[order], t[order]
+        newseg = np.ones(u.size, dtype=bool)
+        newseg[1:] = u[1:] != u[:-1]
+        seg = np.cumsum(newseg) - 1
+        uts = np.unique(t)
+        span = np.int64(uts.size + 1)
+        if (seg[-1] + 2) * span >= 2**63:  # pragma: no cover
+            raise AssertionError(
+                "disorder surrogate would overflow int64: raise `parts`")
+        r = np.searchsorted(uts, t).astype(np.int64)
+        surr = seg * span + r
+        runmax = np.maximum.accumulate(surr)
+        prev_rank = np.full(u.size, -1, np.int64)
+        prev_rank[1:] = runmax[:-1] - seg[1:] * span
+        prev_rank[newseg] = -1   # first line of each order
+        late = prev_rank > r
+        late_d = np.zeros(u.size, dtype=np.int64)
+        late_d[late] = (uts[prev_rank[late]] - t[late]) // 86_400_000_000
+        uk = u[newseg]
+        inv = seg
+        n = np.zeros(uk.size, dtype=np.int64)
+        nl = np.zeros(uk.size, dtype=np.int64)
+        mx = np.zeros(uk.size, dtype=np.int64)
+        np.add.at(n, inv, 1)
+        np.add.at(nl, inv[late], 1)
+        np.maximum.at(mx, inv[late], late_d[late])
+        return pa.table({
+            "l_orderkey": pa.array(uk, pa.int64()),
+            "n_lines": pa.array(n, pa.int64()),
+            "n_late": pa.array(nl, pa.int64()),
+            "max_late_days": pa.array(mx, pa.int64()),
+        })
+
+    return (
+        items.map_batches(keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sweep, batch_format="pyarrow")
+    )
+
+
+ORACLE_SHIP_DISORDER = """
+WITH w AS (
+  SELECT l_orderkey, l_shipdate,
+         max(l_shipdate) OVER (PARTITION BY l_orderkey
+                       ORDER BY l_linenumber, l_partkey, l_suppkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS prev_max
+  FROM lineitem
+)
+SELECT l_orderkey, count(*) AS n_lines,
+       CAST(coalesce(sum(CASE WHEN l_shipdate < prev_max THEN 1 END), 0)
+            AS BIGINT) AS n_late,
+       CAST(coalesce(max(CASE WHEN l_shipdate < prev_max
+                          THEN (epoch_us(prev_max) - epoch_us(l_shipdate))
+                               // 86400000000 END), 0)
+            AS BIGINT) AS max_late_days
+FROM w GROUP BY l_orderkey
+"""
