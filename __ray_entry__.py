@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- NEW this round (driver rows needed first)
         "ship_window_join": _do.ship_window_join,
         "ship_disorder": _do.ship_disorder,
+        "shipping_priority_topk": _do.shipping_priority_topk,
         "anchor_text_stats": _il.anchor_text_stats,
         "cooccurrence_topk": _tx.cooccurrence_topk,
         "distinctive_terms": _tx.distinctive_terms,
@@ -457,6 +458,7 @@ def oracle_sql() -> dict[str, str]:
         "order_gaps": _do.ORACLE_ORDER_GAPS,
         "ship_window_join": _do.ORACLE_SHIP_WINDOW_JOIN,
         "ship_disorder": _do.ORACLE_SHIP_DISORDER,
+        "shipping_priority_topk": _do.ORACLE_SHIPPING_PRIORITY,
         "duplicate_ngram_coverage": (
             _tx.duplicate_ngram_coverage_oracle_sql()
         ),

@@ -73,7 +73,7 @@ BENCH_QUERIES = [
     "copurchase_components", "fuzzy_name_pairs", "state_history",
     "event_path_topk", "embedding_centroids", "graph_bfs_hops",
     "kll_token_quantiles", "lang_term_topk", "dedup_report", "order_gaps",
-    "ship_window_join", "ship_disorder",
+    "ship_window_join", "ship_disorder", "shipping_priority_topk",
 ]
 
 

@@ -88,6 +88,7 @@ QUERIES = [
     "order_gaps",                               # inter-purchase cadence
     "ship_window_join",                         # non-equi date range join
     "ship_disorder",                            # watermark-lateness profile
+    "shipping_priority_topk",                   # Q3-shape 3-table topk
 ]
 
 

@@ -4367,3 +4367,120 @@ SELECT l_orderkey, count(*) AS n_lines,
             AS BIGINT) AS max_late_days
 FROM w GROUP BY l_orderkey
 """
+
+
+# ------------------------------------ shipping-priority top-k (Q3 shape)
+def shipping_priority_topk(sf_dir: str, segment: str = "BUILDING",
+                           cutoff: str = "1996-06-30",
+                           n: int = 10) -> ray.data.Dataset:
+    """(o_orderkey, o_orderdate, revenue_cents): the ``n`` highest-
+    value unshipped orders — orders placed by ``segment`` customers
+    BEFORE the cutoff whose revenue counts only lineitems shipped
+    AFTER it (the classic shipping-priority report: a 3-table join
+    where each side carries its own date inequality).
+
+    Scale shape: the customer dimension reduces to a qualifying-key
+    set broadcast once (``ray.put`` + ``is_in``; customers are the
+    small side of this star — at 10⁹ customers the same semi-join
+    switches co-partitioned like latest_order_before_event's).  Both
+    fact sides prune columns AND rows at the scan, meet in the
+    engine's ONE-exchange copartition_join, aggregate per order in
+    the coarse-hash merge, and the final top-n is a per-block pruning
+    combiner + one tiny merge block — no global sort of the aggregate.
+    """
+    import pyarrow.parquet as pq
+
+    from .common import copartition_join, hash_keyed_agg, table_path
+
+    cut_us = pa.scalar(np.datetime64(cutoff, "us").astype(np.int64),
+                       pa.int64())
+
+    cust = pq.read_table(table_path(sf_dir, "customer"),
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = cust.filter(
+        pc.equal(cust["c_mktsegment"], segment))["c_custkey"]
+    key_ref = ray.put(pc.cast(keys.combine_chunks(), pa.int64()))
+
+    def order_side(b: pa.Table, ks=None) -> pa.Table:
+        ks = deref(ks)
+        t = pc.cast(b["o_orderdate"], pa.int64())
+        b = b.append_column("t_us", t).filter(
+            pc.and_(pc.less(t, cut_us),
+                    pc.is_in(pc.cast(b["o_custkey"], pa.int64()),
+                             value_set=ks)))
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "t_us": b["t_us"]})
+
+    orders = read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(order_side, fn_kwargs={"ks": key_ref},
+                  batch_format="pyarrow")
+
+    def line_side(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(pc.cast(b["l_shipdate"], pa.int64()),
+                                cut_us))
+        rev = pc.cast(pc.floor(pc.multiply(pc.multiply(
+            b["l_extendedprice"], pc.subtract(
+                pa.scalar(1.0), b["l_discount"])), 100.0)), pa.int64())
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "rev_cents": rev})
+
+    line = read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    ).map_batches(line_side, batch_format="pyarrow")
+
+    joined = copartition_join(
+        line, orders, on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("rev_cents", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("t_us", pa.int64())]),
+    )
+
+    agg = hash_keyed_agg(joined, "l_orderkey",
+                         sums={"rev_cents": "revenue_cents"},
+                         mins={"t_us": "t_us"})
+
+    def local_top(b: pa.Table) -> pa.Table:
+        if b.num_rows <= n:
+            return b
+        rev = b["revenue_cents"].to_numpy(zero_copy_only=False)
+        okey = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, -rev))[:n]
+        return b.take(pa.array(np.sort(order), pa.int64()))
+
+    top = (
+        agg.map_batches(local_top, batch_format="pyarrow")
+        .repartition(1)
+        .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
+        .limit(n)
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["l_orderkey"],
+            "o_orderdate": pc.cast(
+                pc.cast(b["t_us"], pa.int64()), pa.timestamp("us")),
+            "revenue_cents": b["revenue_cents"],
+        })
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_SHIPPING_PRIORITY = """
+SELECT l_orderkey AS o_orderkey, o_orderdate,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1996-06-30'
+  AND l_shipdate > TIMESTAMP '1996-06-30'
+GROUP BY 1, 2
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT 10
+"""
