@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_window_join": _do.ship_window_join,
         "ship_disorder": _do.ship_disorder,
         "shipping_priority_topk": _do.shipping_priority_topk,
+        "cluster_best_doc": _cu.cluster_best_doc,
         "anchor_text_stats": _il.anchor_text_stats,
         "cooccurrence_topk": _tx.cooccurrence_topk,
         "distinctive_terms": _tx.distinctive_terms,
@@ -459,6 +460,7 @@ def oracle_sql() -> dict[str, str]:
         "ship_window_join": _do.ORACLE_SHIP_WINDOW_JOIN,
         "ship_disorder": _do.ORACLE_SHIP_DISORDER,
         "shipping_priority_topk": _do.ORACLE_SHIPPING_PRIORITY,
+        "cluster_best_doc": _cu.ORACLE_CLUSTER_BEST_DOC,
         "duplicate_ngram_coverage": (
             _tx.duplicate_ngram_coverage_oracle_sql()
         ),

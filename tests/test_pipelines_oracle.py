@@ -89,6 +89,7 @@ QUERIES = [
     "ship_window_join",                         # non-equi date range join
     "ship_disorder",                            # watermark-lateness profile
     "shipping_priority_topk",                   # Q3-shape 3-table topk
+    "cluster_best_doc",                         # keep-longest per cluster
 ]
 
 

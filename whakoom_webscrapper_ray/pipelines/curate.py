@@ -1419,3 +1419,116 @@ SELECT d.source,
 FROM labels l JOIN documents d USING (doc_id)
 GROUP BY d.source
 """
+
+
+# ------------------------------------------- representative selection
+def cluster_best_doc(sf_dir: str, parts: int = 64) -> ray.data.Dataset:
+    """(cluster_id, best_doc_id, best_n_tokens, n_members): quality-
+    aware canonical selection — for every near-dup cluster keep the
+    LONGEST member (token count, ties to the smallest doc_id), the
+    curation policy that prefers the most complete copy of duplicated
+    content over the arbitrary min-id representative corpus_dedup
+    keeps.
+
+    Scale shape: cluster labels come from the distributed CC engine,
+    token counts from a single-pass map over documents; the two meet
+    in the engine's ONE-exchange copartition_join on doc_id, and the
+    per-cluster argmax is one lexsort per hash partition keyed by
+    cluster — never a driver-side collection, never a broadcast of
+    the label table (at 100 TB a third of the corpus can be cluster
+    members).
+    """
+    from .text import mix64
+
+    labels = dedup_clusters(sf_dir)
+
+    def tok_count(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "n_tokens": pc.cast(pc.list_value_length(words), pa.int64()),
+        })
+
+    toks = read(sf_dir, "documents",
+                columns=["doc_id", "text"]).map_batches(
+        tok_count, batch_format="pyarrow")
+
+    from .common import copartition_join
+
+    joined = copartition_join(
+        labels, toks, on="doc_id",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("cluster_id", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("n_tokens", pa.int64())]),
+    )
+
+    def keyed(b: pa.Table) -> pa.Table:
+        c = b["cluster_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("part", pa.array(
+            (mix64(c.view(np.uint64)) % np.uint64(parts)).astype(
+                np.int64)))
+
+    out_schema = pa.schema([
+        ("cluster_id", pa.int64()), ("best_doc_id", pa.int64()),
+        ("best_n_tokens", pa.int64()), ("n_members", pa.int64()),
+    ])
+
+    def best(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        c = g["cluster_id"].to_numpy(zero_copy_only=False)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        t = g["n_tokens"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, -t, c))
+        c, d, t = c[order], d[order], t[order]
+        first = np.ones(c.size, dtype=bool)
+        first[1:] = c[1:] != c[:-1]
+        n = np.zeros(int(first.sum()), dtype=np.int64)
+        np.add.at(n, np.cumsum(first) - 1, 1)
+        return pa.table({
+            "cluster_id": pa.array(c[first], pa.int64()),
+            "best_doc_id": pa.array(d[first], pa.int64()),
+            "best_n_tokens": pa.array(t[first], pa.int64()),
+            "n_members": pa.array(n, pa.int64()),
+        })
+
+    return (
+        joined.map_batches(keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(best, batch_format="pyarrow")
+    )
+
+
+ORACLE_CLUSTER_BEST_DOC = f"""
+WITH RECURSIVE {JACCARD_CTES},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM jpairs WHERE j >= 0.8
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM jpairs WHERE j >= 0.8
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.doc_id, e.v FROM reach JOIN edges e ON e.u = reach.r
+),
+labels AS (
+  SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+),
+tok AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+         AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT l.cluster_id, l.doc_id, t.n_tokens,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY t.n_tokens DESC, l.doc_id)
+           AS rn,
+         count(*) OVER (PARTITION BY l.cluster_id) AS n_members
+  FROM labels l JOIN tok t USING (doc_id)
+)
+SELECT cluster_id, doc_id AS best_doc_id,
+       n_tokens AS best_n_tokens, n_members
+FROM ranked WHERE rn = 1
+"""
