@@ -178,6 +178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_disorder": _do.ship_disorder,
         "shipping_priority_topk": _do.shipping_priority_topk,
         "cluster_best_doc": _cu.cluster_best_doc,
+        "promo_share_monthly": _do.promo_share_monthly,
+        "doc_chunks": _tx.doc_chunks,
         "anchor_text_stats": _il.anchor_text_stats,
         "cooccurrence_topk": _tx.cooccurrence_topk,
         "distinctive_terms": _tx.distinctive_terms,
@@ -461,6 +463,8 @@ def oracle_sql() -> dict[str, str]:
         "ship_disorder": _do.ORACLE_SHIP_DISORDER,
         "shipping_priority_topk": _do.ORACLE_SHIPPING_PRIORITY,
         "cluster_best_doc": _cu.ORACLE_CLUSTER_BEST_DOC,
+        "promo_share_monthly": _do.ORACLE_PROMO_SHARE,
+        "doc_chunks": _tx.doc_chunks_oracle_sql(),
         "duplicate_ngram_coverage": (
             _tx.duplicate_ngram_coverage_oracle_sql()
         ),

@@ -74,7 +74,7 @@ BENCH_QUERIES = [
     "event_path_topk", "embedding_centroids", "graph_bfs_hops",
     "kll_token_quantiles", "lang_term_topk", "dedup_report", "order_gaps",
     "ship_window_join", "ship_disorder", "shipping_priority_topk",
-    "cluster_best_doc",
+    "cluster_best_doc", "promo_share_monthly", "doc_chunks",
 ]
 
 

@@ -90,6 +90,8 @@ QUERIES = [
     "ship_disorder",                            # watermark-lateness profile
     "shipping_priority_topk",                   # Q3-shape 3-table topk
     "cluster_best_doc",                         # keep-longest per cluster
+    "promo_share_monthly",                      # flag-join conditional agg
+    "doc_chunks",                               # overlapping token windows
 ]
 
 

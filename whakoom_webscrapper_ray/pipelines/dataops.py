@@ -4484,3 +4484,67 @@ GROUP BY 1, 2
 ORDER BY revenue_cents DESC, l_orderkey
 LIMIT 10
 """
+
+
+# --------------------------------------- promo revenue share (Q14 shape)
+def promo_share_monthly(sf_dir: str) -> ray.data.Dataset:
+    """(month, promo_cents, total_cents): per ship-month, revenue from
+    PROMO-type parts vs all revenue — the promotion-effect report (a
+    fact⋈dimension join where the join's only purpose is a boolean
+    flag).  Reported as the two exact integer numerators, not the
+    float ratio, so sums stay order-independent and hash-comparable.
+
+    Scale shape: the part dimension collapses to ONE bit per key —
+    broadcast the promo key set once (``ray.put`` + ``is_in``) instead
+    of shuffling lineitem against part (the J5 broadcast-small-side
+    call; were the dimension to outgrow a broadcast, the same flag
+    rides the engine's copartition_join).  Then a single map computes
+    flagged cents and the low-cardinality month aggregate is the
+    map-side-partial two_phase_agg.
+    """
+    import pyarrow.parquet as pq
+
+    from .common import table_path
+
+    part = pq.read_table(table_path(sf_dir, "part"),
+                         columns=["p_partkey", "p_type"])
+    promo = part.filter(pc.equal(part["p_type"], "PROMO"))["p_partkey"]
+    promo_ref = ray.put(pc.cast(promo.combine_chunks(), pa.int64()))
+
+    def project(b: pa.Table, pk=None) -> pa.Table:
+        pk = deref(pk)
+        rev = pc.cast(pc.floor(pc.multiply(pc.multiply(
+            b["l_extendedprice"], pc.subtract(
+                pa.scalar(1.0), b["l_discount"])), 100.0)), pa.int64())
+        is_promo = pc.is_in(pc.cast(b["l_partkey"], pa.int64()),
+                            value_set=pk)
+        return pa.table({
+            "month": pc.strftime(b["l_shipdate"], format="%Y-%m"),
+            "promo_cents": pc.if_else(is_promo, rev,
+                                      pa.scalar(0, pa.int64())),
+            "total_cents": rev,
+        })
+
+    items = read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    ).map_batches(project, fn_kwargs={"pk": promo_ref},
+                  batch_format="pyarrow")
+
+    return two_phase_agg(items, ["month"],
+                         sums={"promo_cents": "promo_cents",
+                               "total_cents": "total_cents"})
+
+
+ORACLE_PROMO_SHARE = """
+SELECT strftime(l_shipdate, '%Y-%m') AS month,
+       CAST(sum(CASE WHEN p_type = 'PROMO'
+                THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS promo_cents,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS total_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""

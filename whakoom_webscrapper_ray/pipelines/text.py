@@ -2600,3 +2600,64 @@ r AS (
 )
 SELECT lang, term, n, rank FROM r WHERE rank <= {k}
 """
+
+
+# ----------------------------------------------- context chunking
+def doc_chunks(sf_dir: str, chunk_tokens: int = 128,
+               stride: int = 96) -> ray.data.Dataset:
+    """(doc_id, chunk_idx, start_tok, n_chunk_toks): overlapping
+    fixed-size token windows per document — the context-chunking stage
+    an embedding / retrieval pipeline runs before encoding (chunk of
+    ``chunk_tokens``, advancing ``stride``, so consecutive chunks
+    overlap by ``chunk_tokens - stride``).  Chunk starts cover every
+    token: starts at 0, stride, 2·stride, … while start < n_tokens.
+
+    Scale shape: a pure single-pass flat map — no shuffle, no state;
+    the expansion factor is ~n_tokens/stride and each output row is
+    4 ints, so block sizes stay bounded regardless of document length.
+    """
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        n = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_chunks = (n - 1) // stride + 1
+        total = int(n_chunks.sum())
+        doc = np.repeat(
+            b["doc_id"].to_numpy(zero_copy_only=False), n_chunks)
+        ends = np.cumsum(n_chunks)
+        idx = np.arange(total, dtype=np.int64) - np.repeat(
+            ends - n_chunks, n_chunks)
+        start = idx * stride
+        n_rep = np.repeat(n, n_chunks)
+        return pa.table({
+            "doc_id": pa.array(doc, pa.int64()),
+            "chunk_idx": pa.array(idx, pa.int64()),
+            "start_tok": pa.array(start, pa.int64()),
+            "n_chunk_toks": pa.array(
+                np.minimum(chunk_tokens, n_rep - start), pa.int64()),
+        })
+
+    return docs.map_batches(chunks, batch_format="pyarrow")
+
+
+def doc_chunks_oracle_sql(chunk_tokens: int = 128,
+                          stride: int = 96) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+)
+, gs AS (
+  SELECT doc_id, n,
+         unnest(generate_series(0, CAST((n - 1) // {stride} AS BIGINT)))
+           AS gs
+  FROM tok
+)
+SELECT doc_id, CAST(gs AS BIGINT) AS chunk_idx,
+       CAST(gs * {stride} AS BIGINT) AS start_tok,
+       CAST(least({chunk_tokens}, n - gs * {stride}) AS BIGINT)
+         AS n_chunk_toks
+FROM gs
+"""
