@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_best_doc": _cu.cluster_best_doc,
         "promo_share_monthly": _do.promo_share_monthly,
         "doc_chunks": _tx.doc_chunks,
+        "value_moving_avg": _do.value_moving_avg,
+        "nation_trade_matrix": _do.nation_trade_matrix,
         "anchor_text_stats": _il.anchor_text_stats,
         "cooccurrence_topk": _tx.cooccurrence_topk,
         "distinctive_terms": _tx.distinctive_terms,
@@ -465,6 +467,8 @@ def oracle_sql() -> dict[str, str]:
         "cluster_best_doc": _cu.ORACLE_CLUSTER_BEST_DOC,
         "promo_share_monthly": _do.ORACLE_PROMO_SHARE,
         "doc_chunks": _tx.doc_chunks_oracle_sql(),
+        "value_moving_avg": _do.ORACLE_VALUE_MOVING_AVG,
+        "nation_trade_matrix": _do.ORACLE_NATION_TRADE_MATRIX,
         "duplicate_ngram_coverage": (
             _tx.duplicate_ngram_coverage_oracle_sql()
         ),

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "kll_token_quantiles", "lang_term_topk", "dedup_report", "order_gaps",
     "ship_window_join", "ship_disorder", "shipping_priority_topk",
     "cluster_best_doc", "promo_share_monthly", "doc_chunks",
+    "value_moving_avg", "nation_trade_matrix",
 ]
 
 

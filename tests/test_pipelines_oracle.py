@@ -92,6 +92,8 @@ QUERIES = [
     "cluster_best_doc",                         # keep-longest per cluster
     "promo_share_monthly",                      # flag-join conditional agg
     "doc_chunks",                               # overlapping token windows
+    "value_moving_avg",                         # ROWS-frame window
+    "nation_trade_matrix",                      # bilateral revenue matrix
 ]
 
 

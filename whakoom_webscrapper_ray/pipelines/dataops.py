@@ -4548,3 +4548,195 @@ SELECT strftime(l_shipdate, '%Y-%m') AS month,
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY 1
 """
+
+
+# ------------------------------------------ rows-frame moving average
+def value_moving_avg(sf_dir: str, window_rows: int = 3,
+                     parts: int = 64) -> ray.data.Dataset:
+    """(event_id, user_id, ma_cents): per-user trailing moving average
+    of event value over the last ``window_rows`` events INCLUDING the
+    current one, scanning each user's stream in (ts, event_id) order —
+    the ROWS-frame window class (events_sliding covers the RANGE/
+    time-interval class).  Exact integers: cents summed, then floor
+    division by the actual frame length, mirrored in the oracle.
+
+    Scale shape: ONE exchange (hash-partition by user), then one
+    vectorized pass per partition — segmented prefix sums with a
+    shifted-prefix subtraction give every row's trailing-k sum without
+    a per-row loop.
+    """
+    from .text import mix64
+
+    events = read(sf_dir, "events",
+                  columns=["event_id", "user_id", "ts", "value"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": b["user_id"],
+            "eid": b["event_id"],
+            "t": pc.cast(b["ts"], pa.int64()),
+            "cents": _floor_cents(b["value"]),
+            "part": pa.array(
+                (mix64(u.view(np.uint64)) % np.uint64(parts)).astype(
+                    np.int64)),
+        })
+
+    out_schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ma_cents", pa.int64()),
+    ])
+
+    def sweep(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        u = g["u"].to_numpy(zero_copy_only=False)
+        e = g["eid"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        c = g["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, u))
+        u, e, c = u[order], e[order], c[order]
+        newseg = np.ones(u.size, dtype=bool)
+        newseg[1:] = u[1:] != u[:-1]
+        seg_start = np.repeat(
+            np.flatnonzero(newseg),
+            np.diff(np.append(np.flatnonzero(newseg), u.size)))
+        pos = np.arange(u.size, dtype=np.int64)
+        in_seg = pos - seg_start            # 0-based rank within user
+        frame = np.minimum(in_seg + 1, window_rows)
+        psum = np.concatenate([[0], np.cumsum(c)])
+        lo = pos - frame + 1                # first row of the frame
+        s = psum[pos + 1] - psum[lo]
+        return pa.table({
+            "event_id": pa.array(e, pa.int64()),
+            "user_id": pa.array(u, pa.int64()),
+            "ma_cents": pa.array(
+                np.floor_divide(s, frame).astype(np.int64), pa.int64()),
+        })
+
+    return (
+        events.map_batches(keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sweep, batch_format="pyarrow")
+    )
+
+
+ORACLE_VALUE_MOVING_AVG = """
+WITH w AS (
+  SELECT event_id, user_id,
+         sum(CAST(floor(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s,
+         count(*) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n
+  FROM events
+)
+SELECT event_id, user_id, CAST(s // n AS BIGINT) AS ma_cents FROM w
+"""
+
+
+# ------------------------------------ bilateral trade matrix (Q7 shape)
+def nation_trade_matrix(sf_dir: str) -> ray.data.Dataset:
+    """(cust_nation, supp_nation, revenue_cents): the customer-nation ×
+    supplier-nation revenue matrix — which nations buy from which (the
+    volume-shipping report).  A two-dimension enrichment of a
+    fact⋈fact join: lineitem meets orders in the engine's ONE-exchange
+    copartition_join on order key; both nation lookups are
+    dimension-broadcast maps (``ray.put`` once, probe per batch), and
+    the 25×25-bounded matrix aggregates map-side first.
+    """
+    import pyarrow.parquet as pq
+
+    from .common import copartition_join, table_path
+
+    nation = pq.read_table(table_path(sf_dir, "nation"),
+                           columns=["n_nationkey", "n_name"])
+    cust = pq.read_table(table_path(sf_dir, "customer"),
+                         columns=["c_custkey", "c_nationkey"])
+    supp = pq.read_table(table_path(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_nationkey"])
+    lk_ref = ray.put({
+        "nat_keys": pc.cast(nation["n_nationkey"].combine_chunks(),
+                            pa.int64()),
+        "nat_names": nation["n_name"].combine_chunks(),
+        "cust_keys": pc.cast(cust["c_custkey"].combine_chunks(),
+                             pa.int64()),
+        "cust_nat": pc.cast(cust["c_nationkey"].combine_chunks(),
+                            pa.int64()),
+        "sup_keys": pc.cast(supp["s_suppkey"].combine_chunks(),
+                            pa.int64()),
+        "sup_nat": pc.cast(supp["s_nationkey"].combine_chunks(),
+                           pa.int64()),
+    })
+
+    def order_side(b: pa.Table, lk=None) -> pa.Table:
+        lk = deref(lk)
+        idx = pc.index_in(pc.cast(b["o_custkey"], pa.int64()),
+                          value_set=lk["cust_keys"])
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "c_nat": lk["cust_nat"].take(idx),
+        })
+
+    orders = read(sf_dir, "orders",
+                  columns=["o_orderkey", "o_custkey"]).map_batches(
+        order_side, fn_kwargs={"lk": lk_ref}, batch_format="pyarrow")
+
+    def line_side(b: pa.Table, lk=None) -> pa.Table:
+        lk = deref(lk)
+        idx = pc.index_in(pc.cast(b["l_suppkey"], pa.int64()),
+                          value_set=lk["sup_keys"])
+        rev = pc.cast(pc.floor(pc.multiply(pc.multiply(
+            b["l_extendedprice"], pc.subtract(
+                pa.scalar(1.0), b["l_discount"])), 100.0)), pa.int64())
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "s_nat": lk["sup_nat"].take(idx),
+            "rev_cents": rev,
+        })
+
+    line = read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(line_side, fn_kwargs={"lk": lk_ref},
+                  batch_format="pyarrow")
+
+    joined = copartition_join(
+        line, orders, on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("s_nat", pa.int64()),
+                               ("rev_cents", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("c_nat", pa.int64())]),
+    )
+
+    def name_pair(b: pa.Table, lk=None) -> pa.Table:
+        lk = deref(lk)
+        ci = pc.index_in(b["c_nat"], value_set=lk["nat_keys"])
+        si = pc.index_in(b["s_nat"], value_set=lk["nat_keys"])
+        return pa.table({
+            "cust_nation": lk["nat_names"].take(ci),
+            "supp_nation": lk["nat_names"].take(si),
+            "revenue_cents": b["rev_cents"],
+        })
+
+    named = joined.map_batches(name_pair, fn_kwargs={"lk": lk_ref},
+                               batch_format="pyarrow")
+    return two_phase_agg(named, ["cust_nation", "supp_nation"],
+                         sums={"revenue_cents": "revenue_cents"})
+
+
+ORACLE_NATION_TRADE_MATRIX = """
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+GROUP BY 1, 2
+"""
