@@ -4557,8 +4557,10 @@ def value_moving_avg(sf_dir: str, window_rows: int = 3,
     of event value over the last ``window_rows`` events INCLUDING the
     current one, scanning each user's stream in (ts, event_id) order —
     the ROWS-frame window class (events_sliding covers the RANGE/
-    time-interval class).  Exact integers: cents summed, then floor
-    division by the actual frame length, mirrored in the oracle.
+    time-interval class).  Exact integers: cents summed, then FLOOR
+    division by the actual frame length (floor, not truncate-toward-
+    zero: -50/3 → -17; the oracle floors a double quotient, exact
+    while |sum| < 2^53 cents).
 
     Scale shape: ONE exchange (hash-partition by user), then one
     vectorized pass per partition — segmented prefix sums with a
@@ -4632,7 +4634,9 @@ WITH w AS (
            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n
   FROM events
 )
-SELECT event_id, user_id, CAST(s // n AS BIGINT) AS ma_cents FROM w
+SELECT event_id, user_id,
+       CAST(floor(s / CAST(n AS DOUBLE)) AS BIGINT) AS ma_cents
+FROM w
 """
 
 
