@@ -154,7 +154,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ORDERING IS DELIBERATE (rotating driver coverage): the driver's
     correctness file caps at 50 rows, so the in-cap prefix holds, in
     priority order: (a) every query with no prior driver row — the
-    round-4 operators, including the six landed latest
+    round-4 operators, led by the eight landed latest
+    (ship_window_join .. nation_trade_matrix, all green under the
+    full local gate at sf0.01 this session) and the six before them
     (duplicate_ngram_coverage .. revenue_mom_growth); (b) those of the
     19 rotated in per the round-3 verdict that were touched this round
     or never driver-checked; (c) the dedup family whose pair stage was REWRITTEN
