@@ -169,10 +169,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     sampling family, ANN variants) — their changed shared machinery is
     exercised by in-cap companions, and every entry keeps its oracle
     regardless of position (tools/check_oracle.py runs all of them).
-    The ten operators landed after the cap filled (bigram_assoc ..
-    kll_token_quantiles) LEAD the beyond-cap region so the next
-    rotation promotes them first; all ten are green under the local
-    gate at sf0.01 this session.
+    The operators landed after the cap filled (burst_events,
+    fk_integrity_report, then bigram_assoc .. kll_token_quantiles)
+    LEAD the beyond-cap region so the next rotation promotes them
+    first; all are green under the local gate at sf0.01 this session.
     """
     return {
         # ---- NEW this round (driver rows needed first)
@@ -263,6 +263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # their cap slots to the nine newest operators above.  Ops
         # landed after the cap filled lead this region so the next
         # rotation promotes them first.
+        "burst_events": _do.burst_events,
+        "fk_integrity_report": _do.fk_integrity_report,
         "bigram_assoc": _tx.bigram_assoc,
         "chunk_dedup_ratio": _tx.chunk_dedup_ratio,
         "weighted_sample": _cu.weighted_sample,
@@ -463,6 +465,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_term_topk": _tx.lang_term_topk_oracle_sql(),
         "dedup_report": _cu.ORACLE_DEDUP_REPORT,
         "order_gaps": _do.ORACLE_ORDER_GAPS,
+        "burst_events": _do.ORACLE_BURST_EVENTS,
+        "fk_integrity_report": _do.ORACLE_FK_INTEGRITY,
         "ship_window_join": _do.ORACLE_SHIP_WINDOW_JOIN,
         "ship_disorder": _do.ORACLE_SHIP_DISORDER,
         "shipping_priority_topk": _do.ORACLE_SHIPPING_PRIORITY,

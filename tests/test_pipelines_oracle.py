@@ -94,6 +94,8 @@ QUERIES = [
     "doc_chunks",                               # overlapping token windows
     "value_moving_avg",                         # ROWS-frame window
     "nation_trade_matrix",                      # bilateral revenue matrix
+    "burst_events",                             # machine-rate burst screen
+    "fk_integrity_report",                      # FK orphan audit
 ]
 
 

@@ -4744,3 +4744,257 @@ JOIN nation cn ON c_nationkey = cn.n_nationkey
 JOIN nation sn ON s_nationkey = sn.n_nationkey
 GROUP BY 1, 2
 """
+
+
+# ----------------------------------------------- burst (bot) detection
+def burst_events(sf_dir: str, gap_seconds: int = 60,
+                 parts: int = 64) -> ray.data.Dataset:
+    """(user_id, event_type, n_events, n_burst): per (user, type)
+    stream, how many events arrive within ``gap_seconds`` of their
+    predecessor (ordered by ts, then event_id) — the bot-burst /
+    machine-rate screen an ingest pipeline applies before trusting
+    engagement counts.
+
+    Scale shape: ONE composite-key exchange (user⊕type hash), one
+    lexsort + segmented diff per partition — order_gaps' layout on a
+    composite key with a threshold count instead of gap stats.  The
+    hash routes rows to partitions only; segment identity inside a
+    partition is the exact (user_id, dictionary-encoded event_type)
+    pair, so a 64-bit hash collision can never merge two streams.
+    """
+    from .text import mix64, token_hashes
+
+    gap_us = gap_seconds * 1_000_000
+    events = read(sf_dir, "events",
+                  columns=["user_id", "event_type", "event_id", "ts"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        th = token_hashes(
+            b["event_type"].to_numpy(zero_copy_only=False))
+        h = mix64(u.view(np.uint64) ^ th)
+        return pa.table({
+            "u": b["user_id"],
+            "et": b["event_type"],
+            "eid": b["event_id"],
+            "t": pc.cast(b["ts"], pa.int64()),
+            "part": pa.array(
+                (h % np.uint64(parts)).astype(np.int64)),
+        })
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("n_events", pa.int64()), ("n_burst", pa.int64()),
+    ])
+
+    def sweep(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        u = g["u"].to_numpy(zero_copy_only=False)
+        etc = (g["et"].combine_chunks()
+               .dictionary_encode().indices
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        e = g["eid"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, etc, u))
+        u, etc, t = u[order], etc[order], t[order]
+        newseg = np.ones(u.size, dtype=bool)
+        newseg[1:] = (u[1:] != u[:-1]) | (etc[1:] != etc[:-1])
+        seg = np.cumsum(newseg) - 1
+        burst = np.zeros(u.size, dtype=bool)
+        burst[1:] = (~newseg[1:]) & ((t[1:] - t[:-1]) <= gap_us)
+        nseg = int(newseg.sum())
+        n = np.zeros(nseg, dtype=np.int64)
+        nb = np.zeros(nseg, dtype=np.int64)
+        np.add.at(n, seg, 1)
+        np.add.at(nb, seg[burst], 1)
+        firsts = np.flatnonzero(newseg)
+        return pa.table({
+            "user_id": pa.array(u[firsts].astype(np.int64),
+                                pa.int64()),
+            "event_type": g["et"].take(
+                pa.array(order[firsts], pa.int64())),
+            "n_events": pa.array(n, pa.int64()),
+            "n_burst": pa.array(nb, pa.int64()),
+        })
+
+    return (
+        events.map_batches(keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sweep, batch_format="pyarrow")
+    )
+
+
+# ------------------------------------------ referential-integrity audit
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+def fk_integrity_report(sf_dir: str, parts: int = 32
+                        ) -> ray.data.Dataset:
+    """(relation, fk_column, n_rows, n_null, n_orphans) for every FK
+    edge of the star schema — the referential-integrity audit an
+    ingest pipeline runs before trusting joins (an orphan l_orderkey
+    silently drops revenue in every inner join downstream).
+
+    Scale shape: each table is read ONCE (all FK columns of interest
+    projected together), each batch pre-aggregates to distinct
+    (value, count) partials, and all six edges ride ONE hash exchange
+    (partition id = edge * parts + hash(value) % parts) where child
+    partials anti-probe the co-partitioned parent key set with a
+    vectorized ``np.isin``.  Only distinct-value partials shuffle —
+    never rows — so a 100 TB lineitem moves at the cardinality of its
+    key space, and no parent key set is ever broadcast or collected.
+    """
+    from .text import mix64
+
+    by_child: dict[str, list[tuple[int, str]]] = {}
+    by_parent: dict[str, list[tuple[int, str]]] = {}
+    for ei, (ct, cc, pt, pk) in enumerate(_FK_EDGES):
+        by_child.setdefault(ct, []).append((ei, cc))
+        by_parent.setdefault(pt, []).append((ei, pk))
+
+    union_schema = pa.schema([
+        ("part", pa.int64()), ("kind", pa.int8()),
+        ("val", pa.int64()), ("cnt", pa.int64()),
+        ("nnull", pa.int64()),
+    ])
+
+    def _rows(ei: int, col: pa.ChunkedArray, kind: int) -> pa.Table:
+        nnull = col.null_count
+        v = pc.drop_null(col).to_numpy(zero_copy_only=False)
+        v = v.astype(np.int64, copy=False)
+        vals, cnts = np.unique(v, return_counts=True)
+        slot = (mix64(vals.view(np.uint64))
+                % np.uint64(parts)).astype(np.int64)
+        t = pa.table({
+            "part": pa.array(ei * parts + slot, pa.int64()),
+            "kind": pa.array(
+                np.full(vals.size, kind, np.int8), pa.int8()),
+            "val": pa.array(vals, pa.int64()),
+            "cnt": pa.array(cnts, pa.int64()),
+            "nnull": pa.array(np.zeros(vals.size, np.int64),
+                              pa.int64()),
+        })
+        if kind == 0 and nnull:
+            t = pa.concat_tables([t, pa.table({
+                "part": pa.array([ei * parts], pa.int64()),
+                "kind": pa.array([0], pa.int8()),
+                "val": pa.array([0], pa.int64()),
+                "cnt": pa.array([0], pa.int64()),
+                "nnull": pa.array([nnull], pa.int64()),
+            })])
+        return t.cast(union_schema)
+
+    def emitter(edges: list[tuple[int, str]], kind: int):
+        def fn(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return union_schema.empty_table()
+            return pa.concat_tables(
+                [_rows(ei, b[c].combine_chunks()
+                       if isinstance(b[c], pa.ChunkedArray)
+                       else pa.chunked_array([b[c]]), kind)
+                 for ei, c in edges])
+        return fn
+
+    streams = []
+    for tbl, edges in by_child.items():
+        ds = read(sf_dir, tbl, columns=[c for _, c in edges])
+        streams.append(
+            ds.map_batches(emitter(edges, 0), batch_format="pyarrow"))
+    for tbl, edges in by_parent.items():
+        # nation backs two edges through the same key column — read it
+        # once and let the emitter fan the column out per edge
+        ds = read(sf_dir, tbl, columns=sorted({c for _, c in edges}))
+        streams.append(
+            ds.map_batches(emitter(edges, 1), batch_format="pyarrow"))
+    tagged = streams[0].union(*streams[1:])
+
+    partial_schema = pa.schema([
+        ("edge", pa.int64()), ("n_rows", pa.int64()),
+        ("n_null", pa.int64()), ("n_orphans", pa.int64()),
+    ])
+
+    def probe(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return partial_schema.empty_table()
+        edge = int(g["part"][0].as_py()) // parts
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        val = g["val"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        child = kind == 0
+        orphan = child & ~np.isin(val, val[~child])
+        # the null-sentinel rows carry cnt 0, so they never count as
+        # rows or orphans; their nnull sums below
+        return pa.table({
+            "edge": pa.array([edge], pa.int64()),
+            "n_rows": pa.array([int(cnt[child].sum())], pa.int64()),
+            "n_null": pa.array(
+                [int(g["nnull"].to_numpy(
+                    zero_copy_only=False).sum())], pa.int64()),
+            "n_orphans": pa.array([int(cnt[orphan].sum())],
+                                  pa.int64()),
+        })
+
+    out_schema = pa.schema([
+        ("relation", pa.string()), ("fk_column", pa.string()),
+        ("n_rows", pa.int64()), ("n_null", pa.int64()),
+        ("n_orphans", pa.int64()),
+    ])
+    rel = [e[0] for e in _FK_EDGES]
+    fkc = [e[1] for e in _FK_EDGES]
+
+    def finish(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        edge = int(g["edge"][0].as_py())
+        nr = int(pc.sum(g["n_rows"]).as_py() or 0)
+        nn = int(pc.sum(g["n_null"]).as_py() or 0)
+        return pa.table({
+            "relation": pa.array([rel[edge]], pa.string()),
+            "fk_column": pa.array([fkc[edge]], pa.string()),
+            "n_rows": pa.array([nr + nn], pa.int64()),
+            "n_null": pa.array([nn], pa.int64()),
+            "n_orphans": pa.array(
+                [int(pc.sum(g["n_orphans"]).as_py() or 0)],
+                pa.int64()),
+        })
+
+    return (
+        tagged.groupby("part").map_groups(probe,
+                                          batch_format="pyarrow")
+        .groupby("edge").map_groups(finish, batch_format="pyarrow")
+    )
+
+
+ORACLE_FK_INTEGRITY = "\nUNION ALL\n".join(
+    f"""SELECT '{ct}' AS relation, '{cc}' AS fk_column,
+  count(*) AS n_rows,
+  CAST(coalesce(sum(CASE WHEN c.{cc} IS NULL THEN 1 END), 0)
+       AS BIGINT) AS n_null,
+  CAST(coalesce(sum(CASE WHEN c.{cc} IS NOT NULL
+                          AND p.{pk} IS NULL THEN 1 END), 0)
+       AS BIGINT) AS n_orphans
+FROM {ct} c LEFT JOIN {pt} p ON c.{cc} = p.{pk}"""
+    for ct, cc, pt, pk in _FK_EDGES)
+
+
+ORACLE_BURST_EVENTS = """
+WITH w AS (
+  SELECT user_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT user_id, event_type, count(*) AS n_events,
+       CAST(coalesce(sum(CASE WHEN epoch_us(ts) - epoch_us(prev_ts)
+                               <= 60000000 THEN 1 END), 0) AS BIGINT)
+         AS n_burst
+FROM w GROUP BY 1, 2
+"""
