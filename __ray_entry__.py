@@ -265,6 +265,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotation promotes them first.
         "burst_events": _do.burst_events,
         "fk_integrity_report": _do.fk_integrity_report,
+        "decontaminate_embedding": _cu.decontaminate_embedding,
+        "inverted_index": _tx.inverted_index,
         "bigram_assoc": _tx.bigram_assoc,
         "chunk_dedup_ratio": _tx.chunk_dedup_ratio,
         "weighted_sample": _cu.weighted_sample,
@@ -467,6 +469,8 @@ def oracle_sql() -> dict[str, str]:
         "order_gaps": _do.ORACLE_ORDER_GAPS,
         "burst_events": _do.ORACLE_BURST_EVENTS,
         "fk_integrity_report": _do.ORACLE_FK_INTEGRITY,
+        "decontaminate_embedding": _cu.ORACLE_DECONTAMINATE_EMBEDDING,
+        "inverted_index": _tx.inverted_index_oracle_sql(),
         "ship_window_join": _do.ORACLE_SHIP_WINDOW_JOIN,
         "ship_disorder": _do.ORACLE_SHIP_DISORDER,
         "shipping_priority_topk": _do.ORACLE_SHIPPING_PRIORITY,

@@ -96,6 +96,8 @@ QUERIES = [
     "nation_trade_matrix",                      # bilateral revenue matrix
     "burst_events",                             # machine-rate burst screen
     "fk_integrity_report",                      # FK orphan audit
+    "decontaminate_embedding",                  # embedding-space decon
+    "inverted_index",                           # capped postings build
 ]
 
 

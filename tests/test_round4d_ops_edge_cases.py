@@ -81,3 +81,48 @@ def test_fk_integrity_orphans_and_nulls(ray_session, tmp_path):
                    supplier=supplier, part=part, orders=orders,
                    lineitem=lineitem)
     _compare(sf, fk_integrity_report(sf), ORACLE_FK_INTEGRITY)
+
+
+def test_decontaminate_embedding_margins(ray_session, tmp_path):
+    """An exact copy of an eval vector is contaminated (cos 1); a
+    scaled copy too (cosine is scale-free); an orthogonal vector is
+    clean; a negative-cosine vector is clean; eval rows themselves are
+    excluded from the output."""
+    from whakoom_webscrapper_ray.pipelines.curate import (
+        ORACLE_DECONTAMINATE_EMBEDDING, decontaminate_embedding)
+
+    dim = pa.list_(pa.float32())
+    emb = pa.table({
+        # 0 and 19 are the eval split (vec_id % 19 == 0)
+        "vec_id": pa.array([0, 19, 1, 2, 3, 4], pa.int64()),
+        "embedding": pa.array([
+            [1.0, 0.0, 0.0, 0.0],    # eval A
+            [0.0, 1.0, 0.0, 0.0],    # eval B
+            [2.0, 0.0, 0.0, 0.0],    # scaled copy of A -> contaminated
+            [0.0, 0.0, 1.0, 0.0],    # orthogonal -> clean
+            [-1.0, 0.0, 0.0, 0.0],   # anti-parallel -> clean
+            [0.6, 0.8, 0.0, 0.0],    # cos 0.6 vs A, 0.8 vs B -> hit
+        ], dim),
+    })
+    sf = _write_sf(tmp_path, embeddings=emb)
+    _compare(sf, decontaminate_embedding(sf),
+             ORACLE_DECONTAMINATE_EMBEDDING)
+
+
+def test_inverted_index_caps_and_dedup(ray_session, tmp_path):
+    """A term repeated within one doc posts that doc ONCE; a term in
+    more than k docs keeps df exact but caps postings at the k
+    smallest doc_ids; stopwords never index; a stopword-only doc
+    contributes nothing to any term."""
+    from whakoom_webscrapper_ray.pipelines.text import (
+        inverted_index, inverted_index_oracle_sql)
+
+    rows = [(i, "hot data") for i in range(10)]        # 10 > k=8 docs
+    rows += [(100, "cold cold cold"), (101, "the a of"),
+             (102, "cold data")]
+    docs = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows]),
+    })
+    sf = _write_sf(tmp_path, documents=docs)
+    _compare(sf, inverted_index(sf), inverted_index_oracle_sql())

@@ -1532,3 +1532,75 @@ SELECT cluster_id, doc_id AS best_doc_id,
        n_tokens AS best_n_tokens, n_members
 FROM ranked WHERE rn = 1
 """
+
+
+# ------------------------------ embedding-space decontamination
+_EMB_EVAL_MOD = 19  # deterministic eval split: vec_id % 19 == 0
+
+
+def decontaminate_embedding(sf_dir: str, threshold: float = 0.45
+                            ) -> ray.data.Dataset:
+    """(vec_id, contaminated) over CORPUS vectors (vec_id % 19 != 0):
+    contaminated = cosine similarity >= ``threshold`` against ANY
+    vector of the held-out eval split (vec_id % 19 == 0) — the
+    embedding-space analog of ``decontaminate``, catching paraphrased
+    benchmark leakage that shares no exact n-gram.
+
+    The eval matrix is the small side (a benchmark suite is thousands
+    of items, the corpus is billions): gathered distributed, unit-
+    normalized once, broadcast ONCE via ray.put; corpus batches stream
+    through one sgemm + rowwise max — no shuffle at all.  Same cosine
+    kernel and float32 contract as embedding_dup_pairs
+    (dedup.py _pairs_between; margin analysis at ann.emb_matrix).
+    """
+    from .ann import emb_matrix
+
+    emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def eval_side(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % _EMB_EVAL_MOD == 0))
+
+    ev = collect_small(
+        emb.map_batches(eval_side, batch_format="pyarrow"),
+        pa.schema([("vec_id", pa.int64()),
+                   ("embedding", pa.list_(pa.float32()))]),
+    )
+    me = emb_matrix(ev["embedding"])
+    me = me / np.linalg.norm(me, axis=1, keepdims=True)
+    ev_ref = ray.put(np.ascontiguousarray(me.T))
+
+    def flag(b: pa.Table, evt=None) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ids % _EMB_EVAL_MOD != 0))
+        if b.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "contaminated": pa.array([], pa.bool_())})
+        m = emb_matrix(b["embedding"])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ deref(evt)
+        return pa.table({
+            "vec_id": pc.cast(b["vec_id"], pa.int64()),
+            "contaminated": pa.array(
+                (sims >= threshold).any(axis=1), pa.bool_()),
+        })
+
+    return emb.map_batches(flag, fn_kwargs={"evt": ev_ref},
+                           batch_format="pyarrow")
+
+
+ORACLE_DECONTAMINATE_EMBEDDING = f"""
+WITH ev AS (
+  SELECT embedding FROM embeddings WHERE vec_id % {_EMB_EVAL_MOD} = 0
+),
+hits AS (
+  SELECT DISTINCT a.vec_id
+  FROM embeddings a JOIN ev e
+    ON list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                              CAST(e.embedding AS DOUBLE[])) >= 0.45
+  WHERE a.vec_id % {_EMB_EVAL_MOD} <> 0
+)
+SELECT a.vec_id, (h.vec_id IS NOT NULL) AS contaminated
+FROM embeddings a LEFT JOIN hits h USING (vec_id)
+WHERE a.vec_id % {_EMB_EVAL_MOD} <> 0
+"""

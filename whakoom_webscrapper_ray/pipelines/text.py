@@ -2661,3 +2661,103 @@ SELECT doc_id, CAST(gs AS BIGINT) AS chunk_idx,
          AS n_chunk_toks
 FROM gs
 """
+
+
+# ----------------------------------------------- inverted index build
+_INV_K = 8  # postings cap: first k doc ids per term
+
+
+def inverted_index(sf_dir: str, k: int = _INV_K,
+                   parts: int = 64) -> ray.data.Dataset:
+    """(term, df, postings): the IR / retrieval index build — for every
+    non-stopword term, its document frequency and the first ``k``
+    postings (smallest doc_ids, comma-joined).  The capped-prefix
+    postings column is the bounded-row-width contract a 100 TB index
+    shard needs: a term's full posting list is unbounded (every doc
+    contains "data"), its first-k prefix is k integers.
+
+    Scale shape: each batch collapses to DISTINCT (term, doc) pairs
+    before any exchange (the map-side combiner of every index
+    builder), ONE term-hash shuffle, then a per-partition lexsort +
+    segmented prefix selection; the postings strings are built with
+    Arrow ``binary_join`` on a list array — no Python loop over terms.
+    """
+    stop = pa.array(STOPWORDS, pa.string())
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        parent = pc.list_parent_indices(words)
+        flat = pc.list_flatten(words)
+        doc = b["doc_id"].take(parent).to_numpy(zero_copy_only=False)
+        keep = pc.invert(
+            pc.is_in(flat, value_set=stop)
+        ).to_numpy(zero_copy_only=False)
+        t = flat.to_numpy(zero_copy_only=False)[keep]
+        d = doc[keep].astype(np.int64)
+        order = np.lexsort((d, t))
+        t, d = t[order], d[order]
+        first = np.ones(t.size, dtype=bool)
+        first[1:] = (t[1:] != t[:-1]) | (d[1:] != d[:-1])
+        t, d = t[first], d[first]
+        h = token_hashes(t)
+        return pa.table({
+            "term": pa.array(t, pa.string()),
+            "doc_id": pa.array(d, pa.int64()),
+            "part": pa.array((h % np.uint64(parts)).astype(np.int64)),
+        })
+
+    out_schema = pa.schema([
+        ("term", pa.string()), ("df", pa.int64()),
+        ("postings", pa.string()),
+    ])
+
+    def build(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        t = g["term"].to_numpy(zero_copy_only=False)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, t))
+        t, d = t[order], d[order]
+        # cross-batch pair dedup (a pair arrives once per source batch)
+        first = np.ones(t.size, dtype=bool)
+        first[1:] = (t[1:] != t[:-1]) | (d[1:] != d[:-1])
+        t, d = t[first], d[first]
+        newt = np.ones(t.size, dtype=bool)
+        newt[1:] = t[1:] != t[:-1]
+        starts = np.flatnonzero(newt)
+        seg = np.cumsum(newt) - 1
+        df = np.diff(np.append(starts, t.size))
+        rank = np.arange(t.size) - starts[seg]
+        keep = rank < k
+        lens = np.minimum(df, k)
+        offsets = pa.array(
+            np.concatenate(([0], np.cumsum(lens))).astype(np.int32))
+        vals = pc.cast(pa.array(d[keep], pa.int64()), pa.string())
+        postings = pc.binary_join(
+            pa.ListArray.from_arrays(offsets, vals), ",")
+        return pa.table({
+            "term": pa.array(t[starts], pa.string()),
+            "df": pa.array(df.astype(np.int64), pa.int64()),
+            "postings": postings,
+        })
+
+    return (
+        read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(build, batch_format="pyarrow")
+    )
+
+
+def inverted_index_oracle_sql(k: int = _INV_K) -> str:
+    return f"""
+SELECT term, count(DISTINCT doc_id) AS df,
+       array_to_string(
+         list_sort(list(DISTINCT doc_id))[1:{k}], ',') AS postings
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents)
+WHERE NOT list_contains({list(STOPWORDS)}, term)
+GROUP BY term
+"""
