@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_integrity_report": _do.fk_integrity_report,
         "decontaminate_embedding": _cu.decontaminate_embedding,
         "inverted_index": _tx.inverted_index,
+        "farthest_point_sample": _ann.farthest_point_sample,
         "bigram_assoc": _tx.bigram_assoc,
         "chunk_dedup_ratio": _tx.chunk_dedup_ratio,
         "weighted_sample": _cu.weighted_sample,
@@ -471,6 +472,8 @@ def oracle_sql() -> dict[str, str]:
         "fk_integrity_report": _do.ORACLE_FK_INTEGRITY,
         "decontaminate_embedding": _cu.ORACLE_DECONTAMINATE_EMBEDDING,
         "inverted_index": _tx.inverted_index_oracle_sql(),
+        "farthest_point_sample": (
+            _ann.farthest_point_sample_oracle_sql()),
         "ship_window_join": _do.ORACLE_SHIP_WINDOW_JOIN,
         "ship_disorder": _do.ORACLE_SHIP_DISORDER,
         "shipping_priority_topk": _do.ORACLE_SHIPPING_PRIORITY,

@@ -98,6 +98,7 @@ QUERIES = [
     "fk_integrity_report",                      # FK orphan audit
     "decontaminate_embedding",                  # embedding-space decon
     "inverted_index",                           # capped postings build
+    "farthest_point_sample",                    # k-center coreset greedy
 ]
 
 

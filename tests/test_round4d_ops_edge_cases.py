@@ -126,3 +126,29 @@ def test_inverted_index_caps_and_dedup(ray_session, tmp_path):
     })
     sf = _write_sf(tmp_path, documents=docs)
     _compare(sf, inverted_index(sf), inverted_index_oracle_sql())
+
+
+def test_farthest_point_sample_dups_and_ties(ray_session, tmp_path):
+    """Exact duplicates of chosen centers sit at quantized distance 0
+    (the clamp region) and can still be selected when everything else
+    is exhausted; equal quantized distances break to the smallest
+    vec_id; the greedy trace matches the recursive-CTE oracle step for
+    step."""
+    from whakoom_webscrapper_ray.pipelines.ann import (
+        farthest_point_sample, farthest_point_sample_oracle_sql)
+
+    dim = pa.list_(pa.float32())
+    emb = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "embedding": pa.array([
+            [1.0, 0.0],      # seed (min id)
+            [1.0, 0.0],      # exact dup of seed -> d 0
+            [0.0, 1.0],      # orthogonal
+            [-1.0, 0.0],     # antipode: wins step 2 ...
+            [0.7071, 0.7071],
+            [-1.0, 0.0],     # ... but 5 ties it; id 3 must win
+        ], dim),
+    })
+    sf = _write_sf(tmp_path, embeddings=emb)
+    _compare(sf, farthest_point_sample(sf, k=5),
+             farthest_point_sample_oracle_sql(k=5))

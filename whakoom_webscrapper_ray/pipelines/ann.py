@@ -860,3 +860,160 @@ SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
        count(*) AS n
 FROM x GROUP BY label, dim
 """
+
+
+# --------------------------------- k-center / farthest-point coreset
+_FPS_K = 12
+
+
+def farthest_point_sample(sf_dir: str, k: int = _FPS_K) -> pa.Table:
+    """(step, vec_id): greedy k-center coreset over the embedding
+    corpus — start at the smallest vec_id, then repeatedly pick the
+    vector whose min cosine DISTANCE to the chosen set is largest
+    (quantized to 1e-6 so both engines compare integers; ties break to
+    the smallest vec_id).  The diversity-selection pass a training
+    pipeline runs to pick k maximally-spread exemplars.
+
+    Scale shape: ZERO shuffles.  State is a per-vector running
+    min-distance column materialized once per round; each of the k
+    rounds broadcasts only the last chosen center (one dim-length
+    vector), streams one fused update (dmin = min(dmin, 1 - m @ c))
+    over the blocks, and reduces per-block top-1 candidates —
+    k × n distance evaluations total, exactly the sequential greedy's
+    work, with k small collects of (#blocks) rows.  2^63 is ~9e18 so
+    the 1e-6 quantization never overflows int64 on a [0, 2] distance.
+    """
+    import pyarrow.compute as pc
+
+    from .common import collect_small
+
+    emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def norm_rows(b: pa.Table) -> np.ndarray:
+        m = emb_matrix(b["embedding"]).astype(np.float64)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        np.divide(m, n, out=m, where=n > 0)
+        return m
+
+    _emb_t = pa.list_(pa.float64())
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = norm_rows(b)
+        offsets = pa.array(
+            (np.arange(b.num_rows + 1) * m.shape[1]).astype(np.int32))
+        return pa.table({
+            "vec_id": pc.cast(b["vec_id"], pa.int64()),
+            "emb": pa.ListArray.from_arrays(
+                offsets, pa.array(m.ravel(), pa.float64())),
+            "dmin": pa.array(np.full(b.num_rows, np.inf), pa.float64()),
+        })
+
+    state = emb.map_batches(prep, batch_format="pyarrow").materialize()
+
+    def mat(col) -> np.ndarray:
+        la = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        flat = pc.list_flatten(la).to_numpy(zero_copy_only=False)
+        return flat.reshape(len(la), -1)
+
+    def first_candidate(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        i = int(np.argmin(b["vec_id"].to_numpy(zero_copy_only=False)))
+        return b.slice(i, 1)
+
+    seed = collect_small(
+        state.map_batches(first_candidate, batch_format="pyarrow"),
+        pa.schema([("vec_id", pa.int64()), ("emb", _emb_t),
+                   ("dmin", pa.float64())]),
+    )
+    if seed.num_rows == 0:
+        return pa.table({"step": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64())})
+    i0 = int(seed["vec_id"].to_numpy(zero_copy_only=False).min())
+    seed = seed.filter(pc.equal(seed["vec_id"], i0))
+    chosen_ids = [i0]
+    center = mat(seed["emb"])[0]
+
+    cand_schema = pa.schema([
+        ("qd", pa.int64()), ("vec_id", pa.int64()), ("emb", _emb_t),
+    ])
+
+    for _ in range(1, k):
+        c = center  # bind loop value
+
+        def update(b: pa.Table, cv=c) -> pa.Table:
+            if b.num_rows == 0:
+                return b
+            m = mat(b["emb"])
+            d = np.maximum(1.0 - m @ cv, 0.0)
+            dm = np.minimum(
+                b["dmin"].to_numpy(zero_copy_only=False), d)
+            return pa.table({"vec_id": b["vec_id"], "emb": b["emb"],
+                             "dmin": pa.array(dm, pa.float64())})
+
+        state = state.map_batches(
+            update, batch_format="pyarrow").materialize()
+
+        def top1(b: pa.Table, ex=tuple(chosen_ids)) -> pa.Table:
+            if b.num_rows == 0:
+                return cand_schema.empty_table()
+            ids = b["vec_id"].to_numpy(zero_copy_only=False)
+            qd = np.floor(
+                b["dmin"].to_numpy(zero_copy_only=False) * 1e6
+            ).astype(np.int64)
+            ok = ~np.isin(ids, np.asarray(ex, np.int64))
+            if not ok.any():
+                return cand_schema.empty_table()
+            qi, ii = qd[ok], ids[ok]
+            best = np.lexsort((ii, -qi))[0]
+            row = b.slice(int(np.flatnonzero(ok)[best]), 1)
+            return pa.table({
+                "qd": pa.array([int(qi[best])], pa.int64()),
+                "vec_id": row["vec_id"],
+                "emb": row["emb"],
+            })
+
+        cands = collect_small(
+            state.map_batches(top1, batch_format="pyarrow"),
+            cand_schema)
+        if cands.num_rows == 0:
+            break
+        qd = cands["qd"].to_numpy(zero_copy_only=False)
+        ids = cands["vec_id"].to_numpy(zero_copy_only=False)
+        w = int(np.lexsort((ids, -qd))[0])
+        chosen_ids.append(int(ids[w]))
+        center = mat(cands["emb"])[w]
+
+    return pa.table({
+        "step": pa.array(range(1, len(chosen_ids) + 1), pa.int64()),
+        "vec_id": pa.array(chosen_ids, pa.int64()),
+    })
+
+
+def farthest_point_sample_oracle_sql(k: int = _FPS_K) -> str:
+    return f"""
+WITH RECURSIVE sel AS (
+  SELECT 1 AS step,
+         [(SELECT min(vec_id) FROM embeddings)] AS chosen
+  UNION ALL
+  SELECT step + 1,
+         list_append(chosen, (
+           SELECT e.vec_id FROM embeddings e
+           WHERE NOT list_contains(sel.chosen, e.vec_id)
+           ORDER BY (
+             SELECT CAST(floor(min(greatest(
+                      1 - list_cosine_similarity(
+                            CAST(e.embedding AS DOUBLE[]),
+                            CAST(c.embedding AS DOUBLE[])), 0))
+                      * 1000000) AS BIGINT)
+             FROM embeddings c
+             WHERE list_contains(sel.chosen, c.vec_id)
+           ) DESC, e.vec_id ASC
+           LIMIT 1))
+  FROM sel WHERE step < {k}
+)
+SELECT unnest(range(1, step + 1)) AS step,
+       unnest(chosen) AS vec_id
+FROM sel WHERE step = (SELECT max(step) FROM sel)
+"""
