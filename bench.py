@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "ship_window_join", "ship_disorder", "shipping_priority_topk",
     "cluster_best_doc", "promo_share_monthly", "doc_chunks",
     "value_moving_avg", "nation_trade_matrix",
+    "burst_events", "fk_integrity_report", "decontaminate_embedding",
+    "inverted_index", "farthest_point_sample",
 ]
 
 
