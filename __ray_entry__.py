@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_embedding": _cu.decontaminate_embedding,
         "inverted_index": _tx.inverted_index,
         "farthest_point_sample": _ann.farthest_point_sample,
+        "id_gaps": _do.id_gaps,
         "bigram_assoc": _tx.bigram_assoc,
         "chunk_dedup_ratio": _tx.chunk_dedup_ratio,
         "weighted_sample": _cu.weighted_sample,
@@ -474,6 +475,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": _tx.inverted_index_oracle_sql(),
         "farthest_point_sample": (
             _ann.farthest_point_sample_oracle_sql()),
+        "id_gaps": _do.id_gaps_oracle_sql(),
         "ship_window_join": _do.ORACLE_SHIP_WINDOW_JOIN,
         "ship_disorder": _do.ORACLE_SHIP_DISORDER,
         "shipping_priority_topk": _do.ORACLE_SHIPPING_PRIORITY,

@@ -77,7 +77,7 @@ BENCH_QUERIES = [
     "cluster_best_doc", "promo_share_monthly", "doc_chunks",
     "value_moving_avg", "nation_trade_matrix",
     "burst_events", "fk_integrity_report", "decontaminate_embedding",
-    "inverted_index", "farthest_point_sample",
+    "inverted_index", "farthest_point_sample", "id_gaps",
 ]
 
 

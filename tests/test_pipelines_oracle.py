@@ -99,6 +99,7 @@ QUERIES = [
     "decontaminate_embedding",                  # embedding-space decon
     "inverted_index",                           # capped postings build
     "farthest_point_sample",                    # k-center coreset greedy
+    "id_gaps",                                  # range-partitioned gaps
 ]
 
 

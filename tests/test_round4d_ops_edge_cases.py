@@ -152,3 +152,26 @@ def test_farthest_point_sample_dups_and_ties(ray_session, tmp_path):
     sf = _write_sf(tmp_path, embeddings=emb)
     _compare(sf, farthest_point_sample(sf, k=5),
              farthest_point_sample_oracle_sql(k=5))
+
+
+def test_id_gaps_bucket_boundaries(ray_session, tmp_path):
+    """A gap spanning a whole (empty) bucket is stitched into ONE
+    range; adjacent ids produce no gap; duplicate ids produce no
+    phantom gap; a gap exactly at a bucket boundary is found once.
+    parts=4 over a 0..99 domain forces the cross-bucket paths."""
+    from whakoom_webscrapper_ray.pipelines.dataops import (
+        id_gaps, id_gaps_oracle_sql)
+
+    # buckets of width 25: [0,25) [25,50) [50,75) [75,100)
+    ids = [0, 1, 2, 24, 26,          # interior gap 3-23, boundary 25
+           49, 50,                   # adjacent across boundary: no gap
+           52, 52,                   # duplicate id: no phantom gap
+           99]                       # 53-98 spans two buckets + stitch
+    events = pa.table({
+        "event_id": pa.array(ids, pa.int64()),
+        "event_type": pa.array(["click"] * len(ids)),
+        "user_id": pa.array([1] * len(ids), pa.int64()),
+        "ts": _us(*(["2024-01-01T00:00:00"] * len(ids))),
+    })
+    sf = _write_sf(tmp_path, events=events)
+    _compare(sf, id_gaps(sf, parts=4), id_gaps_oracle_sql())

@@ -5009,3 +5009,115 @@ SELECT user_id, event_type, count(*) AS n_events,
          AS n_burst
 FROM w GROUP BY 1, 2
 """
+
+
+# ------------------------------------------ sequence-completeness audit
+def id_gaps(sf_dir: str, event_type: str = "click",
+            parts: int = 64) -> ray.data.Dataset:
+    """(gap_start, gap_end): the missing event_id ranges inside one
+    event type's stream — the sequence-completeness / data-loss audit
+    run after an ingest (a gap in a per-type dense id sequence means
+    dropped records).
+
+    Scale shape: RANGE partitioning, the one exchange discipline the
+    rest of the suite doesn't exercise — order statistics need
+    neighboring ids co-located, so ids bucket by ``(id - lo) // width``
+    (hash would scatter neighbors).  Per bucket one sort + diff finds
+    interior gaps; the ≤ ``parts`` per-bucket (min, max) summaries
+    stitch cross-bucket gaps driver-side, and buckets that are entirely
+    missing fall out of consecutive-summary comparison for free.  The
+    filtered id column is materialized once (8 B/row) to feed the
+    min/max probe and the bucketed pass without re-reading.
+    """
+    from .common import collect_small
+
+    ev = read(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def only(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["event_type"], event_type)
+        return pa.table({
+            "event_id": pc.cast(b.filter(m)["event_id"], pa.int64())})
+
+    ids = ev.map_batches(only, batch_format="pyarrow").materialize()
+
+    mm_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64())])
+
+    def block_mm(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return mm_schema.empty_table()
+        v = b["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"lo": pa.array([int(v.min())], pa.int64()),
+                         "hi": pa.array([int(v.max())], pa.int64())})
+
+    mm = collect_small(
+        ids.map_batches(block_mm, batch_format="pyarrow"), mm_schema)
+    gap_schema = pa.schema([("gap_start", pa.int64()),
+                            ("gap_end", pa.int64())])
+    if mm.num_rows == 0:
+        return ray.data.from_arrow(gap_schema.empty_table())
+    lo = int(pc.min(mm["lo"]).as_py())
+    hi = int(pc.max(mm["hi"]).as_py())
+    width = max(1, (hi - lo) // parts + 1)
+
+    def bucketed(b: pa.Table) -> pa.Table:
+        v = b["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": b["event_id"],
+            "bucket": pa.array((v - lo) // width, pa.int64()),
+        })
+
+    sweep_schema = pa.schema([("gap_start", pa.int64()),
+                              ("gap_end", pa.int64()),
+                              ("kind", pa.int8())])
+
+    def sweep(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return sweep_schema.empty_table()
+        v = np.sort(g["event_id"].to_numpy(zero_copy_only=False))
+        d = np.flatnonzero(np.diff(v) > 1)
+        gs = np.concatenate([v[d] + 1, [v[0]]])
+        ge = np.concatenate([v[d + 1] - 1, [v[-1]]])
+        kind = np.zeros(gs.size, np.int8)
+        kind[-1] = 1  # (bucket min, bucket max) summary row
+        return pa.table({"gap_start": pa.array(gs, pa.int64()),
+                         "gap_end": pa.array(ge, pa.int64()),
+                         "kind": pa.array(kind, pa.int8())})
+
+    swept = (
+        ids.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sweep, batch_format="pyarrow")
+        .materialize()
+    )
+
+    summaries = collect_small(
+        swept.map_batches(
+            lambda b: b.filter(pc.equal(b["kind"], 1)),
+            batch_format="pyarrow"),
+        sweep_schema)
+    smin = summaries["gap_start"].to_numpy(zero_copy_only=False)
+    smax = summaries["gap_end"].to_numpy(zero_copy_only=False)
+    order = np.argsort(smin)
+    smin, smax = smin[order], smax[order]
+    cross = np.flatnonzero(smin[1:] - smax[:-1] > 1)
+    boundary = pa.table({
+        "gap_start": pa.array(smax[cross] + 1, pa.int64()),
+        "gap_end": pa.array(smin[cross + 1] - 1, pa.int64()),
+    })
+
+    interior = swept.map_batches(
+        lambda b: b.filter(pc.equal(b["kind"], 0)).select(
+            ["gap_start", "gap_end"]),
+        batch_format="pyarrow")
+    return interior.union(ray.data.from_arrow(boundary))
+
+
+def id_gaps_oracle_sql(event_type: str = "click") -> str:
+    return f"""
+WITH c AS (SELECT event_id FROM events
+           WHERE event_type = '{event_type}'),
+w AS (SELECT event_id,
+             lead(event_id) OVER (ORDER BY event_id) AS nx FROM c)
+SELECT event_id + 1 AS gap_start, nx - 1 AS gap_end
+FROM w WHERE nx - event_id > 1
+"""
