@@ -169,10 +169,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     sampling family, ANN variants) — their changed shared machinery is
     exercised by in-cap companions, and every entry keeps its oracle
     regardless of position (tools/check_oracle.py runs all of them).
-    The operators landed after the cap filled (burst_events,
-    fk_integrity_report, then bigram_assoc .. kll_token_quantiles)
-    LEAD the beyond-cap region so the next rotation promotes them
-    first; all are green under the local gate at sf0.01 this session.
+    The operators landed after the cap filled (burst_events ..
+    id_gaps, then bigram_assoc .. kll_token_quantiles) LEAD the
+    beyond-cap region so the next rotation promotes them first; all
+    are green under the local gate at sf0.01 this session.
     """
     return {
         # ---- NEW this round (driver rows needed first)
