@@ -176,6 +176,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """
     return {
         # ---- NEW this round (driver rows needed first)
+        "event_transitions": _do.event_transitions,
+        "user_set_ops": _do.user_set_ops,
+        "qty_price_moments": _do.qty_price_moments,
+        "source_dup_matrix": _dd.source_dup_matrix,
         "ship_window_join": _do.ship_window_join,
         "ship_disorder": _do.ship_disorder,
         "shipping_priority_topk": _do.shipping_priority_topk,
@@ -438,6 +442,10 @@ def oracle_sql() -> dict[str, str]:
         # bucket, so the signature/probe/merge machinery must equal the
         # exact top-k (the radius<n_bits path is the recall pytest)
         "ann_lsh_fullprobe": _ann.oracle_ann_topk(),
+        "event_transitions": _do.ORACLE_EVENT_TRANSITIONS,
+        "user_set_ops": _do.ORACLE_USER_SET_OPS,
+        "qty_price_moments": _do.ORACLE_QTY_PRICE_MOMENTS,
+        "source_dup_matrix": _dd.ORACLE_SOURCE_DUP_MATRIX,
         "docs_filter_project": _do.ORACLE_DOCS_FILTER,
         "pricing_summary": _do.ORACLE_PRICING_SUMMARY,
         "top_customers": _do.ORACLE_TOP_CUSTOMERS,

@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "value_moving_avg", "nation_trade_matrix",
     "burst_events", "fk_integrity_report", "decontaminate_embedding",
     "inverted_index", "farthest_point_sample", "id_gaps",
+    "event_transitions", "user_set_ops", "qty_price_moments",
+    "source_dup_matrix",
 ]
 
 

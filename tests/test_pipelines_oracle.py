@@ -100,6 +100,10 @@ QUERIES = [
     "inverted_index",                           # capped postings build
     "farthest_point_sample",                    # k-center coreset greedy
     "id_gaps",                                  # range-partitioned gaps
+    "event_transitions",                        # Markov transition matrix
+    "user_set_ops",                             # key-set Venn split
+    "qty_price_moments",                        # mergeable 2nd moments
+    "source_dup_matrix",                        # cross-feed contamination
 ]
 
 

@@ -1,0 +1,147 @@
+"""Edge-case conformance for event_transitions, user_set_ops,
+qty_price_moments and source_dup_matrix.
+
+Same harness as test_new_ops_edge_cases.py: adversarial tiny tables,
+Ray == DuckDB on the exact oracle SQL the driver runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from tests.test_new_ops_edge_cases import _compare, _write_sf
+
+
+def _us(*stamps: str) -> pa.Array:
+    return pa.array([np.datetime64(s, "us") for s in stamps],
+                    pa.timestamp("us"))
+
+
+def test_event_transitions_ties_boundaries_and_floor(
+        ray_session, tmp_path):
+    """Equal timestamps order by event_id; the first event of each user
+    emits NO transition (no cross-user bleed); pct_bp is FLOOR basis
+    points (1/3 -> 3333); a single-event user contributes nothing."""
+    from whakoom_webscrapper_ray.pipelines.dataops import (
+        ORACLE_EVENT_TRANSITIONS, event_transitions)
+
+    events = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+        # user 1: a -> b -> c -> a with a TIE between b and c resolved
+        # by event_id; user 2: a -> b; user 3: singleton.
+        "event_type": pa.array(["a", "b", "c", "a", "a", "b", "z"]),
+        "ts": _us("2024-01-01T00:00:00", "2024-01-01T00:01:00",
+                  "2024-01-01T00:01:00", "2024-01-01T00:02:00",
+                  "2024-01-01T00:00:00", "2024-01-01T00:00:01",
+                  "2024-01-01T00:00:00"),
+    })
+    sf = _write_sf(tmp_path, events=events)
+    _compare(sf, event_transitions(sf, parts=4),
+             ORACLE_EVENT_TRANSITIONS)
+
+
+def test_event_transitions_floor_division(ray_session, tmp_path):
+    """3 outgoing transitions from 'a' split 2/1: pct_bp must be the
+    floored 6666/3333, never a rounded 6667."""
+    from whakoom_webscrapper_ray.pipelines.dataops import (
+        ORACLE_EVENT_TRANSITIONS, event_transitions)
+
+    events = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "user_id": pa.array([1, 1, 2, 2, 3, 3], pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "b", "a", "c"]),
+        "ts": _us(*["2024-01-01T00:00:00", "2024-01-01T00:00:01"] * 3),
+    })
+    sf = _write_sf(tmp_path, events=events)
+    _compare(sf, event_transitions(sf, parts=2),
+             ORACLE_EVENT_TRANSITIONS)
+
+
+def test_user_set_ops_venn_and_duplicates(ray_session, tmp_path):
+    """Duplicated keys on either side count ONCE; a key in both tables
+    lands in 'both' only; empty segments are absent, not zero rows."""
+    from whakoom_webscrapper_ray.pipelines.dataops import (
+        ORACLE_USER_SET_OPS, user_set_ops)
+
+    orders = pa.table({
+        "o_custkey": pa.array([1, 1, 2, 3, 3, 3], pa.int64()),
+        "o_orderkey": pa.array([10, 11, 12, 13, 14, 15], pa.int64()),
+    })
+    events = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([3, 3, 4, 5], pa.int64()),
+    })
+    sf = _write_sf(tmp_path, orders=orders, events=events)
+    _compare(sf, user_set_ops(sf, parts=4), ORACLE_USER_SET_OPS)
+
+
+def test_user_set_ops_one_side_only(ray_session, tmp_path):
+    """With disjoint key sets the 'both' segment must not appear."""
+    from whakoom_webscrapper_ray.pipelines.dataops import (
+        ORACLE_USER_SET_OPS, user_set_ops)
+
+    orders = pa.table({
+        "o_custkey": pa.array([1, 2], pa.int64()),
+        "o_orderkey": pa.array([10, 11], pa.int64()),
+    })
+    events = pa.table({
+        "event_id": pa.array([1], pa.int64()),
+        "user_id": pa.array([9], pa.int64()),
+    })
+    sf = _write_sf(tmp_path, orders=orders, events=events)
+    _compare(sf, user_set_ops(sf, parts=2), ORACLE_USER_SET_OPS)
+
+
+def test_qty_price_moments_exact_cents_and_cov_sign(
+        ray_session, tmp_path):
+    """Prices go through the floor-cents contract (10.009 -> 1000);
+    the covariance numerator must come out negative for an
+    anti-correlated group and zero for a constant-quantity group."""
+    from whakoom_webscrapper_ray.pipelines.dataops import (
+        ORACLE_QTY_PRICE_MOMENTS, qty_price_moments)
+
+    lineitem = pa.table({
+        "l_returnflag": pa.array(["A", "A", "A", "B", "B"]),
+        "l_linestatus": pa.array(["F", "F", "F", "O", "O"]),
+        # group A/F: qty up, price down -> cov_num < 0
+        "l_quantity": pa.array([1.0, 2.0, 3.0, 5.0, 5.0]),
+        "l_extendedprice": pa.array(
+            [30.009, 20.004, 10.001, 7.77, 9.99]),
+    })
+    sf = _write_sf(tmp_path, lineitem=lineitem)
+    res = qty_price_moments(sf).to_pandas()
+    a = res[(res.l_returnflag == "A")].iloc[0]
+    assert a.cov_num_cents < 0
+    b = res[(res.l_returnflag == "B")].iloc[0]
+    assert b.cov_num_cents == 0  # constant quantity -> zero covariance
+    _compare(sf, qty_price_moments(sf), ORACLE_QTY_PRICE_MOMENTS)
+
+
+def test_source_dup_matrix_pairs_and_prefix(ray_session, tmp_path):
+    """A prefix shared by three sources yields all three unordered
+    pairs; duplication WITHIN one source yields no pair; texts that
+    diverge only after the 120-char prefix still collide; multi-byte
+    characters slice by CHARACTER on both sides."""
+    from whakoom_webscrapper_ray.pipelines.dedup import (
+        ORACLE_SOURCE_DUP_MATRIX, source_dup_matrix)
+
+    head = "ñ" * 120  # multi-byte prefix, same first 120 chars
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "text": pa.array([
+            head + "tail-one", head + "tail-two", head + "tail-three",
+            "unique to s1", "unique to s1",  # intra-source dup: no pair
+            "short", "short",                # cross-source short text
+        ]),
+        "source": pa.array(
+            ["s1", "s2", "s3", "s1", "s1", "s2", "s3"]),
+    })
+    sf = _write_sf(tmp_path, documents=docs)
+    res = source_dup_matrix(sf, parts=4).to_pandas()
+    pairs = set(zip(res.source_a, res.source_b))
+    assert ("s1", "s2") in pairs and ("s1", "s3") in pairs \
+        and ("s2", "s3") in pairs
+    _compare(sf, source_dup_matrix(sf, parts=4),
+             ORACLE_SOURCE_DUP_MATRIX)

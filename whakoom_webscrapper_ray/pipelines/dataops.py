@@ -5121,3 +5121,273 @@ w AS (SELECT event_id,
 SELECT event_id + 1 AS gap_start, nx - 1 AS gap_end
 FROM w WHERE nx - event_id > 1
 """
+
+
+# ------------------------------------------------- event transitions
+def event_transitions(sf_dir: str, parts: int = 64) -> ray.data.Dataset:
+    """(prev_type, event_type, n_trans, pct_bp): the Markov transition
+    matrix of per-user event sequences — how often each event type
+    follows each other type, with the row-conditional probability in
+    integer basis points (n·10000 // row-total, exact).
+
+    The behavioral generalization of the reference's per-item status
+    progression (pending → completed sweep, pipelines.py:93-100): at
+    corpus scale the "what follows what" table is the session-model
+    input.  Scale shape: ONE exchange — events hash-partition by user
+    (mix64, same layout as sessionize), each partition lexsorts its
+    users' histories once and counts adjacent (prev, next) type pairs
+    vectorized; per-partition partials are (≤ types²)-row tables, so
+    the final groupby moves a few hundred rows no matter the corpus
+    size.  The pct_bp normalization runs per prev_type on the tiny
+    merged matrix.
+    """
+    from whakoom_webscrapper_ray.pipelines.text import mix64
+
+    ev = read(sf_dir, "events",
+              columns=["user_id", "ts", "event_id", "event_type"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": b["user_id"],
+            "t": pc.cast(b["ts"], pa.int64()),
+            "e": b["event_id"],
+            "k": b["event_type"],
+            "part": pa.array(
+                (mix64(u.view(np.uint64)) % np.uint64(parts)).astype(
+                    np.int64)),
+        })
+
+    part_schema = pa.schema([
+        ("prev_type", pa.string()), ("event_type", pa.string()),
+        ("n_p", pa.int64()),
+    ])
+
+    def count_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return part_schema.empty_table()
+        u = g["u"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        e = g["e"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, u))
+        u = u[order]
+        k = g["k"].to_numpy(zero_copy_only=False)[order]
+        ks, code = np.unique(k, return_inverse=True)
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return part_schema.empty_table()
+        # combined (prev, next) code; type cardinality is tiny so the
+        # product never approaches int64.
+        pair = code[:-1][same] * np.int64(ks.size) + code[1:][same]
+        up, n = np.unique(pair, return_counts=True)
+        return pa.table({
+            "prev_type": pa.array(ks[up // ks.size], pa.string()),
+            "event_type": pa.array(ks[up % ks.size], pa.string()),
+            "n_p": pa.array(n.astype(np.int64), pa.int64()),
+        })
+
+    counted = two_phase_agg(
+        ev.map_batches(keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(count_pairs, batch_format="pyarrow"),
+        keys=["prev_type", "event_type"], sums={"n_p": "n_trans"},
+    )
+
+    out_schema = pa.schema([
+        ("prev_type", pa.string()), ("event_type", pa.string()),
+        ("n_trans", pa.int64()), ("pct_bp", pa.int64()),
+    ])
+
+    def normalize(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        n = g["n_trans"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "prev_type": g["prev_type"],
+            "event_type": g["event_type"],
+            "n_trans": pa.array(n, pa.int64()),
+            "pct_bp": pa.array(n * 10000 // n.sum(), pa.int64()),
+        })
+
+    # the matrix is ≤ types² rows — the per-prev normalization groupby
+    # is a driver-scale formality, not a data-plane shuffle.
+    return counted.groupby("prev_type").map_groups(
+        normalize, batch_format="pyarrow")
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH s AS (
+  SELECT event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+), t AS (
+  SELECT prev_type, event_type, count(*) AS n
+  FROM s WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, event_type, CAST(n AS BIGINT) AS n_trans,
+       CAST(n * 10000 // sum(n) OVER (PARTITION BY prev_type)
+            AS BIGINT) AS pct_bp
+FROM t
+"""
+
+
+# ------------------------------------------------- key-set Venn split
+def user_set_ops(sf_dir: str, parts: int = 64) -> ray.data.Dataset:
+    """(segment, n_users): the Venn split of the orders customer-key
+    set against the events user-key set — how many ids appear only as
+    purchasers, only as event actors, or as both.
+
+    The distributed form of the reference's seen-set membership test
+    (pipelines.py:32-34) applied across TWO corpora: a full outer
+    key-set comparison without materializing either side.  Scale
+    shape: each side collapses to per-block distinct keys tagged with
+    a side bit (map-side partial), then ONE hash exchange co-locates
+    equal keys; each partition ORs the bits per key and emits three
+    partial counters, so the final aggregate moves 3 rows per
+    partition.  Keys-only shuffle: ~9 B/id, never the parent rows.
+    """
+    from whakoom_webscrapper_ray.pipelines.text import mix64
+
+    def tagged(col: str, bit: int):
+        def fn(b: pa.Table) -> pa.Table:
+            u = np.unique(b[col].to_numpy(zero_copy_only=False))
+            return pa.table({
+                "k": pa.array(u, pa.int64()),
+                "bit": pa.array(np.full(u.size, bit, np.int8)),
+                "part": pa.array(
+                    (mix64(u.view(np.uint64)) % np.uint64(parts))
+                    .astype(np.int64)),
+            })
+        return fn
+
+    both = (
+        read(sf_dir, "orders", columns=["o_custkey"])
+        .map_batches(tagged("o_custkey", 1), batch_format="pyarrow")
+        .union(
+            read(sf_dir, "events", columns=["user_id"])
+            .map_batches(tagged("user_id", 2), batch_format="pyarrow"))
+    )
+
+    part_schema = pa.schema([("segment", pa.string()),
+                             ("n_p", pa.int64())])
+    names = np.array(["", "orders_only", "events_only", "both"])
+
+    def venn(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return part_schema.empty_table()
+        k = g["k"].to_numpy(zero_copy_only=False)
+        b = g["bit"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(k, return_inverse=True)
+        bits = np.zeros(uk.size, dtype=np.int8)
+        np.bitwise_or.at(bits, inv, b)
+        n = np.bincount(bits, minlength=4)[1:]
+        keep = n > 0
+        return pa.table({
+            "segment": pa.array(names[1:][keep], pa.string()),
+            "n_p": pa.array(n[keep].astype(np.int64), pa.int64()),
+        })
+
+    return two_phase_agg(
+        both.groupby("part").map_groups(venn, batch_format="pyarrow"),
+        keys=["segment"], sums={"n_p": "n_users"},
+    )
+
+
+ORACLE_USER_SET_OPS = """
+WITH o AS (SELECT DISTINCT o_custkey AS k FROM orders),
+     e AS (SELECT DISTINCT user_id AS k FROM events),
+     u AS (SELECT (o.k IS NOT NULL) AS in_o, (e.k IS NOT NULL) AS in_e
+           FROM o FULL OUTER JOIN e ON o.k = e.k)
+SELECT CASE WHEN in_o AND in_e THEN 'both'
+            WHEN in_o THEN 'orders_only'
+            ELSE 'events_only' END AS segment,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM u GROUP BY 1
+"""
+
+
+# ------------------------------------------------- grouped moments
+def qty_price_moments(sf_dir: str) -> ray.data.Dataset:
+    """(l_returnflag, l_linestatus, n_rows, sum_qty, sum_price_cents,
+    sum_qty_price_cents, cov_num_cents): the mergeable second-moment
+    sketch of (quantity, price) per flag/status group, with the
+    covariance numerator n·Σxy − Σx·Σy evaluated exactly.
+
+    The one-pass distributed-statistics primitive: every downstream
+    estimator (variance, covariance, Pearson r, OLS slope) is a pure
+    function of these partials, and partials MERGE — the map side
+    collapses each block to ≤|groups| rows before the exchange, so
+    the shuffle is group-count-sized regardless of corpus size.
+    Quantities are small integers and prices go through the
+    floor-cents contract, so every sum is exact int64 (Σxy per row ≤
+    5·10⁸; the int64 headroom holds to ~10¹⁰ rows per group — beyond
+    that promote the merge to Python ints).  cov_num is finished on
+    the merged group totals in object-precision Python ints and
+    asserted back into int64, mirroring the oracle's HUGEINT
+    evaluation.
+    """
+    li = read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_linestatus", "l_quantity",
+                       "l_extendedprice"])
+
+    def moments(b: pa.Table) -> pa.Table:
+        q = pc.cast(b["l_quantity"], pa.int64())
+        p = _floor_cents(b["l_extendedprice"])
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "q": q, "p": p,
+            "qp": pc.multiply_checked(q, p),
+        })
+
+    merged = two_phase_agg(
+        li.map_batches(moments, batch_format="pyarrow"),
+        keys=["l_returnflag", "l_linestatus"],
+        sums={"q": "sum_qty", "p": "sum_price_cents",
+              "qp": "sum_qty_price_cents"},
+        count_alias="n_rows",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n_rows"].to_numpy(zero_copy_only=False)
+        sq = b["sum_qty"].to_numpy(zero_copy_only=False)
+        sp = b["sum_price_cents"].to_numpy(zero_copy_only=False)
+        sqp = b["sum_qty_price_cents"].to_numpy(zero_copy_only=False)
+        cov = [int(nn) * int(xy) - int(x) * int(y)
+               for nn, xy, x, y in zip(n, sqp, sq, sp)]
+        assert all(-2**63 <= c < 2**63 for c in cov), \
+            "cov numerator exceeds int64: widen the output type"
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "n_rows": pa.array(n, pa.int64()),
+            "sum_qty": pa.array(sq, pa.int64()),
+            "sum_price_cents": pa.array(sp, pa.int64()),
+            "sum_qty_price_cents": pa.array(sqp, pa.int64()),
+            "cov_num_cents": pa.array(cov, pa.int64()),
+        })
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_QTY_PRICE_MOMENTS = """
+WITH c AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS p
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag, l_linestatus,
+         count(*) AS n, sum(q) AS sq, sum(p) AS sp, sum(q * p) AS sqp
+  FROM c GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(sq AS BIGINT) AS sum_qty,
+       CAST(sp AS BIGINT) AS sum_price_cents,
+       CAST(sqp AS BIGINT) AS sum_qty_price_cents,
+       CAST(n * sqp - sq * sp AS BIGINT) AS cov_num_cents
+FROM s
+"""

@@ -1978,3 +1978,105 @@ WHERE list_cosine_similarity(
         CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
       ) >= 0.45
 """
+
+
+# --------------------------------------------- cross-source dup matrix
+def source_dup_matrix(sf_dir: str, parts: int = 64,
+                      prefix_chars: int = 120) -> ray.data.Dataset:
+    """(source_a, source_b, shared_digests): for every unordered source
+    pair, the number of distinct head fingerprints (md5 of the first
+    ``prefix_chars`` characters) that occur in BOTH — the
+    contamination matrix between ingestion feeds (which crawls are
+    re-serving each other's pages or boilerplate).
+
+    The prefix digest is the classic cheap blocking key: shared
+    headers/boilerplate collide on it long before whole documents are
+    byte-identical, so the matrix has signal where exact whole-text
+    sharing is still empty.  Complements dedup_report (per-source dup
+    impact) with the BETWEEN-source view.  Scale shape: digests-only,
+    like exact_dedup — each block collapses to distinct (md5, source)
+    pairs map-side, one hash exchange on the digest co-locates all
+    sources of a prefix, and each partition emits C(s,2) pair partials
+    per digest (s is bounded by the source-label cardinality, a
+    handful, so the expansion is a constant factor, never quadratic in
+    rows).  The final aggregate moves ≤ sources² rows per partition.
+    """
+    import pandas as pd
+
+    def tagged(b: pa.Table) -> pa.Table:
+        digests = [
+            hashlib.md5(t[:prefix_chars].encode("utf-8")).hexdigest()
+            for t in b["text"].to_pylist()
+        ]
+        t = pa.table({"h": pa.array(digests, pa.string()),
+                      "source": b["source"]})
+        g = pa.TableGroupBy(t, ["h", "source"]).aggregate([])
+        h = pd.util.hash_array(
+            np.asarray(g["h"].to_numpy(zero_copy_only=False),
+                       dtype=object)).astype(np.uint64)
+        return pa.table({
+            "h": g["h"], "source": g["source"],
+            "part": pa.array((h % np.uint64(parts)).astype(np.int64)),
+        })
+
+    part_schema = pa.schema([
+        ("source_a", pa.string()), ("source_b", pa.string()),
+        ("n_p", pa.int64()),
+    ])
+
+    def pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return part_schema.empty_table()
+        h = g["h"].to_numpy(zero_copy_only=False)
+        s = g["source"].to_numpy(zero_copy_only=False)
+        ss, scode = np.unique(s, return_inverse=True)
+        uh, hcode = np.unique(h, return_inverse=True)
+        # distinct (digest, source) combos, then count source-pair
+        # co-occurrence per digest via the sorted run structure.
+        combo = np.unique(hcode.astype(np.int64) * ss.size + scode)
+        hc, sc = combo // ss.size, combo % ss.size
+        out_a, out_b = [], []
+        # sources per digest is bounded by |ss| (tiny); expand pairs
+        # digest-run by offset arithmetic, vectorized over runs of
+        # equal length.
+        run_starts = np.flatnonzero(np.r_[True, hc[1:] != hc[:-1]])
+        run_lens = np.diff(np.r_[run_starts, hc.size])
+        for ln in np.unique(run_lens):
+            if ln < 2:
+                continue
+            starts = run_starts[run_lens == ln]
+            block = sc[starts[:, None] + np.arange(ln)]
+            ia, ib = np.triu_indices(int(ln), k=1)
+            out_a.append(block[:, ia].ravel())
+            out_b.append(block[:, ib].ravel())
+        if not out_a:
+            return part_schema.empty_table()
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        pair = a * np.int64(ss.size) + b
+        up, n = np.unique(pair, return_counts=True)
+        return pa.table({
+            "source_a": pa.array(ss[up // ss.size], pa.string()),
+            "source_b": pa.array(ss[up % ss.size], pa.string()),
+            "n_p": pa.array(n.astype(np.int64), pa.int64()),
+        })
+
+    from .common import two_phase_agg
+
+    return two_phase_agg(
+        read(sf_dir, "documents", columns=["text", "source"])
+        .map_batches(tagged, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs, batch_format="pyarrow"),
+        keys=["source_a", "source_b"], sums={"n_p": "shared_digests"},
+    )
+
+
+ORACLE_SOURCE_DUP_MATRIX = """
+WITH d AS (SELECT DISTINCT md5(substr(text, 1, 120)) AS h, source
+           FROM documents)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS shared_digests
+FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2
+"""
