@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_set_ops": _do.user_set_ops,
         "qty_price_moments": _do.qty_price_moments,
         "source_dup_matrix": _dd.source_dup_matrix,
+        "snapshot_diff": _dd.snapshot_diff,
         "ship_window_join": _do.ship_window_join,
         "ship_disorder": _do.ship_disorder,
         "shipping_priority_topk": _do.shipping_priority_topk,
@@ -446,6 +447,7 @@ def oracle_sql() -> dict[str, str]:
         "user_set_ops": _do.ORACLE_USER_SET_OPS,
         "qty_price_moments": _do.ORACLE_QTY_PRICE_MOMENTS,
         "source_dup_matrix": _dd.ORACLE_SOURCE_DUP_MATRIX,
+        "snapshot_diff": _dd.ORACLE_SNAPSHOT_DIFF,
         "docs_filter_project": _do.ORACLE_DOCS_FILTER,
         "pricing_summary": _do.ORACLE_PRICING_SUMMARY,
         "top_customers": _do.ORACLE_TOP_CUSTOMERS,

@@ -104,6 +104,7 @@ QUERIES = [
     "user_set_ops",                             # key-set Venn split
     "qty_price_moments",                        # mergeable 2nd moments
     "source_dup_matrix",                        # cross-feed contamination
+    "snapshot_diff",                            # incremental recrawl diff
 ]
 
 

@@ -145,3 +145,26 @@ def test_source_dup_matrix_pairs_and_prefix(ray_session, tmp_path):
         and ("s2", "s3") in pairs
     _compare(sf, source_dup_matrix(sf, parts=4),
              ORACLE_SOURCE_DUP_MATRIX)
+
+
+def test_snapshot_diff_statuses(ray_session, tmp_path):
+    """All four fates in one table: doc 17 removed (only in old),
+    doc 11 added (only in new), doc 13 changed (stale old body),
+    doc 1 unchanged (absent from the delta); ids divisible by both
+    11 and 17 appear in NEITHER snapshot and must not surface."""
+    from whakoom_webscrapper_ray.pipelines.dedup import (
+        ORACLE_SNAPSHOT_DIFF, snapshot_diff)
+
+    ids = [1, 11, 13, 17, 11 * 17, 26]
+    docs = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([f"body of {i}" for i in ids]),
+        "source": pa.array(["s"] * len(ids)),
+    })
+    sf = _write_sf(tmp_path, documents=docs)
+    res = snapshot_diff(sf, parts=4).to_pandas()
+    by = dict(zip(res.doc_id, res.status))
+    assert by[11] == "added" and by[17] == "removed"
+    assert by[13] == "changed" and by[26] == "changed"
+    assert 1 not in by and 11 * 17 not in by
+    _compare(sf, snapshot_diff(sf, parts=4), ORACLE_SNAPSHOT_DIFF)

@@ -2080,3 +2080,111 @@ SELECT a.source AS source_a, b.source AS source_b,
 FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------- incremental crawl diff
+def snapshot_diff(sf_dir: str, parts: int = 64) -> ray.data.Dataset:
+    """(doc_id, status): the incremental-recrawl diff — which documents
+    were added, removed, or changed between two crawl snapshots.  The
+    corpus-scale generalization of the reference's upsert semantics
+    (queries/lists.sql INSERT_OR_UPDATE + the pending→completed sweep):
+    a recrawl only needs to touch this delta.
+
+    Both snapshots derive deterministically from the documents table so
+    tests and the oracle see identical inputs: the NEW snapshot drops
+    doc_id % 17 == 0 (those now read as removed), the OLD snapshot
+    drops doc_id % 11 == 0 (those now read as added) and carries a
+    stale body for doc_id % 13 == 0 (those read as changed).
+    Unchanged docs are excluded, so the output is delta-sized.
+
+    Scale shape: digests-only, the exact_dedup discipline — each block
+    computes per-side md5 map-side and ships (doc_id, digest16, side)
+    ≈ 25 B/doc into ONE hash exchange on doc_id; each partition
+    resolves presence + digest equality vectorized.  Neither snapshot
+    is ever materialized; at 100 TB the shuffle moves digests, not
+    documents.
+    """
+    from whakoom_webscrapper_ray.pipelines.text import mix64
+
+    def sides(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        new_mask = did % 17 != 0
+        old_mask = did % 11 != 0
+        stale = did % 13 == 0
+
+        def dig(t: str) -> bytes:
+            return hashlib.md5(t.encode("utf-8")).digest()
+
+        base = [dig(t) for t in texts]
+        old_dig = [dig(texts[i] + " v1") if stale[i] else base[i]
+                   for i in range(len(texts))]
+        ids = np.concatenate([did[new_mask], did[old_mask]])
+        side = np.concatenate([
+            np.ones(int(new_mask.sum()), np.int8),
+            np.full(int(old_mask.sum()), 2, np.int8)])
+        digs = ([base[i] for i in np.flatnonzero(new_mask)]
+                + [old_dig[i] for i in np.flatnonzero(old_mask)])
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "side": pa.array(side, pa.int8()),
+            "dig": pa.array(digs, pa.binary(16)),
+            "part": pa.array(
+                (mix64(ids.view(np.uint64)) % np.uint64(parts))
+                .astype(np.int64)),
+        })
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("status", pa.string())])
+
+    def resolve(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        did = g["doc_id"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, did))
+        did, side = did[order], side[order]
+        dig = g["dig"].take(pa.array(order)).to_numpy(
+            zero_copy_only=False)
+        uk, start = np.unique(did, return_index=True)
+        cnt = np.diff(np.r_[start, did.size])
+        status = np.empty(uk.size, dtype=object)
+        single = cnt == 1
+        # lone row: side 1 = only in new (added), side 2 = removed
+        status[single & (side[start] == 1)] = "added"
+        status[single & (side[start] == 2)] = "removed"
+        both = ~single
+        changed = np.zeros(uk.size, dtype=bool)
+        bs = start[both]
+        changed[both] = dig[bs] != dig[bs + 1]
+        status[both & changed] = "changed"
+        keep = single | changed
+        return pa.table({
+            "doc_id": pa.array(uk[keep], pa.int64()),
+            "status": pa.array(status[keep].tolist(), pa.string()),
+        })
+
+    return (
+        read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(sides, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH new AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 17 <> 0
+), old AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v1'
+                  ELSE text END) AS h
+  FROM documents WHERE doc_id % 11 <> 0
+)
+SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM new n FULL OUTER JOIN old o ON n.doc_id = o.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR n.h <> o.h
+"""
