@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_price_moments": _do.qty_price_moments,
         "source_dup_matrix": _dd.source_dup_matrix,
         "snapshot_diff": _dd.snapshot_diff,
+        "lang_hll_vocab": _tx.lang_hll_vocab,
         "ship_window_join": _do.ship_window_join,
         "ship_disorder": _do.ship_disorder,
         "shipping_priority_topk": _do.shipping_priority_topk,

@@ -79,7 +79,7 @@ BENCH_QUERIES = [
     "burst_events", "fk_integrity_report", "decontaminate_embedding",
     "inverted_index", "farthest_point_sample", "id_gaps",
     "event_transitions", "user_set_ops", "qty_price_moments",
-    "source_dup_matrix", "snapshot_diff",
+    "source_dup_matrix", "snapshot_diff", "lang_hll_vocab",
 ]
 
 

@@ -226,6 +226,22 @@ def test_hll_vocab_error_bound(ray_session):
     assert abs(est - exact) / exact < 0.05
 
 
+def test_lang_hll_vocab_error_bound(ray_session):
+    """Per-language HLL estimates within 5% of the exact per-language
+    distinct-token counts (lang_vocab), for every language present."""
+    from whakoom_webscrapper_ray.pipelines.text import (
+        lang_hll_vocab, lang_vocab)
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r["lang"]: r["vocab"] for r in lang_vocab(sf).take_all()}
+    est = {r["lang"]: r["vocab_estimate"]
+           for r in lang_hll_vocab(sf).take_all()}
+    assert set(est) == set(exact)
+    for lg, ex in exact.items():
+        assert ex > 0
+        assert abs(est[lg] - ex) / ex < 0.05, (lg, est[lg], ex)
+
+
 def _exact_term_counts(sf: str) -> dict[str, int]:
     import pyarrow.parquet as pq
 

@@ -1234,6 +1234,86 @@ def hll_vocab(sf_dir: str, p: int = _HLL_P) -> ray.data.Dataset:
     ))
 
 
+def lang_hll_vocab(sf_dir: str, p: int = _HLL_P) -> ray.data.Dataset:
+    """(lang, vocab_estimate): the GROUPED HyperLogLog — one distinct-
+    token sketch per language, merged in a single (lang, register)
+    groupby.  The per-group form of :func:`hll_vocab`: each block
+    reduces to at most langs x 2**p register rows map-side, registers
+    merge by MAX, and the driver folds langs x 2**p rows — corpus
+    tokens never shuffle (vs :func:`lang_vocab`'s distinct-token
+    exchange), which is the sketch's point at 100 TB where the exact
+    per-language vocabulary no longer fits an exchange comfortably.
+    Approximate by design (same estimator + linear-counting correction
+    as hll_vocab): no SQL oracle; its hard checks are the exact
+    :func:`lang_vocab` companion rows and the relative-error pytest
+    bound (tests/test_text_ops.py).
+    """
+    from ray.data.aggregate import Max
+
+    from .common import collect_small
+
+    m = 1 << p
+
+    def registers(b: pa.Table) -> pa.Table:
+        out_l, out_r, out_h = [], [], []
+        langs = b["lang"].to_numpy(zero_copy_only=False)
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = pc.list_flatten(words).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(words).to_numpy(
+            zero_copy_only=False)
+        h = token_hashes(flat)
+        tok_lang = langs[parent] if h.size else langs[:0]
+        for lg in np.unique(tok_lang):
+            hl = h[tok_lang == lg]
+            idx = (hl >> np.uint64(64 - p)).astype(np.int64)
+            rho = np.minimum(_clz64(hl << np.uint64(p)) + 1, 64 - p + 1)
+            regs = np.zeros(m, dtype=np.int64)
+            np.maximum.at(regs, idx, rho)
+            nz = np.flatnonzero(regs)
+            out_l.append(np.full(nz.size, lg, dtype=object))
+            out_r.append(nz)
+            out_h.append(regs[nz])
+        if not out_l:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "reg": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        return pa.table({
+            "lang": pa.array(np.concatenate(out_l).tolist(), pa.string()),
+            "reg": pa.array(np.concatenate(out_r), pa.int64()),
+            "rho": pa.array(np.concatenate(out_h), pa.int64()),
+        })
+
+    merged = collect_small(
+        read(sf_dir, "documents", columns=["lang", "text"])
+        .map_batches(registers, batch_format="pyarrow")
+        .groupby(["lang", "reg"])
+        .aggregate(Max("rho", alias_name="rho")),
+        pa.schema([("lang", pa.string()), ("reg", pa.int64()),
+                   ("rho", pa.int64())]),
+    )
+    langs = merged["lang"].to_numpy(zero_copy_only=False)
+    reg = merged["reg"].to_numpy(zero_copy_only=False)
+    rho = merged["rho"].to_numpy(zero_copy_only=False)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    out_lang, out_est = [], []
+    for lg in np.unique(langs):
+        sel = langs == lg
+        regs = np.zeros(m, dtype=np.int64)
+        regs[reg[sel]] = rho[sel]
+        est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+        zeros = int(np.count_nonzero(regs == 0))
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)
+        out_lang.append(lg)
+        out_est.append(int(round(est)))
+    return ray.data.from_arrow(pa.table({
+        "lang": pa.array(out_lang, pa.string()),
+        "vocab_estimate": pa.array(out_est, pa.int64()),
+    }))
+
+
 # --------------------------------------------- token co-occurrence
 def cooccurrence_topk(sf_dir: str, window: int = 2, topn: int = 30,
                       parts: int = 64) -> ray.data.Dataset:
