@@ -242,6 +242,26 @@ def test_lang_hll_vocab_error_bound(ray_session):
         assert abs(est[lg] - ex) / ex < 0.05, (lg, est[lg], ex)
 
 
+def test_cms_term_counts_overestimate_and_bound(ray_session):
+    """Count-Min guarantees on the fixture: every estimate is >= the
+    true count (one-sided), and the excess stays within the classic
+    2N/width expectation with 4x slack (depth-4 min)."""
+    from whakoom_webscrapper_ray.pipelines.text import cms_term_counts
+
+    sf = "/root/testdata/sf0.001"
+    exact = _exact_term_counts(sf)
+    n_total = sum(exact.values())
+    width = 1 << 14
+    est = {r["term"]: r["est_count"]
+           for r in cms_term_counts(sf, width=width).take_all()}
+    assert est, "sketch returned no candidates"
+    for t, e in est.items():
+        assert t in exact
+        assert e >= exact[t], (t, e, exact[t])
+        assert e - exact[t] <= max(1, 8 * n_total // width), \
+            (t, e, exact[t], n_total)
+
+
 def _exact_term_counts(sf: str) -> dict[str, int]:
     import pyarrow.parquet as pq
 

@@ -1754,6 +1754,104 @@ def heavy_hitters(sf_dir: str, k: int = _HH_K,
     )
 
 
+_CMS_SEEDS = np.array([0x243F6A8885A308D3, 0x13198A2E03707344,
+                       0xA4093822299F31D0, 0x082EFA98EC4E6C89],
+                      dtype=np.uint64)  # pi digits; one per CMS row
+
+
+def cms_term_counts(sf_dir: str, width: int = 1 << 14,
+                    k: int = _HH_K) -> ray.data.Dataset:
+    """(term, est_count): approximate top-k tokens via a COUNT-MIN
+    sketch (Cormode & Muthukrishnan 2005) — the mergeable
+    fixed-memory counting path, completing the sketch family next to
+    Misra-Gries (:func:`heavy_hitters`), HLL, KLL and Bloom.
+
+    Where MG keeps a bounded set of candidate counters (estimates are
+    UNDER-estimates), CMS keeps a depth x width counter matrix indexed
+    by per-row hashes (estimates are OVER-estimates: est = min over
+    rows >= true, with excess ≤ 2N/width in expectation per row).  The
+    matrix is a pure commutative monoid, so per-block sparse partials
+    merge in ONE (row, idx) groupby whose volume is ≤ depth·width per
+    block regardless of corpus size — tokens never shuffle.
+    Candidates to query come from the same bounded MG compression the
+    heavy_hitters path uses (a CMS cannot enumerate its keys).
+    Approximate BY DESIGN — no SQL oracle; the bit-exact companion is
+    ``term_counts_topk`` and the one-sided overestimate guarantee plus
+    the error bound are property-tested (tests/test_text_ops.py).
+    """
+    from .common import collect_small
+
+    stop = pa.array(STOPWORDS, pa.string())
+    depth = _CMS_SEEDS.size
+
+    def _idx(h: np.ndarray, d: int) -> np.ndarray:
+        return (mix64(h ^ _CMS_SEEDS[d]) % np.uint64(width)).astype(
+            np.int64)
+
+    def block_partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = pc.list_flatten(words)
+        flat = flat.filter(pc.invert(pc.is_in(flat, value_set=stop)))
+        t = flat.to_numpy(zero_copy_only=False)
+        ut, cnt = np.unique(t, return_counts=True)
+        h = token_hashes(ut)
+        rows, idxs, ns = [], [], []
+        for d in range(depth):
+            counters = np.zeros(width, dtype=np.int64)
+            np.add.at(counters, _idx(h, d), cnt)
+            nz = np.flatnonzero(counters)
+            rows.append(np.full(nz.size, d, np.int64))
+            idxs.append(nz)
+            ns.append(counters[nz])
+        # MG candidate summary rides along (row = -1 marker) so ONE
+        # pass produces both the sketch and a bounded candidate set.
+        ct, cc = _mg_compress(ut, cnt.astype(np.int64), 4096)
+        ch = token_hashes(ct).view(np.int64)
+        rows.append(np.full(ct.size, -1, np.int64))
+        idxs.append(ch)
+        ns.append(cc)
+        terms = np.concatenate([
+            np.full(sum(a.size for a in rows[:-1]), "", dtype=object),
+            ct.astype(object)])
+        return pa.table({
+            "row": pa.array(np.concatenate(rows), pa.int64()),
+            "idx": pa.array(np.concatenate(idxs), pa.int64()),
+            "n_p": pa.array(np.concatenate(ns), pa.int64()),
+            "term": pa.array(terms.tolist(), pa.string()),
+        })
+
+    merged = collect_small(
+        two_phase_agg(
+            read(sf_dir, "documents", columns=["text"])
+            .map_batches(block_partial, batch_format="pyarrow"),
+            keys=["row", "idx", "term"], sums={"n_p": "n"},
+        ),
+        pa.schema([("row", pa.int64()), ("idx", pa.int64()),
+                   ("term", pa.string()), ("n", pa.int64())]),
+    )
+    rows = merged["row"].to_numpy(zero_copy_only=False)
+    idx = merged["idx"].to_numpy(zero_copy_only=False)
+    n = merged["n"].to_numpy(zero_copy_only=False)
+    sketch = np.zeros((depth, width), dtype=np.int64)
+    sk = rows >= 0
+    sketch[rows[sk], idx[sk]] = n[sk]
+    cand_t, cand_c = _mg_compress(
+        merged["term"].to_numpy(zero_copy_only=False)[~sk],
+        n[~sk], 4096)
+    del cand_c  # MG counts only bound the candidate set; CMS estimates
+    ch = token_hashes(cand_t)
+    est = np.full(cand_t.size, np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        est = np.minimum(est, sketch[d, _idx(ch, d)])
+    order = np.lexsort((cand_t, -est))[:k]
+    return ray.data.from_arrow(pa.table({
+        "term": pa.array(cand_t[order], pa.string()),
+        "est_count": pa.array(est[order], pa.int64()),
+    }))
+
+
 def source_overlap(sf_dir: str) -> ray.data.Dataset:
     """(source_a, source_b, shared_grams): the cross-source
     contamination matrix — for every pair of sources, how many DISTINCT
