@@ -153,13 +153,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     ORDERING IS DELIBERATE (rotating driver coverage): the driver's
     correctness file caps at 50 rows, so the in-cap prefix holds, in
-    priority order: (a) every query with no prior driver row — the
-    round-4 operators, led by the eight landed latest
-    (ship_window_join .. nation_trade_matrix, all green under the
-    full local gate at sf0.01 this session) and the six before them
-    (duplicate_ngram_coverage .. revenue_mom_growth); (b) those of the
-    19 rotated in per the round-3 verdict that were touched this round
-    or never driver-checked; (c) the dedup family whose pair stage was REWRITTEN
+    priority order: (a) every query with no prior driver row — led by
+    the newest operators (event_transitions .. cms_term_counts, then
+    ship_window_join .. nation_trade_matrix), all green under the full
+    local gate at sf0.01 this session; (b) those of the 19 rotated in
+    per the round-3 verdict that were touched this round or never
+    driver-checked; (c) the dedup family whose pair stage was REWRITTEN
     this round (bucket-collapse + distributed verify) and its cluster
     consumers — the round-3 verdict's explicit done-condition rows;
     (d) the crawl-family head (order, seen set, lists, junction, doc
