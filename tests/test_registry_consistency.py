@@ -25,6 +25,7 @@ EXPECTED_NO_ORACLE = {
     "kll_token_quantiles": "token_quantiles companion + rank bound",
     "heavy_hitters": "term_counts_topk companion + MG bound",
     "cms_term_counts": "term_counts_topk companion + CMS bound",
+    "lang_kll_quantiles": "lang_token_quantiles companion + rank bound",
     "decontaminate_bloom": "decontaminate companion + one-sided pytest",
 }
 

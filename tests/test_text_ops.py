@@ -262,6 +262,29 @@ def test_cms_term_counts_overestimate_and_bound(ray_session):
             (t, e, exact[t], n_total)
 
 
+def test_lang_kll_quantiles_rank_error(ray_session):
+    """Per-language KLL percentiles: every reported value's TRUE rank
+    within its language is within 5% of the requested percentile (the
+    KLL epsilon at the default capacity, with slack)."""
+    import pyarrow.parquet as pq
+
+    from whakoom_webscrapper_ray.pipelines.text import lang_kll_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["lang", "text"])
+    import numpy as np
+    toks = {}
+    for lg, tx in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+        toks.setdefault(lg, []).append(len(tx.split(" ")))
+    got = lang_kll_quantiles(sf).take_all()
+    assert {r["lang"] for r in got} == set(toks)
+    for r in got:
+        vals = np.sort(np.array(toks[r["lang"]], dtype=np.int64))
+        rank = np.searchsorted(vals, r["value"], side="right")
+        assert abs(rank / vals.size - r["pct"] / 100) <= 0.05 + 1 / vals.size, r
+
+
 def _exact_term_counts(sf: str) -> dict[str, int]:
     import pyarrow.parquet as pq
 

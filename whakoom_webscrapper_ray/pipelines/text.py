@@ -2655,6 +2655,63 @@ def kll_token_quantiles(sf_dir: str,
     )
 
 
+def lang_kll_quantiles(sf_dir: str,
+                       cap: int = _KLL_CAP) -> ray.data.Dataset:
+    """(lang, pct, value): per-language token-count percentiles from
+    one BOUNDED-STATE KLL sketch per language — the grouped form of
+    :func:`kll_token_quantiles`, paired with the exact
+    :func:`lang_token_quantiles` the same way the grouped HLL pairs
+    with lang_vocab.
+
+    Scale shape: each block builds one sketch per language it sees
+    (rows are (lang, level, value) — O(langs · cap·log) per block, a
+    constant w.r.t. corpus size), sketches co-locate in ONE lang-keyed
+    groupby, and each group's merge is a single re-compaction.  The
+    exchange moves sketch state only; with per-language sketches a hot
+    language compacts harder, it never grows state.  Approximate BY
+    DESIGN — no SQL oracle; hard checks are the exact companion plus
+    the per-language rank-error pytest."""
+    def block_sketch(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        n_tok = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        langs = b["lang"].to_numpy(zero_copy_only=False)
+        parts = []
+        for lg in np.unique(langs):
+            t = _kll_to_table(_kll_build(n_tok[langs == lg], cap))
+            parts.append(t.append_column(
+                "lang", pa.array([lg] * t.num_rows, pa.string())))
+        if not parts:
+            return pa.table({"lv": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64()),
+                             "lang": pa.array([], pa.string())})
+        return pa.concat_tables(parts)
+
+    out_schema = pa.schema([("lang", pa.string()), ("pct", pa.int64()),
+                            ("value", pa.int64())])
+
+    def merge_lang(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        levels = _kll_from_table(g.select(["lv", "v"]))
+        levels = _kll_merge(levels, [np.empty(0, np.int64)], cap)
+        lg = g["lang"][0].as_py()
+        out_p = list(_QUANTILE_PCTS)
+        return pa.table({
+            "lang": pa.array([lg] * len(out_p), pa.string()),
+            "pct": pa.array(out_p, pa.int64()),
+            "value": pa.array(
+                [_kll_quantile(levels, p) for p in out_p], pa.int64()),
+        })
+
+    return (
+        read(sf_dir, "documents", columns=["lang", "text"])
+        .map_batches(block_sketch, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(merge_lang, batch_format="pyarrow")
+    )
+
+
 # ------------------------------------------- grouped heavy hitters
 _LANG_TERM_K = 5
 
