@@ -2004,9 +2004,12 @@ def source_dup_matrix(sf_dir: str, parts: int = 64,
     import pandas as pd
 
     def tagged(b: pa.Table) -> pa.Table:
+        # slice Arrow-side first: only ~prefix_chars B/doc cross into
+        # Python, never the multi-KB document bodies
+        heads = pc.utf8_slice_codeunits(
+            b["text"], 0, prefix_chars).to_pylist()
         digests = [
-            hashlib.md5(t[:prefix_chars].encode("utf-8")).hexdigest()
-            for t in b["text"].to_pylist()
+            hashlib.md5(t.encode("utf-8")).hexdigest() for t in heads
         ]
         t = pa.table({"h": pa.array(digests, pa.string()),
                       "source": b["source"]})
@@ -2072,14 +2075,21 @@ def source_dup_matrix(sf_dir: str, parts: int = 64,
     )
 
 
-ORACLE_SOURCE_DUP_MATRIX = """
-WITH d AS (SELECT DISTINCT md5(substr(text, 1, 120)) AS h, source
+def source_dup_matrix_oracle_sql(prefix_chars: int = 120) -> str:
+    """Parameterized with the same prefix length as the Ray side so a
+    non-default ``prefix_chars`` keeps the Ray==DuckDB contract."""
+    return f"""
+WITH d AS (SELECT DISTINCT md5(substr(text, 1, {prefix_chars})) AS h,
+                  source
            FROM documents)
 SELECT a.source AS source_a, b.source AS source_b,
        CAST(count(*) AS BIGINT) AS shared_digests
 FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
 GROUP BY 1, 2
 """
+
+
+ORACLE_SOURCE_DUP_MATRIX = source_dup_matrix_oracle_sql()
 
 
 # --------------------------------------------- incremental crawl diff

@@ -1179,6 +1179,31 @@ def _clz64(v: np.ndarray) -> np.ndarray:
     return np.where(v == np.uint64(0), 64, lz)
 
 
+def _hll_registers(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """Sparse (register, max-rho) rows of one HLL update over hashes
+    ``h`` — THE register extraction both the global and the grouped
+    sketch must share so their estimators stay bit-identical."""
+    m = 1 << p
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rho = np.minimum(_clz64(h << np.uint64(p)) + 1, 64 - p + 1)
+    regs = np.zeros(m, dtype=np.int64)
+    np.maximum.at(regs, idx, rho)
+    nz = np.flatnonzero(regs)
+    return nz, regs[nz]
+
+
+def _hll_estimate(regs: np.ndarray, m: int) -> int:
+    """Flajolet bias-corrected estimate + small-range linear counting
+    over a dense register vector (shared by hll_vocab and
+    lang_hll_vocab — one estimator, never two drifting copies)."""
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return int(round(est))
+
+
 def hll_vocab(sf_dir: str, p: int = _HLL_P) -> ray.data.Dataset:
     """One row (vocab_estimate): HyperLogLog distinct-token estimate
     (Flajolet et al. 2007, with the small-range linear-counting
@@ -1205,13 +1230,9 @@ def hll_vocab(sf_dir: str, p: int = _HLL_P) -> ray.data.Dataset:
         if h.size == 0:
             return pa.table({"reg": pa.array([], pa.int64()),
                              "rho": pa.array([], pa.int64())})
-        idx = (h >> np.uint64(64 - p)).astype(np.int64)
-        rho = np.minimum(_clz64(h << np.uint64(p)) + 1, 64 - p + 1)
-        regs = np.zeros(m, dtype=np.int64)
-        np.maximum.at(regs, idx, rho)
-        nz = np.flatnonzero(regs)
+        nz, rho_nz = _hll_registers(h, p)
         return pa.table({"reg": pa.array(nz, pa.int64()),
-                         "rho": pa.array(regs[nz], pa.int64())})
+                         "rho": pa.array(rho_nz, pa.int64())})
 
     merged = collect_small(
         read(sf_dir, "documents", columns=["text"])
@@ -1224,13 +1245,9 @@ def hll_vocab(sf_dir: str, p: int = _HLL_P) -> ray.data.Dataset:
     regs[merged["reg"].to_numpy(zero_copy_only=False)] = (
         merged["rho"].to_numpy(zero_copy_only=False)
     )
-    alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
-    zeros = int(np.count_nonzero(regs == 0))
-    if est <= 2.5 * m and zeros:
-        est = m * np.log(m / zeros)
     return ray.data.from_arrow(pa.table(
-        {"vocab_estimate": pa.array([int(round(est))], pa.int64())}
+        {"vocab_estimate": pa.array([_hll_estimate(regs, m)],
+                                    pa.int64())}
     ))
 
 
@@ -1266,15 +1283,10 @@ def lang_hll_vocab(sf_dir: str, p: int = _HLL_P) -> ray.data.Dataset:
         h = token_hashes(flat)
         tok_lang = langs[parent] if h.size else langs[:0]
         for lg in np.unique(tok_lang):
-            hl = h[tok_lang == lg]
-            idx = (hl >> np.uint64(64 - p)).astype(np.int64)
-            rho = np.minimum(_clz64(hl << np.uint64(p)) + 1, 64 - p + 1)
-            regs = np.zeros(m, dtype=np.int64)
-            np.maximum.at(regs, idx, rho)
-            nz = np.flatnonzero(regs)
+            nz, rho_nz = _hll_registers(h[tok_lang == lg], p)
             out_l.append(np.full(nz.size, lg, dtype=object))
             out_r.append(nz)
-            out_h.append(regs[nz])
+            out_h.append(rho_nz)
         if not out_l:
             return pa.table({"lang": pa.array([], pa.string()),
                              "reg": pa.array([], pa.int64()),
@@ -1296,18 +1308,13 @@ def lang_hll_vocab(sf_dir: str, p: int = _HLL_P) -> ray.data.Dataset:
     langs = merged["lang"].to_numpy(zero_copy_only=False)
     reg = merged["reg"].to_numpy(zero_copy_only=False)
     rho = merged["rho"].to_numpy(zero_copy_only=False)
-    alpha = 0.7213 / (1 + 1.079 / m)
     out_lang, out_est = [], []
     for lg in np.unique(langs):
         sel = langs == lg
         regs = np.zeros(m, dtype=np.int64)
         regs[reg[sel]] = rho[sel]
-        est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
-        zeros = int(np.count_nonzero(regs == 0))
-        if est <= 2.5 * m and zeros:
-            est = m * np.log(m / zeros)
         out_lang.append(lg)
-        out_est.append(int(round(est)))
+        out_est.append(_hll_estimate(regs, m))
     return ray.data.from_arrow(pa.table({
         "lang": pa.array(out_lang, pa.string()),
         "vocab_estimate": pa.array(out_est, pa.int64()),
