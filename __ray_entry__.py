@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_hll_vocab": _tx.lang_hll_vocab,
         "cms_term_counts": _tx.cms_term_counts,
         "lang_kll_quantiles": _tx.lang_kll_quantiles,
+        "embedding_pca": _ann.embedding_pca,
         "ship_window_join": _do.ship_window_join,
         "ship_disorder": _do.ship_disorder,
         "shipping_priority_topk": _do.shipping_priority_topk,

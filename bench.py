@@ -80,7 +80,7 @@ BENCH_QUERIES = [
     "inverted_index", "farthest_point_sample", "id_gaps",
     "event_transitions", "user_set_ops", "qty_price_moments",
     "source_dup_matrix", "snapshot_diff", "lang_hll_vocab",
-    "cms_term_counts", "lang_kll_quantiles",
+    "cms_term_counts", "lang_kll_quantiles", "embedding_pca",
 ]
 
 

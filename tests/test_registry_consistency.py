@@ -26,6 +26,7 @@ EXPECTED_NO_ORACLE = {
     "heavy_hitters": "term_counts_topk companion + MG bound",
     "cms_term_counts": "term_counts_topk companion + CMS bound",
     "lang_kll_quantiles": "lang_token_quantiles companion + rank bound",
+    "embedding_pca": "numpy eigendecomposition parity + layout-determinism pytest",
     "decontaminate_bloom": "decontaminate companion + one-sided pytest",
 }
 

@@ -168,3 +168,40 @@ def test_snapshot_diff_statuses(ray_session, tmp_path):
     assert by[13] == "changed" and by[26] == "changed"
     assert 1 not in by and 11 * 17 not in by
     _compare(sf, snapshot_diff(sf, parts=4), ORACLE_SNAPSHOT_DIFF)
+
+
+def test_embedding_pca_parity_and_determinism(ray_session):
+    """Distributed covariance PCA: (a) same block layout -> bit-equal
+    reruns (content-sorted fold); (b) different block layouts agree
+    within one quantum per loading (float fold non-associativity is
+    the only slack); (c) loadings match a direct numpy
+    eigendecomposition of the same float32-loaded corpus."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from whakoom_webscrapper_ray.pipelines.ann import embedding_pca
+
+    sf = "/root/testdata/sf0.001"
+    a = embedding_pca(sf, parts=7).to_pandas().sort_values(
+        ["component", "dim_idx"]).reset_index(drop=True)
+    b = embedding_pca(sf, parts=7).to_pandas().sort_values(
+        ["component", "dim_idx"]).reset_index(drop=True)
+    assert a.equals(b), "same layout must be bit-deterministic"
+    c = embedding_pca(sf, parts=1).to_pandas().sort_values(
+        ["component", "dim_idx"]).reset_index(drop=True)
+    assert (a.loading_q - c.loading_q).abs().max() <= 1
+
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+    X = np.array(t["embedding"].to_pylist(),
+                 dtype=np.float32).astype(np.float64)
+    C = X.T @ X / len(X) - np.outer(X.mean(0), X.mean(0))
+    w, v = np.linalg.eigh(C)
+    for comp in (0, 1):
+        vec = v[:, -1 - comp]
+        if vec[int(np.argmax(np.abs(vec)))] < 0:
+            vec = -vec
+        ref = np.floor(vec * 1_000_000).astype(np.int64)
+        mine = a[a.component == comp].loading_q.to_numpy()
+        assert np.abs(mine - ref).max() <= 1
+        ev = a[a.component == comp].eigenvalue_q.iloc[0] / 1e6
+        assert abs(ev - w[-1 - comp]) / abs(w[-1 - comp]) < 1e-3

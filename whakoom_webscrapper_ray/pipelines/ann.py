@@ -1017,3 +1017,85 @@ SELECT unnest(range(1, step + 1)) AS step,
        unnest(chosen) AS vec_id
 FROM sel WHERE step = (SELECT max(step) FROM sel)
 """
+
+
+# ------------------------------------------------- distributed PCA
+def embedding_pca(sf_dir: str, k: int = 2, scale: int = 1_000_000,
+                  parts: int | None = None) -> ray.data.Dataset:
+    """(component, dim_idx, eigenvalue_q, loading_q): the top-``k``
+    principal components of the embedding corpus — distributed
+    covariance PCA, the linear-algebra reduction pattern (whitening,
+    drift monitoring, spectral diagnostics for embedding spaces).
+
+    Scale shape: ONE streaming pass; each block collapses to its
+    dim×dim Gram partial + mean partial (a constant w.r.t. rows —
+    dim²+dim floats per block, the same "shuffle carries sketch state,
+    never rows" discipline as the sketch family).  The covariance
+    eigendecomposition runs driver-side on the dim×dim fold — exact
+    for any corpus size, no iteration, no broadcast rounds (for
+    dim ≲ 10³; beyond that switch to randomized-sketch or power
+    iteration over the same partials).  DETERMINISM: float partials
+    are summed in content-sorted order, so the result is independent
+    of block arrival order and parallelism (pytest-pinned); the
+    eigenvector sign is fixed by making the largest-|loading| entry
+    positive (ties → lowest dim).  Not SQL-expressible — rows-only
+    driver check; the hard checks are the numpy eigendecomposition
+    parity and block-layout invariance tests (tests/test_curate.py
+    companion style, see tests/test_new_ops_edge_cases.py).
+    """
+    from .common import collect_small
+
+    emb = read(sf_dir, "embeddings", columns=["embedding"])
+    if parts:
+        emb = emb.repartition(parts)
+
+    def gram_partial(b: pa.Table) -> pa.Table:
+        mat = emb_matrix(b["embedding"]).astype(np.float64)
+        g = mat.T @ mat
+        s = mat.sum(axis=0)
+        return pa.table({
+            "g": pa.array([g.ravel().tolist()], pa.list_(pa.float64())),
+            "s": pa.array([s.tolist()], pa.list_(pa.float64())),
+            "n": pa.array([mat.shape[0]], pa.int64()),
+        })
+
+    parts = collect_small(
+        emb.map_batches(gram_partial, batch_format="pyarrow"),
+        pa.schema([("g", pa.list_(pa.float64())),
+                   ("s", pa.list_(pa.float64())), ("n", pa.int64())]),
+    )
+    gs = [np.asarray(v, dtype=np.float64) for v in parts["g"].to_pylist()]
+    ss = [np.asarray(v, dtype=np.float64) for v in parts["s"].to_pylist()]
+    ns = parts["n"].to_numpy(zero_copy_only=False)
+    # content-sorted fold: summation order is a function of the partial
+    # VALUES, not of scheduling, so reruns at any parallelism agree bit
+    # for bit.
+    order = np.argsort([g.tobytes() for g in gs], kind="stable")
+    dim = int(round(np.sqrt(gs[0].size)))
+    G = np.zeros((dim, dim))
+    S = np.zeros(dim)
+    N = 0
+    for i in order:
+        G += gs[i].reshape(dim, dim)
+        S += ss[i]
+        N += int(ns[i])
+    C = G / N - np.outer(S / N, S / N)
+    w, v = np.linalg.eigh(C)  # ascending
+    out_c, out_d, out_ev, out_ld = [], [], [], []
+    for c in range(k):
+        ev = w[-1 - c]
+        vec = v[:, -1 - c]
+        pivot = int(np.argmax(np.abs(vec)))
+        if vec[pivot] < 0:
+            vec = -vec
+        q = np.floor(vec * scale).astype(np.int64)
+        out_c.extend([c] * dim)
+        out_d.extend(range(dim))
+        out_ev.extend([int(np.floor(ev * scale))] * dim)
+        out_ld.extend(q.tolist())
+    return ray.data.from_arrow(pa.table({
+        "component": pa.array(out_c, pa.int64()),
+        "dim_idx": pa.array(out_d, pa.int64()),
+        "eigenvalue_q": pa.array(out_ev, pa.int64()),
+        "loading_q": pa.array(out_ld, pa.int64()),
+    }))
