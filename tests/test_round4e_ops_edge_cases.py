@@ -205,3 +205,37 @@ def test_embedding_pca_parity_and_determinism(ray_session):
         assert np.abs(mine - ref).max() <= 1
         ev = a[a.component == comp].eigenvalue_q.iloc[0] / 1e6
         assert abs(ev - w[-1 - comp]) / abs(w[-1 - comp]) < 1e-3
+
+
+def test_copartition_join_hot_key_skew(ray_session):
+    """One key carrying 80% of both sides (the crawl's hot-host shape):
+    the co-partitioned join must produce the full quadratic fanout of
+    the hot key (120x80 rows) without dropping or duplicating pairs,
+    with the remaining keys untouched."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from whakoom_webscrapper_ray.pipelines.common import copartition_join
+
+    hot_l, hot_r = 120, 80
+    left = pa.table({
+        "k": pa.array(["hot"] * hot_l + ["a", "b", "c"], pa.string()),
+        "lv": pa.array(np.arange(hot_l + 3), pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array(["hot"] * hot_r + ["b", "c", "d"], pa.string()),
+        "rv": pa.array(np.arange(hot_r + 3) * 10, pa.int64()),
+    })
+    got = copartition_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        on="k", right_on="k", parts=8,
+        left_schema=left.schema, right_schema=right.schema,
+    ).to_pandas()
+    want = left.to_pandas().merge(right.to_pandas(), on="k")
+    assert len(got) == len(want) == hot_l * hot_r + 2
+    cols = ["k", "lv", "rv"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        want[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False)
