@@ -104,6 +104,7 @@ def cmd_crawl(args) -> int:
         run_id=args.run_id,
         max_pages_per_host=args.max_pages_per_host,
         adaptive_throttle=args.adaptive_throttle,
+        seen_filter=args.seen_filter,
     )
     t0 = time.perf_counter()
     if args.resume:
@@ -292,6 +293,11 @@ def main(argv: list[str] | None = None) -> int:
                         "clock (reference settings.py:119-128 "
                         "defaults; off = deterministic fixed-delay "
                         "clock, the oracle-canonical mode)")
+    c.add_argument("--seen-filter", choices=("cuckoo", "bloom"),
+                   default="cuckoo",
+                   help="URL-seen fast-path filter (north rule: "
+                        "bloom/cuckoo); both are exact-backed, so the "
+                        "crawl result is identical either way")
     c.set_defaults(fn=cmd_crawl)
 
     e = sub.add_parser("export", help="export finalized tables")

@@ -700,6 +700,7 @@ class CrawlEngine:
         max_pages_per_host: int | None = None,
         pages_parts: "list[ray.ObjectRef] | None" = None,
         adaptive_throttle: "bool | dict" = False,
+        seen_filter: str = "cuckoo",
     ) -> None:
         self.checkpoint_dir = checkpoint_dir
         os.makedirs(checkpoint_dir, exist_ok=True)
@@ -743,6 +744,7 @@ class CrawlEngine:
             spill_threshold_rows=spill_threshold_rows,
             max_pages_per_host=max_pages_per_host,
             adaptive=self.adaptive,
+            seen_filter=seen_filter,
         )
         # ``pages_parts``: reuse a prior engine's laid-out page store
         # (same pages/num_shards/routing — e.g. bench trials over one

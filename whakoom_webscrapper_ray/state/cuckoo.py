@@ -165,5 +165,9 @@ class CuckooFilter:
         return hit1 | hit2
 
     @property
+    def key_capacity(self) -> int:
+        return self.num_buckets * self.SLOTS
+
+    @property
     def load_factor(self) -> float:
         return self.count / (self.num_buckets * self.SLOTS)

@@ -97,7 +97,8 @@ class FrontierShard:
                  spill_threshold_rows: int = 1 << 22,
                  max_pages_per_host: int | None = None,
                  poll_chunk_rows: int = 1 << 20,
-                 adaptive: dict | None = None) -> None:
+                 adaptive: dict | None = None,
+                 seen_filter: str = "cuckoo") -> None:
         from .. import warm_worker
 
         warm_worker()   # pre-fault arenas once, outside any timed poll
@@ -146,7 +147,8 @@ class FrontierShard:
         if local_seen and seen_shard is None:
             from .seen import SeenCore
 
-            self.seen = SeenCore(seed=42 + shard_id)
+            self.seen = SeenCore(seed=42 + shard_id,
+                                 filter_kind=seen_filter)
         else:
             self.seen = None
 
@@ -692,7 +694,8 @@ class Frontier:
                  max_pages_per_host: int | None = None,
                  spill_dir: str | None = None,
                  spill_threshold_rows: int = 1 << 22,
-                 adaptive: dict | None = None) -> None:
+                 adaptive: dict | None = None,
+                 seen_filter: str = "cuckoo") -> None:
         import os
 
         self.num_shards = num_shards
@@ -707,6 +710,7 @@ class Frontier:
                 spill_threshold_rows=spill_threshold_rows,
                 max_pages_per_host=max_pages_per_host,
                 adaptive=adaptive,
+                seen_filter=seen_filter,
             )
             for i in range(num_shards)
         ]

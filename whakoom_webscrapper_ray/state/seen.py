@@ -68,8 +68,15 @@ class SeenCore:
     call with zero cross-actor serialization; SURVEY.md §2.3 T2/T3).
     """
 
-    def __init__(self, capacity: int = 1 << 18, seed: int = 42) -> None:
-        self.filter = CuckooFilter(capacity, seed=seed)
+    def __init__(self, capacity: int = 1 << 18, seed: int = 42,
+                 filter_kind: str = "cuckoo") -> None:
+        # north rule: "bloom/cuckoo URL-seen" — both fast paths ship;
+        # cuckoo is the default (supports deletion, slightly denser),
+        # bloom trades that for kick-free pure-scatter inserts.
+        if filter_kind not in ("cuckoo", "bloom"):
+            raise ValueError(f"unknown seen filter: {filter_kind!r}")
+        self._filter_kind = filter_kind
+        self.filter = self._new_filter(capacity, seed)
         self._seed = seed
         self._sorted = np.empty(0, dtype=VOID20)   # consolidated run
         self._recent: list[np.ndarray] = []        # unsorted new blocks
@@ -79,6 +86,13 @@ class SeenCore:
         self.count = 0
 
     # -- internals --------------------------------------------------------
+    def _new_filter(self, capacity: int, seed: int):
+        if self._filter_kind == "bloom":
+            from .bloom import BloomFilter
+
+            return BloomFilter(capacity, seed=seed)
+        return CuckooFilter(capacity, seed=seed)
+
     def _consolidate(self) -> None:
         if self._recent:
             self._sorted = np.sort(
@@ -91,13 +105,13 @@ class SeenCore:
         """Grow the cuckoo filter before it saturates (rebuild at 2×
         from the exact backing keys — doubling amortization)."""
         need = self.count + extra
-        cap = self.filter.num_buckets * self.filter.SLOTS
+        cap = self.filter.key_capacity
         if need <= 0.85 * cap:
             return
         new_cap = cap
         while need > 0.85 * new_cap:
             new_cap *= 2
-        rebuilt = CuckooFilter(int(new_cap * 0.95), seed=self._seed)
+        rebuilt = self._new_filter(int(new_cap * 0.95), seed=self._seed)
         for blk in self._key_chunks:
             rebuilt.insert_batch(blk)
         self.filter = rebuilt
