@@ -58,20 +58,23 @@ def _inject_hostile(pages: pa.Table) -> pa.Table:
 
 
 @pytest.mark.parametrize(
-    "seed,num_shards,dup_frac,offsite_frac,spill_rows",
+    "seed,num_shards,dup_frac,offsite_frac,spill_rows,seen_filter",
     [
-        (43, 2, 0.10, 0.05, None),
-        (43, 5, 0.10, 0.05, None),   # same web, different sharding
-        (44, 3, 0.20, 0.10, None),
+        (43, 2, 0.10, 0.05, None, "cuckoo"),
+        (43, 5, 0.10, 0.05, None, "cuckoo"),  # same web, new sharding
+        (44, 3, 0.20, 0.10, None, "cuckoo"),
         # hostile links × streaming spill merge × sharding: a tiny
         # threshold forces every round's backlog through the ok-sorted
         # spill runs and the min-ok merge
-        (44, 3, 0.20, 0.10, 8),
+        (44, 3, 0.20, 0.10, 8, "cuckoo"),
+        # Bloom seen fast path under hostile duplicate pressure: the
+        # exact backing must keep the schedule oracle-identical
+        (45, 4, 0.20, 0.10, None, "bloom"),
     ],
 )
 def test_hostile_web_conformance(
     ray_session, tmp_path, seed, num_shards, dup_frac, offsite_frac,
-    spill_rows,
+    spill_rows, seen_filter,
 ):
     from whakoom_webscrapper_ray.oracle import run_oracle
     from whakoom_webscrapper_ray.pipelines.crawl import CrawlEngine
@@ -96,6 +99,7 @@ def test_hostile_web_conformance(
         num_shards=num_shards,
         fetcher_concurrency=2,
         batch_size=64,
+        seen_filter=seen_filter,
         **({"spill_threshold_rows": spill_rows} if spill_rows else {}),
     )
     try:
