@@ -1,0 +1,74 @@
+"""Incremental recrawl generation: seed the next crawl from the prior
+generation's crawl order, fetch against a mutated web, and identify
+the changed pages — the engine-side pairing of the snapshot_diff
+analytics operator (the reference's upsert/pending-sweep semantics at
+corpus scale: a recrawl touches the delta)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _doc_texts(eng) -> dict[str, str]:
+    """canon_url -> concatenated span text of every FETCHED doc."""
+    out = {}
+    for b in eng.docs_dataset().iter_batches(batch_format="pyarrow"):
+        flat = b["spans"].combine_chunks()
+        parent = pc.list_parent_indices(flat)
+        texts = pc.list_flatten(flat).field("text")
+        urls = b["doc_id"].take(parent)
+        for u, t in zip(urls.to_pylist(), texts.to_pylist()):
+            out[u] = out.get(u, "") + "\x1f" + t
+    return out
+
+
+def test_recrawl_generation_finds_mutations(ray_session, small_web,
+                                            tmp_path):
+    from whakoom_webscrapper_ray.pipelines.crawl import CrawlEngine
+
+    gen0 = CrawlEngine(
+        small_web["pages"], small_web["seeds"], small_web["robots"],
+        checkpoint_dir=str(tmp_path / "gen0"), num_shards=4,
+    )
+    gen0.run()
+    seeds1 = gen0.export_seeds()
+    order0 = set(gen0.crawl_order()["url"].to_pylist())
+    assert seeds1.num_rows == len(order0)
+
+    # mutate the text of every 10th page (deterministic target set)
+    pages = small_web["pages"]
+    mutated_ids = set(pages["doc_id"].to_pylist()[::10])
+
+    def mutate(spans, hit):
+        if not hit:
+            return spans
+        return [{**sp, "text": sp["text"] + " v2"} for sp in spans]
+
+    new_pages = pa.table({
+        "doc_id": pages["doc_id"],
+        "spans": pa.array(
+            [mutate(sp, d in mutated_ids)
+             for d, sp in zip(pages["doc_id"].to_pylist(),
+                              pages["spans"].to_pylist())],
+            pages.schema.field("spans").type),
+    })
+
+    gen1 = CrawlEngine(
+        new_pages, seeds1, small_web["robots"],
+        checkpoint_dir=str(tmp_path / "gen1"), num_shards=4,
+    )
+    gen1.run()
+    order1 = set(gen1.crawl_order()["url"].to_pylist())
+    # every gen0 URL is re-scheduled (it is now a seed)
+    assert order0 <= order1
+
+    t0, t1 = _doc_texts(gen0), _doc_texts(gen1)
+    # fetched both generations: same page set (mutation edits text only)
+    assert set(t0) == set(t1)
+    changed = {u for u in t0 if t0[u] != t1[u]}
+    expected = {u for u in t0 if u in mutated_ids}
+    assert changed == expected and changed, (
+        len(changed), len(expected))
+    gen0.shutdown()
+    gen1.shutdown()

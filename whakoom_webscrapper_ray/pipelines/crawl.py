@@ -1039,6 +1039,26 @@ class CrawlEngine:
             }
         )
 
+    def export_seeds(self) -> pa.Table:
+        """SEEDS_SCHEMA table of every URL this crawl scheduled, in
+        crawl order — the seed list of the NEXT crawl generation (the
+        incremental-recrawl pattern: re-fetch yesterday's frontier,
+        then diff docs with pipelines.dedup.snapshot_diff semantics).
+        Priority 0 for all rows (the reference's ``start_urls``
+        default); seed_index preserves this generation's order so the
+        next generation's politeness clock replays deterministically.
+        """
+        from ..schemas import SEEDS_SCHEMA
+
+        order = self.crawl_order()
+        return pa.table({
+            "seed_index": pa.array(
+                np.arange(order.num_rows), pa.int64()),
+            "url": order["url"],
+            "priority": pa.array(
+                np.zeros(order.num_rows, np.int32), pa.int32()),
+        }).cast(SEEDS_SCHEMA)
+
     def seen_table(self) -> pa.Table:
         """(url_sha1, canon_url) — the final URL-seen set."""
         from ..state.seen import void_to_binary20
