@@ -149,6 +149,10 @@ def cmd_export(args) -> int:
     eng.docs_dataset().write_parquet(docs_dir)
     order_path = os.path.join(args.out, "crawl_order.parquet")
     pq.write_table(eng.crawl_order(), order_path)
+    # next-generation seed list (incremental recrawl: `cli crawl
+    # --web-dir ... ` with these seeds re-fetches this frontier)
+    pq.write_table(eng.export_seeds(),
+                   os.path.join(args.out, "next_seeds.parquet"))
     print(json.dumps({
         "out": args.out,
         "tables": {
