@@ -70,6 +70,8 @@ def _inject_hostile(pages: pa.Table) -> pa.Table:
         # Bloom seen fast path under hostile duplicate pressure: the
         # exact backing must keep the schedule oracle-identical
         (45, 4, 0.20, 0.10, None, "bloom"),
+        # ... and combined with the streaming spill merge
+        (45, 3, 0.20, 0.10, 8, "bloom"),
     ],
 )
 def test_hostile_web_conformance(
