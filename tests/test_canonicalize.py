@@ -227,3 +227,49 @@ def test_arrow_batch_fuzz_equivalence(urls):
     n = len(urls)
     sha = np.frombuffer(cols["sha_bytes"], dtype=np.uint8).reshape(n, 20)
     assert [bytes(r) for r in sha] == ref["url_sha1"]
+
+
+# ------------------------------------------- tracking-param stripping
+def test_strip_tracking_unit_vectors():
+    from whakoom_webscrapper_ray.functions.canonicalize import (
+        canonicalize_url,
+    )
+
+    f = lambda u: canonicalize_url(u, strip_tracking=True)  # noqa: E731
+    # utm_* family and exact keys drop; other params survive and sort
+    assert f("http://h.com/p?utm_source=x&id=3") == "http://h.com/p?id=3"
+    assert f("http://h.com/p?fbclid=abc") == "http://h.com/p"
+    assert (f("http://h.com/p?b=2&utm_campaign=c&a=1")
+            == "http://h.com/p?a=1&b=2")
+    # a key merely CONTAINING a tracking name survives
+    assert (f("http://h.com/p?xutm_source=1")
+            == "http://h.com/p?xutm_source=1")
+    # valueless tracking key drops too
+    assert f("http://h.com/p?gclid") == "http://h.com/p"
+    # default path unchanged (oracle-canonical)
+    assert (canonicalize_url("http://h.com/p?utm_source=x")
+            == "http://h.com/p?utm_source=x")
+
+
+def test_strip_tracking_batch_and_arrow_paths_agree():
+    import pyarrow as pa
+
+    from whakoom_webscrapper_ray.functions.canonicalize import (
+        canonicalize_arrow, canonicalize_batch, canonicalize_url,
+    )
+
+    urls = [
+        "http://h.com/a?utm_source=mail&x=1",
+        "http://h.com/a?x=1",
+        "http://h.com/plain",
+        "HTTP://H.com/b?gclid=9&utm_medium=cpc",
+    ]
+    want = [canonicalize_url(u, strip_tracking=True) for u in urls]
+    got_b = canonicalize_batch(urls, strip_tracking=True)["canon_url"]
+    assert got_b == want
+    got_a = canonicalize_arrow(
+        pa.array(urls, pa.string()), strip_tracking=True
+    )["canon"].to_pylist()
+    assert got_a == want
+    # the two utm variants of /a collapse onto the plain /a?x=1 form
+    assert want[0] == want[1]

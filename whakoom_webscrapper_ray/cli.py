@@ -105,6 +105,7 @@ def cmd_crawl(args) -> int:
         max_pages_per_host=args.max_pages_per_host,
         adaptive_throttle=args.adaptive_throttle,
         seen_filter=args.seen_filter,
+        strip_tracking_params=args.strip_tracking_params,
     )
     t0 = time.perf_counter()
     if args.resume:
@@ -297,6 +298,10 @@ def main(argv: list[str] | None = None) -> int:
                         "clock (reference settings.py:119-128 "
                         "defaults; off = deterministic fixed-delay "
                         "clock, the oracle-canonical mode)")
+    c.add_argument("--strip-tracking-params", action="store_true",
+                   help="drop utm_*/fbclid/gclid-style query params "
+                        "during canonicalization (opt-in; off = "
+                        "RFC-only, the oracle-canonical mode)")
     c.add_argument("--seen-filter", choices=("cuckoo", "bloom"),
                    default="cuckoo",
                    help="URL-seen fast-path filter (north rule: "

@@ -67,7 +67,22 @@ def remove_dot_segments(path: str) -> str:
     return out
 
 
-def canonicalize_url(url: str, base: str | None = None) -> str:
+# Opt-in tracking-parameter strip list (the w3lib/url-normalizer
+# convention real crawlers ship): exact keys plus the utm_* family.
+# OFF by default — the RFC-only canonicalizer stays oracle-canonical.
+TRACKING_PARAMS = frozenset({
+    "fbclid", "gclid", "msclkid", "mc_eid", "igshid", "yclid",
+    "_hsenc", "_hsmi", "mkt_tok",
+})
+TRACKING_PREFIXES = ("utm_",)
+
+
+def _is_tracking(key: str) -> bool:
+    return key in TRACKING_PARAMS or key.startswith(TRACKING_PREFIXES)
+
+
+def canonicalize_url(url: str, base: str | None = None,
+                     strip_tracking: bool = False) -> str:
     """Return the canonical absolute form of ``url``.
 
     Steps (RFC 3986 §6.2.2 syntax-based normalization + Scrapy-style
@@ -123,6 +138,8 @@ def canonicalize_url(url: str, base: str | None = None) -> str:
                 k, v = piece, None
             k = _norm_pct(k)
             v = _norm_pct(v) if v is not None else None
+            if strip_tracking and _is_tracking(k):
+                continue
             pairs.append((k, v))
         pairs.sort(key=lambda kv: (kv[0], kv[1] if kv[1] is not None else ""))
         query = "&".join(k if v is None else f"{k}={v}" for k, v in pairs)
@@ -195,6 +212,7 @@ _FAST_HOST_RE = re.compile(r"^https?://([^/]+)")
 def canonicalize_batch(
     urls: list[str] | pa.Array,
     bases: list[str] | pa.Array | None = None,
+    strip_tracking: bool = False,
 ) -> dict[str, np.ndarray | list]:
     """Canonicalize a batch of URLs (optionally relative to per-row bases).
 
@@ -249,6 +267,7 @@ def canonicalize_batch(
         [urls[i] for i in slow_idx],
         [bases[i] for i in slow_idx] if bases is not None else None,
         host_memo,
+        strip_tracking=strip_tracking,
     )
     for j, i in enumerate(slow_idx):
         canon_col[i] = slow["canon_url"][j]
@@ -269,6 +288,7 @@ def _canonicalize_slow(
     urls: list[str],
     bases: list[str] | None,
     host_memo: dict[str, int] | None = None,
+    strip_tracking: bool = False,
 ) -> dict[str, np.ndarray | list]:
     """Exact RFC 3986 path with per-batch memo (see canonicalize_url)."""
 
@@ -286,7 +306,7 @@ def _canonicalize_slow(
         key = (u, b)
         hit = memo.get(key)
         if hit is None:
-            c = canonicalize_url(u, b)
+            c = canonicalize_url(u, b, strip_tracking=strip_tracking)
             h = host_of(c)
             hh = host_memo.get(h)
             if hh is None:
@@ -365,6 +385,7 @@ def sha1_column(arr: pa.Array) -> bytes:
 def canonicalize_arrow(
     urls: pa.Array | pa.ChunkedArray,
     base_for: "callable | None" = None,
+    strip_tracking: bool = False,
 ) -> dict:
     """Arrow-native batch canonicalizer (zero per-row Python objects on
     the fast path).
@@ -409,7 +430,7 @@ def canonicalize_arrow(
         for i in slow_idx:
             u = urls[int(i)].as_py()
             b = base_for(int(i)) if base_for is not None else None
-            c = canonicalize_url(u, b)
+            c = canonicalize_url(u, b, strip_tracking=strip_tracking)
             slow_canon.append(c)
             slow_host.append(host_of(c))
         merged = pa.concat_arrays(

@@ -71,7 +71,8 @@ class LinkRouter:
     """
 
     def __init__(self, rules_ref, allowed_domains, frontier_shards,
-                 route_by_host: bool = False):
+                 route_by_host: bool = False,
+                 strip_tracking: bool = False):
         self.rules: RobotsRules = (
             ray.get(rules_ref) if isinstance(rules_ref, ray.ObjectRef)
             else rules_ref
@@ -80,6 +81,7 @@ class LinkRouter:
         self.shards = frontier_shards
         self.num_shards = len(frontier_shards)
         self.route_by_host = route_by_host
+        self.strip_tracking = strip_tracking
         self.delayed = frozenset(
             h for h, d in self.rules.delay.items() if d > 0
         )
@@ -193,6 +195,7 @@ class LinkRouter:
         cols = canonicalize_arrow(
             hrefs_arr,
             base_for=lambda j: base_col[int(link_parent[j])].as_py(),
+            strip_tracking=self.strip_tracking,
         )
         ok = (parent_seq.astype(np.int64) << OK_SHIFT) | np.minimum(
             offsets.astype(np.int64), (1 << OK_SHIFT) - 1
@@ -506,7 +509,8 @@ def partition_pages_refs(
 
 
 def _worker_router(engine_key, rules_ref, allowed, shards,
-                   route_by_host=False) -> "LinkRouter":
+                   route_by_host=False,
+                   strip_tracking=False) -> "LinkRouter":
     # engine_key includes a per-engine-INSTANCE nonce, not just the
     # checkpoint dir: a resumed engine on the same checkpoint spins up
     # fresh shard actors, and a worker that memoized the previous
@@ -514,7 +518,8 @@ def _worker_router(engine_key, rules_ref, allowed, shards,
     key = ("router", engine_key)
     if key not in _WORKER_STATE:
         _WORKER_STATE[key] = LinkRouter(
-            rules_ref, allowed, shards, route_by_host=route_by_host
+            rules_ref, allowed, shards, route_by_host=route_by_host,
+            strip_tracking=strip_tracking,
         )
     return _WORKER_STATE[key]
 
@@ -548,7 +553,7 @@ def _push_latency(batch: pa.Table, shards) -> None:
 
 
 def _route_batch(batch: pa.Table, engine_key=None, rules_ref=None,
-                 route_by_host=False,
+                 route_by_host=False, strip_tracking=False,
                  allowed=None, shards=None, docs_dir=None,
                  metrics_dir=None, adaptive=False) -> pa.Table:
     """Side-write the fetched docs partition, then extract + route.
@@ -576,7 +581,8 @@ def _route_batch(batch: pa.Table, engine_key=None, rules_ref=None,
         bk.write_fragment(batch, dp)
         t1 = _t.perf_counter()
         router = _worker_router(engine_key, rules_ref, allowed, shards,
-                                route_by_host=route_by_host)
+                                route_by_host=route_by_host,
+                                strip_tracking=strip_tracking)
         out = router(batch, metrics_path=mp)
         print(f"[rb] rows={batch.num_rows} write={t1 - t0:.2f} "
               f"route={_t.perf_counter() - t1:.2f}",
@@ -590,7 +596,8 @@ def _route_batch(batch: pa.Table, engine_key=None, rules_ref=None,
         bk.write_fragment(batch, dp)
         t_write = _t.perf_counter() - t0
         router = _worker_router(engine_key, rules_ref, allowed, shards,
-                                route_by_host=route_by_host)
+                                route_by_host=route_by_host,
+                                strip_tracking=strip_tracking)
         prof = cProfile.Profile()
         prof.enable()
         out = router(batch, metrics_path=mp)
@@ -605,7 +612,8 @@ def _route_batch(batch: pa.Table, engine_key=None, rules_ref=None,
         return out
     bk.write_fragment(batch, dp)
     router = _worker_router(engine_key, rules_ref, allowed, shards,
-                                route_by_host=route_by_host)
+                                route_by_host=route_by_host,
+                                strip_tracking=strip_tracking)
     return router(batch, metrics_path=mp)
 
 
@@ -701,6 +709,7 @@ class CrawlEngine:
         pages_parts: "list[ray.ObjectRef] | None" = None,
         adaptive_throttle: "bool | dict" = False,
         seen_filter: str = "cuckoo",
+        strip_tracking_params: bool = False,
     ) -> None:
         self.checkpoint_dir = checkpoint_dir
         os.makedirs(checkpoint_dir, exist_ok=True)
@@ -711,7 +720,9 @@ class CrawlEngine:
         self.num_shards = num_shards
 
         self.rules = RobotsRules.from_table(robots)
-        seed_cols = canonicalize_batch(seeds.column("url"))
+        self.strip_tracking = bool(strip_tracking_params)
+        seed_cols = canonicalize_batch(
+            seeds.column("url"), strip_tracking=self.strip_tracking)
         self.allowed = frozenset(seed_cols["host"])
         self.seeds = seeds
         self._seed_cols = seed_cols
@@ -914,6 +925,7 @@ class CrawlEngine:
                     "docs_dir": docs_dir,
                     "metrics_dir": metrics_dir,
                     "route_by_host": self._route_by_host,
+                    "strip_tracking": self.strip_tracking,
                     "adaptive": self.adaptive is not None,
                 },
                 batch_size=batch_size,
