@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_term_counts": _tx.cms_term_counts,
         "lang_kll_quantiles": _tx.lang_kll_quantiles,
         "embedding_pca": _ann.embedding_pca,
+        "vocab_encode": _tx.vocab_encode,
         "ship_window_join": _do.ship_window_join,
         "ship_disorder": _do.ship_disorder,
         "shipping_priority_topk": _do.shipping_priority_topk,
@@ -451,6 +452,7 @@ def oracle_sql() -> dict[str, str]:
         "qty_price_moments": _do.ORACLE_QTY_PRICE_MOMENTS,
         "source_dup_matrix": _dd.ORACLE_SOURCE_DUP_MATRIX,
         "snapshot_diff": _dd.ORACLE_SNAPSHOT_DIFF,
+        "vocab_encode": _tx.vocab_encode_oracle_sql(),
         "docs_filter_project": _do.ORACLE_DOCS_FILTER,
         "pricing_summary": _do.ORACLE_PRICING_SUMMARY,
         "top_customers": _do.ORACLE_TOP_CUSTOMERS,

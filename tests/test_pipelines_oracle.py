@@ -105,6 +105,7 @@ QUERIES = [
     "qty_price_moments",                        # mergeable 2nd moments
     "source_dup_matrix",                        # cross-feed contamination
     "snapshot_diff",                            # incremental recrawl diff
+    "vocab_encode",                             # vocab build + encode
 ]
 
 

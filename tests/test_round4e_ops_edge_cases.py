@@ -239,3 +239,32 @@ def test_copartition_join_hot_key_skew(ray_session):
         got[cols].sort_values(cols).reset_index(drop=True),
         want[cols].sort_values(cols).reset_index(drop=True),
         check_dtype=False)
+
+
+def test_vocab_encode_oov_ties_and_truncation(ray_session, tmp_path):
+    """Vocabulary ranked (count DESC, term ASC) with id ties broken
+    lexicographically; OOV encodes as 0; docs truncate at max_tokens;
+    a doc of pure OOV still emits a row."""
+    from whakoom_webscrapper_ray.pipelines.text import (
+        vocab_encode, vocab_encode_oracle_sql)
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        # counts: b=3, a=3 (tie -> a gets id 1, b id 2), c=1
+        "text": pa.array([
+            "a b a b",
+            "b a rare1 rare2 c",
+            "zz zz zz zz zz",     # pure OOV with vocab_top=3? zz×5 ranks
+        ]),
+        "source": pa.array(["s"] * 3),
+    })
+    sf = _write_sf(tmp_path, documents=docs)
+    _compare(sf, vocab_encode(sf, vocab_top=3, max_tokens=4),
+             vocab_encode_oracle_sql(vocab_top=3, max_tokens=4))
+    res = vocab_encode(sf, vocab_top=3, max_tokens=4).to_pandas()
+    by = dict(zip(res.doc_id, res.ids))
+    # zz (5 occurrences) takes id 1; a (3) id 2; b (3) id 3; c/rare OOV
+    assert by[1] == "2 3 2 3"
+    assert by[2] == "3 2 0 0"           # truncated at 4 tokens
+    assert by[3] == "1 1 1 1"
+    assert (res.n_tokens <= 4).all()

@@ -3003,3 +3003,107 @@ FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
 WHERE NOT list_contains({list(STOPWORDS)}, term)
 GROUP BY term
 """
+
+
+# ------------------------------------------------- vocabulary encode
+def vocab_encode(sf_dir: str, vocab_top: int = 256,
+                 max_tokens: int = 32) -> ray.data.Dataset:
+    """(doc_id, n_tokens, ids): the tokenizer-pipeline encode step —
+    build a frequency-ranked vocabulary (ids 1..vocab_top by count
+    DESC, term ASC; 0 = OOV) and encode each document's first
+    ``max_tokens`` tokens as a space-joined id string, order-preserving.
+
+    Scale shape: vocabulary construction rides the exact term-count
+    machinery (per-block Arrow partials, ONE coarse term-hash
+    exchange), the top-V cut is driver-side on the merged counts
+    (bounded by vocab_top), and the encode pass is a zero-shuffle
+    broadcast map: the vocab ships once via ``ray.put`` and each batch
+    encodes with pure Arrow kernels (list_slice → index_in →
+    fill_null → cast → binary_join) — no per-row Python, no join.
+    The id string keeps the output row width bounded and
+    hash-comparable against the string_agg oracle.
+    """
+    from .common import collect_small, deref, two_phase_agg
+
+    # ---- pass 1: exact counts, top-V driver cut (bounded result)
+    def term_partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = pc.list_flatten(words)
+        g = pa.TableGroupBy(pa.table({"term": flat}), ["term"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"term": g["term"], "n_p": g["count_all"]})
+
+    counts = collect_small(
+        two_phase_agg(
+            read(sf_dir, "documents", columns=["text"])
+            .map_batches(term_partial, batch_format="pyarrow"),
+            keys=["term"], sums={"n_p": "n"},
+        ),
+        pa.schema([("term", pa.string()), ("n", pa.int64())]),
+    )
+    t = counts["term"].to_numpy(zero_copy_only=False)
+    n = counts["n"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((t, -n))[:vocab_top]
+    vocab = pa.array(t[order], pa.string())  # position = id - 1
+    vocab_ref = ray.put(vocab)
+
+    # ---- pass 2: broadcast encode, zero shuffles
+    def encode(b: pa.Table, _v=vocab_ref) -> pa.Table:
+        v = deref(_v)
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        head = pc.list_slice(words, 0, max_tokens)
+        flat = pc.list_flatten(head)
+        ids = pc.add(
+            pc.fill_null(pc.index_in(flat, value_set=v), -1),
+            1)
+        id_str = pc.cast(ids, pa.string())
+        off = pc.list_parent_indices(head)
+        # rebuild the per-doc list with the head's own offsets
+        lens = pc.list_value_length(head).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        offsets = np.zeros(lens.size + 1, dtype=np.int32)
+        np.cumsum(lens, out=offsets[1:])
+        del off
+        relist = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            id_str.combine_chunks() if isinstance(
+                id_str, pa.ChunkedArray) else id_str)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": pa.array(lens, pa.int64()),
+            "ids": pc.binary_join(relist, " "),
+        })
+
+    return (
+        read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(encode, batch_format="pyarrow")
+    )
+
+
+def vocab_encode_oracle_sql(vocab_top: int = 256,
+                            max_tokens: int = 32) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents
+), vocab AS (
+  SELECT term, id FROM (
+    SELECT term,
+           row_number() OVER (ORDER BY count(*) DESC, term) AS id
+    FROM tok GROUP BY term
+  ) WHERE id <= {vocab_top}
+)
+SELECT tok.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       string_agg(CAST(COALESCE(v.id, 0) AS VARCHAR), ' '
+                  ORDER BY tok.ord) AS ids
+FROM tok LEFT JOIN vocab v ON tok.term = v.term
+WHERE tok.ord <= {max_tokens}
+GROUP BY tok.doc_id
+"""
