@@ -106,6 +106,7 @@ def cmd_crawl(args) -> int:
         adaptive_throttle=args.adaptive_throttle,
         seen_filter=args.seen_filter,
         strip_tracking_params=args.strip_tracking_params,
+        host_fail_budget=args.host_fail_budget,
     )
     t0 = time.perf_counter()
     if args.resume:
@@ -298,6 +299,10 @@ def main(argv: list[str] | None = None) -> int:
                         "clock (reference settings.py:119-128 "
                         "defaults; off = deterministic fixed-delay "
                         "clock, the oracle-canonical mode)")
+    c.add_argument("--host-fail-budget", type=int, default=None,
+                   help="X2+ circuit breaker: quarantine a host after "
+                        "this many failed fetches (pending candidates "
+                        "from it are dropped at poll time; opt-in)")
     c.add_argument("--strip-tracking-params", action="store_true",
                    help="drop utm_*/fbclid/gclid-style query params "
                         "during canonicalization (opt-in; off = "

@@ -159,11 +159,27 @@ class LinkRouter:
             zero_copy_only=False
         )
         idx = np.flatnonzero(is_link)
+        fail_mask = pc.invert(
+            pc.equal(batch["fetch_status"], "fetched")).to_numpy(
+            zero_copy_only=False)
+        if fail_mask.any():
+            fh, fc = np.unique(
+                batch["host"].to_numpy(zero_copy_only=False)[fail_mask],
+                return_counts=True)
+            failed_hosts = [str(h) for h in fh]
+            failed_counts = [int(c) for c in fc]
+        else:
+            failed_hosts, failed_counts = [], []
         summary = {
             "links": [int(idx.size)],
             "candidates": [0],
             "fetched": [n_fetched],
             "missing": [int(batch.num_rows - n_fetched)],
+            # per-host failure counts for the driver-side circuit
+            # breaker feedback (applied synchronously between rounds
+            # so quarantine decisions are deterministic)
+            "failed_hosts": [failed_hosts],
+            "failed_counts": [failed_counts],
         }
         n_links_row = np.bincount(
             parent[idx], minlength=batch.num_rows
@@ -710,6 +726,7 @@ class CrawlEngine:
         adaptive_throttle: "bool | dict" = False,
         seen_filter: str = "cuckoo",
         strip_tracking_params: bool = False,
+        host_fail_budget: int | None = None,
     ) -> None:
         self.checkpoint_dir = checkpoint_dir
         os.makedirs(checkpoint_dir, exist_ok=True)
@@ -747,8 +764,12 @@ class CrawlEngine:
         # ONE shard, so these modes route strictly by host hash (no
         # url-hash salting of zero-delay hosts).
         self.max_pages_per_host = max_pages_per_host
+        # breaker mode also routes by host: quarantine is a per-host
+        # decision, so each host must live on ONE shard
+        self.host_fail_budget = host_fail_budget
         self._route_by_host = (max_pages_per_host is not None
-                               or self.adaptive is not None)
+                               or self.adaptive is not None
+                               or host_fail_budget is not None)
         self.frontier = Frontier(
             num_shards, self.rules.delay,
             spill_dir=os.path.join(checkpoint_dir, "spill"),
@@ -756,6 +777,7 @@ class CrawlEngine:
             max_pages_per_host=max_pages_per_host,
             adaptive=self.adaptive,
             seen_filter=seen_filter,
+            host_fail_budget=host_fail_budget,
         )
         # ``pages_parts``: reuse a prior engine's laid-out page store
         # (same pages/num_shards/routing — e.g. bench trials over one
@@ -933,6 +955,15 @@ class CrawlEngine:
             )
         )
         summaries = ds.take_all()  # tiny per-batch count rows
+        if self.host_fail_budget is not None:
+            agg: dict[str, int] = {}
+            for r in summaries:
+                for h, c in zip(r.get("failed_hosts") or [],
+                                r.get("failed_counts") or []):
+                    agg[h] = agg.get(h, 0) + int(c)
+            if agg:
+                self.frontier.push_failures(
+                    list(agg.keys()), list(agg.values()))
         if _trace == "stats":
             print(ds.stats(), flush=True)
 

@@ -98,7 +98,8 @@ class FrontierShard:
                  max_pages_per_host: int | None = None,
                  poll_chunk_rows: int = 1 << 20,
                  adaptive: dict | None = None,
-                 seen_filter: str = "cuckoo") -> None:
+                 seen_filter: str = "cuckoo",
+                 host_fail_budget: int | None = None) -> None:
         from .. import warm_worker
 
         warm_worker()   # pre-fault arenas once, outside any timed poll
@@ -113,6 +114,14 @@ class FrontierShard:
         # politeness-clock oracle stays canonical.
         self.adaptive = adaptive
         self.adaptive_delay: dict[str, float] = {}
+        # host circuit breaker (opt-in): once a host accumulates
+        # ``host_fail_budget`` failed fetches, its pending candidates
+        # are dropped at poll time (they are already seen-marked, so
+        # like the O4 budget overflow they never reschedule).
+        self.host_fail_budget = host_fail_budget
+        self.host_failures: dict[str, int] = {}
+        self.quarantined: set[str] = set()
+        self.n_quarantine_skipped = 0
         self.pending: list[pa.Table] = []  # columnar enqueue blocks
         self.next_time: dict[str, float] = {}
         # O4 per-host pagination budget (the reference's "Load more"
@@ -409,6 +418,14 @@ class FrontierShard:
         _t3 = _tm.perf_counter()
         if sub.num_rows == 0:
             return _empty_poll_table()
+        if self.quarantined:
+            hosts_np = sub.column("host").to_numpy(zero_copy_only=False)
+            keep = ~np.isin(hosts_np, list(self.quarantined))
+            if not keep.all():
+                self.n_quarantine_skipped += int((~keep).sum())
+                sub = sub.filter(pa.array(keep))
+                if sub.num_rows == 0:
+                    return _empty_poll_table()
 
         # 3. politeness pacing, vectorized per host: survivors sorted
         #    (host, priority, ok); within-host rank i gets
@@ -661,6 +678,25 @@ class FrontierShard:
     def seen_restore(self, keys, urls) -> int:
         return self.seen.restore(keys, urls) if self.seen is not None else 0
 
+    def observe_failures(self, hosts: list[str],
+                         counts: list[int]) -> None:
+        """Accumulate per-host failed-fetch counts; trip the breaker at
+        the budget.  No-op unless the shard was built with
+        ``host_fail_budget``."""
+        if self.host_fail_budget is None:
+            return
+        for h, c in zip(hosts, counts):
+            n = self.host_failures.get(h, 0) + int(c)
+            self.host_failures[h] = n
+            if n >= self.host_fail_budget:
+                self.quarantined.add(h)
+
+    def quarantine_stats(self) -> dict:
+        return {
+            "quarantined_hosts": sorted(self.quarantined),
+            "skipped": self.n_quarantine_skipped,
+        }
+
     def observe_latency(self, hosts: list[str],
                         latency_s: list[float]) -> None:
         """Feed observed per-host fetch latencies into the adaptive
@@ -695,7 +731,8 @@ class Frontier:
                  spill_dir: str | None = None,
                  spill_threshold_rows: int = 1 << 22,
                  adaptive: dict | None = None,
-                 seen_filter: str = "cuckoo") -> None:
+                 seen_filter: str = "cuckoo",
+                 host_fail_budget: int | None = None) -> None:
         import os
 
         self.num_shards = num_shards
@@ -711,12 +748,37 @@ class Frontier:
                 max_pages_per_host=max_pages_per_host,
                 adaptive=adaptive,
                 seen_filter=seen_filter,
+                host_fail_budget=host_fail_budget,
             )
             for i in range(num_shards)
         ]
 
     def spill_stats(self) -> list[dict]:
         return ray.get([s.spill_stats.remote() for s in self.shards])
+
+    def push_failures(self, hosts: list[str],
+                      counts: list[int]) -> None:
+        """Synchronously deliver per-host failure counts to each host's
+        home shard (breaker mode routes by host, so ownership is
+        single-shard); the ray.get makes quarantine decisions visible
+        to the NEXT poll — deterministic, unlike a fire-and-forget."""
+        from ..functions.canonicalize import host_hash64
+
+        hh = np.array([host_hash64(h) for h in hosts], dtype=np.uint64)
+        shard = (hh % np.uint64(self.num_shards)).astype(np.int64)
+        futs = []
+        for si in range(self.num_shards):
+            m = shard == si
+            if m.any():
+                futs.append(self.shards[si].observe_failures.remote(
+                    [hosts[i] for i in np.flatnonzero(m)],
+                    [counts[i] for i in np.flatnonzero(m)]))
+        if futs:
+            ray.get(futs)
+
+    def quarantine_stats(self) -> list[dict]:
+        return ray.get(
+            [s.quarantine_stats.remote() for s in self.shards])
 
     def shard_of(self, host_hash: np.ndarray) -> np.ndarray:
         return (np.asarray(host_hash, dtype=np.uint64)
