@@ -55,13 +55,20 @@ def _web():
     return pages_t, seeds, robots
 
 
-def test_breaker_quarantines_failing_host(ray_session, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("num_shards", [1, 2, 4])
+def test_breaker_quarantines_failing_host(ray_session, tmp_path,
+                                          num_shards):
+    """Quarantine is a function of round boundaries, not sharding:
+    identical verdicts at every shard count."""
     from whakoom_webscrapper_ray.pipelines.crawl import CrawlEngine
 
     pages, seeds, robots = _web()
     eng = CrawlEngine(pages, seeds, robots,
                       checkpoint_dir=str(tmp_path / "br"),
-                      num_shards=2, host_fail_budget=3)
+                      num_shards=num_shards, host_fail_budget=3)
     res = eng.run()
     urls = eng.crawl_order()["url"].to_pylist()
     # round 1 schedules the 4 dead bad.com pages (failures land AFTER
