@@ -96,3 +96,35 @@ def test_breaker_off_keeps_scheduling(ray_session, tmp_path):
     urls = eng.crawl_order()["url"].to_pylist()
     assert sum("late" in u for u in urls) == 3  # no quarantine
     eng.shutdown()
+
+
+def test_breaker_state_survives_resume(ray_session, tmp_path):
+    """Quarantine verdicts are checkpointed: a crawl interrupted right
+    after the breaker trips resumes to the same crawl order as the
+    uninterrupted run (the late bad.com links stay dropped)."""
+    from whakoom_webscrapper_ray.pipelines.crawl import CrawlEngine
+
+    pages, seeds, robots = _web()
+    full = CrawlEngine(pages, seeds, robots,
+                       checkpoint_dir=str(tmp_path / "full"),
+                       num_shards=2, host_fail_budget=3)
+    full.run()
+    want = full.crawl_order()
+    full.shutdown()
+
+    part = CrawlEngine(pages, seeds, robots,
+                       checkpoint_dir=str(tmp_path / "part"),
+                       num_shards=2, host_fail_budget=3)
+    part.run(max_rounds=2)   # breaker trips during round 2's feedback
+    part.shutdown()
+    resumed = CrawlEngine(pages, seeds, robots,
+                          checkpoint_dir=str(tmp_path / "part"),
+                          num_shards=2, host_fail_budget=3)
+    resumed.resume()
+    resumed.run(seed=False)
+    got = resumed.crawl_order()
+    assert got.equals(want)
+    qs = resumed.frontier.quarantine_stats()
+    assert sorted(sum((q["quarantined_hosts"] for q in qs), [])) \
+        == ["bad.com"]
+    resumed.shutdown()

@@ -1059,14 +1059,22 @@ def embedding_pca(sf_dir: str, k: int = 2, scale: int = 1_000_000,
             "n": pa.array([mat.shape[0]], pa.int64()),
         })
 
-    parts = collect_small(
+    partials = collect_small(
         emb.map_batches(gram_partial, batch_format="pyarrow"),
         pa.schema([("g", pa.list_(pa.float64())),
                    ("s", pa.list_(pa.float64())), ("n", pa.int64())]),
     )
-    gs = [np.asarray(v, dtype=np.float64) for v in parts["g"].to_pylist()]
-    ss = [np.asarray(v, dtype=np.float64) for v in parts["s"].to_pylist()]
-    ns = parts["n"].to_numpy(zero_copy_only=False)
+    out_schema = pa.schema([
+        ("component", pa.int64()), ("dim_idx", pa.int64()),
+        ("eigenvalue_q", pa.int64()), ("loading_q", pa.int64()),
+    ])
+    if partials.num_rows == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    gs = [np.asarray(v, dtype=np.float64)
+          for v in partials["g"].to_pylist()]
+    ss = [np.asarray(v, dtype=np.float64)
+          for v in partials["s"].to_pylist()]
+    ns = partials["n"].to_numpy(zero_copy_only=False)
     # content-sorted fold: summation order is a function of the partial
     # VALUES, not of scheduling, so reruns at any parallelism agree bit
     # for bit.

@@ -72,7 +72,8 @@ class LinkRouter:
 
     def __init__(self, rules_ref, allowed_domains, frontier_shards,
                  route_by_host: bool = False,
-                 strip_tracking: bool = False):
+                 strip_tracking: bool = False,
+                 breaker: bool = False):
         self.rules: RobotsRules = (
             ray.get(rules_ref) if isinstance(rules_ref, ray.ObjectRef)
             else rules_ref
@@ -82,6 +83,7 @@ class LinkRouter:
         self.num_shards = len(frontier_shards)
         self.route_by_host = route_by_host
         self.strip_tracking = strip_tracking
+        self.breaker = breaker
         self.delayed = frozenset(
             h for h, d in self.rules.delay.items() if d > 0
         )
@@ -159,17 +161,16 @@ class LinkRouter:
             zero_copy_only=False
         )
         idx = np.flatnonzero(is_link)
-        fail_mask = pc.invert(
-            pc.equal(batch["fetch_status"], "fetched")).to_numpy(
-            zero_copy_only=False)
-        if fail_mask.any():
+        failed_hosts, failed_counts = [], []
+        if self.breaker and n_fetched < batch.num_rows:
+            fail_mask = pc.invert(
+                pc.equal(batch["fetch_status"], "fetched")).to_numpy(
+                zero_copy_only=False)
             fh, fc = np.unique(
                 batch["host"].to_numpy(zero_copy_only=False)[fail_mask],
                 return_counts=True)
             failed_hosts = [str(h) for h in fh]
             failed_counts = [int(c) for c in fc]
-        else:
-            failed_hosts, failed_counts = [], []
         summary = {
             "links": [int(idx.size)],
             "candidates": [0],
@@ -526,7 +527,8 @@ def partition_pages_refs(
 
 def _worker_router(engine_key, rules_ref, allowed, shards,
                    route_by_host=False,
-                   strip_tracking=False) -> "LinkRouter":
+                   strip_tracking=False,
+                   breaker=False) -> "LinkRouter":
     # engine_key includes a per-engine-INSTANCE nonce, not just the
     # checkpoint dir: a resumed engine on the same checkpoint spins up
     # fresh shard actors, and a worker that memoized the previous
@@ -535,7 +537,7 @@ def _worker_router(engine_key, rules_ref, allowed, shards,
     if key not in _WORKER_STATE:
         _WORKER_STATE[key] = LinkRouter(
             rules_ref, allowed, shards, route_by_host=route_by_host,
-            strip_tracking=strip_tracking,
+            strip_tracking=strip_tracking, breaker=breaker,
         )
     return _WORKER_STATE[key]
 
@@ -570,6 +572,7 @@ def _push_latency(batch: pa.Table, shards) -> None:
 
 def _route_batch(batch: pa.Table, engine_key=None, rules_ref=None,
                  route_by_host=False, strip_tracking=False,
+                 breaker=False,
                  allowed=None, shards=None, docs_dir=None,
                  metrics_dir=None, adaptive=False) -> pa.Table:
     """Side-write the fetched docs partition, then extract + route.
@@ -598,7 +601,8 @@ def _route_batch(batch: pa.Table, engine_key=None, rules_ref=None,
         t1 = _t.perf_counter()
         router = _worker_router(engine_key, rules_ref, allowed, shards,
                                 route_by_host=route_by_host,
-                                strip_tracking=strip_tracking)
+                                strip_tracking=strip_tracking,
+                                breaker=breaker)
         out = router(batch, metrics_path=mp)
         print(f"[rb] rows={batch.num_rows} write={t1 - t0:.2f} "
               f"route={_t.perf_counter() - t1:.2f}",
@@ -613,7 +617,8 @@ def _route_batch(batch: pa.Table, engine_key=None, rules_ref=None,
         t_write = _t.perf_counter() - t0
         router = _worker_router(engine_key, rules_ref, allowed, shards,
                                 route_by_host=route_by_host,
-                                strip_tracking=strip_tracking)
+                                strip_tracking=strip_tracking,
+                                breaker=breaker)
         prof = cProfile.Profile()
         prof.enable()
         out = router(batch, metrics_path=mp)
@@ -629,7 +634,8 @@ def _route_batch(batch: pa.Table, engine_key=None, rules_ref=None,
     bk.write_fragment(batch, dp)
     router = _worker_router(engine_key, rules_ref, allowed, shards,
                                 route_by_host=route_by_host,
-                                strip_tracking=strip_tracking)
+                                strip_tracking=strip_tracking,
+                                breaker=breaker)
     return router(batch, metrics_path=mp)
 
 
@@ -948,6 +954,7 @@ class CrawlEngine:
                     "metrics_dir": metrics_dir,
                     "route_by_host": self._route_by_host,
                     "strip_tracking": self.strip_tracking,
+                    "breaker": self.host_fail_budget is not None,
                     "adaptive": self.adaptive is not None,
                 },
                 batch_size=batch_size,

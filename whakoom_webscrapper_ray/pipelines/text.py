@@ -3061,13 +3061,11 @@ def vocab_encode(sf_dir: str, vocab_top: int = 256,
             pc.fill_null(pc.index_in(flat, value_set=v), -1),
             1)
         id_str = pc.cast(ids, pa.string())
-        off = pc.list_parent_indices(head)
         # rebuild the per-doc list with the head's own offsets
         lens = pc.list_value_length(head).to_numpy(
             zero_copy_only=False).astype(np.int64)
         offsets = np.zeros(lens.size + 1, dtype=np.int32)
         np.cumsum(lens, out=offsets[1:])
-        del off
         relist = pa.ListArray.from_arrays(
             pa.array(offsets, pa.int32()),
             id_str.combine_chunks() if isinstance(

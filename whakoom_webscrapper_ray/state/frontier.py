@@ -582,6 +582,9 @@ class FrontierShard:
             "pages_sched": dict(self.pages_sched),
             "spill_files": list(self._spill_files),
             "adaptive_delay": dict(self.adaptive_delay),
+            "host_failures": dict(self.host_failures),
+            "quarantined": sorted(self.quarantined),
+            "n_quarantine_skipped": self.n_quarantine_skipped,
         }
 
     def restore(self, state: dict) -> None:
@@ -596,6 +599,12 @@ class FrontierShard:
         # T5 adaptive pacing state survives resume (absent in pre-r4
         # checkpoints → starts fresh, which is also correct)
         self.adaptive_delay = dict(state.get("adaptive_delay") or {})
+        # circuit-breaker verdicts survive resume (absent in older
+        # checkpoints -> starts fresh, matching pre-breaker behavior)
+        self.host_failures = dict(state.get("host_failures") or {})
+        self.quarantined = set(state.get("quarantined") or ())
+        self.n_quarantine_skipped = int(
+            state.get("n_quarantine_skipped") or 0)
         # Re-link the checkpoint's spill runs into THIS incarnation's
         # spill dir: the next poll deletes its runs after consuming
         # them, and it must never mutate the checkpoint (a second
