@@ -154,7 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ORDERING IS DELIBERATE (rotating driver coverage): the driver's
     correctness file caps at 50 rows, so the in-cap prefix holds, in
     priority order: (a) every query with no prior driver row — led by
-    the newest operators (event_transitions .. embedding_pca, then
+    the newest operators (event_transitions .. vocab_encode, then
     ship_window_join .. nation_trade_matrix), all green under the full
     local gate at sf0.01 this session; (b) those of the 19 rotated in
     per the round-3 verdict that were touched this round or never
