@@ -242,3 +242,95 @@ def test_random_page_states_conformance(ray_session, tmp_path, seed,
         assert rows == golden.crawl_order
     finally:
         eng.shutdown()
+
+
+def _inject_tracking(pages: pa.Table) -> pa.Table:
+    """Decorate every 5th page's link spans with utm/gclid noise
+    (deterministic pure function), so strip mode must collapse them
+    back onto the clean URLs."""
+    ids = pages.column("doc_id").to_pylist()
+    spans = pages.column("spans").to_pylist()
+    noise = ["?utm_source=mail&utm_medium=cpc", "?gclid=99",
+             "?utm_campaign=x&id=1"]
+    k = 0
+    for i in range(0, len(ids), 5):
+        for sp in spans[i]:
+            if sp["kind"] == "link" and "?" not in sp["media_ref"]:
+                sp["media_ref"] = sp["media_ref"] + noise[k % len(noise)]
+                k += 1
+    return pa.table({"doc_id": ids, "spans": spans}, schema=PAGES_SCHEMA)
+
+
+@pytest.mark.parametrize("seed,num_shards", [(46, 3), (47, 5)])
+def test_strip_tracking_fuzz_conformance(ray_session, tmp_path, seed,
+                                         num_shards):
+    """Engine with --strip-tracking-params equals the sequential
+    oracle in the same mode on webs whose links carry utm/gclid noise
+    (the decorated and clean forms must collapse to ONE schedule)."""
+    from whakoom_webscrapper_ray.oracle import run_oracle
+    from whakoom_webscrapper_ray.pipelines.crawl import CrawlEngine
+    from whakoom_webscrapper_ray.sources.synth import (
+        SynthConfig, generate_web,
+    )
+
+    web = generate_web(SynthConfig(seed=seed, dup_link_frac=0.1))
+    pages = _inject_tracking(web["pages"])
+    golden = run_oracle(pages, web["seeds"], web["robots"],
+                        strip_tracking=True)
+    eng = CrawlEngine(
+        pages, web["seeds"], web["robots"],
+        checkpoint_dir=str(tmp_path / f"st_{seed}"),
+        num_shards=num_shards, fetcher_concurrency=2, batch_size=64,
+        strip_tracking_params=True,
+    )
+    try:
+        eng.run()
+        got = eng.crawl_order()
+        rows = list(zip(got.column("seq").to_pylist(),
+                        got.column("url").to_pylist(),
+                        got.column("host").to_pylist(),
+                        got.column("round").to_pylist()))
+        assert rows == golden.crawl_order
+        assert not any("utm" in u or "gclid" in u
+                       for _, u, _, _ in rows)
+        seen = dict(zip(eng.seen_table()["url_sha1"].to_pylist(),
+                        eng.seen_table()["canon_url"].to_pylist()))
+        assert seen == golden.seen
+    finally:
+        eng.shutdown()
+
+
+@pytest.mark.parametrize("seed,num_shards,budget",
+                         [(48, 3, 2), (49, 4, 5)])
+def test_breaker_fuzz_conformance(ray_session, tmp_path, seed,
+                                  num_shards, budget):
+    """Engine with a host failure budget equals the sequential oracle
+    in the same mode on hostile webs with missing pages: quarantine
+    verdicts apply from the next round, identically."""
+    from whakoom_webscrapper_ray.oracle import run_oracle
+    from whakoom_webscrapper_ray.pipelines.crawl import CrawlEngine
+    from whakoom_webscrapper_ray.sources.synth import (
+        SynthConfig, generate_web,
+    )
+
+    web = generate_web(
+        SynthConfig(seed=seed, dup_link_frac=0.15, offsite_frac=0.05))
+    pages = _inject_hostile(web["pages"])
+    golden = run_oracle(pages, web["seeds"], web["robots"],
+                        host_fail_budget=budget)
+    eng = CrawlEngine(
+        pages, web["seeds"], web["robots"],
+        checkpoint_dir=str(tmp_path / f"bk_{seed}"),
+        num_shards=num_shards, fetcher_concurrency=2, batch_size=64,
+        host_fail_budget=budget,
+    )
+    try:
+        eng.run()
+        got = eng.crawl_order()
+        rows = list(zip(got.column("seq").to_pylist(),
+                        got.column("url").to_pylist(),
+                        got.column("host").to_pylist(),
+                        got.column("round").to_pylist()))
+        assert rows == golden.crawl_order
+    finally:
+        eng.shutdown()

@@ -62,6 +62,8 @@ def run_oracle(
     robots: pa.Table,
     max_rounds: int | None = None,
     max_pages_per_host: int | None = None,
+    strip_tracking: bool = False,
+    host_fail_budget: int | None = None,
 ) -> OracleResult:
     """Run the sequential crawl; return all golden outputs.
 
@@ -70,7 +72,16 @@ def run_oracle(
     publications.py:74-89 stops requesting more pages of one site).
     Candidates beyond the budget are dropped at schedule time after
     being marked seen, exactly like the engine (state/frontier.py).
+    ``strip_tracking`` applies the canonicalizer's tracking-param
+    strip to every URL, and ``host_fail_budget`` models the per-host
+    circuit breaker with the engine's round-synchronous feedback:
+    failures observed in round N quarantine the host from round N+1's
+    scheduling; dropped candidates stay seen-marked (exactly the
+    engine ordering: dedup → seen-mark → quarantine filter → pacing).
     """
+
+    def _c(u: str, base: str | None = None) -> str:
+        return canonicalize_url(u, base, strip_tracking=strip_tracking)
     if "state" in pages.column_names:
         # Dynamic "Load more" pages (S3, publications.py:74-93): the
         # sequential reference loop, verbatim — start at state 0,
@@ -114,7 +125,7 @@ def run_oracle(
     )
     # Allowed domains = canonical hosts of the seed list (the engine's
     # generalization of the hardcoded allowed_domains, lists.py:16).
-    allowed = frozenset(host_of(canonicalize_url(u)) for _, u, _ in seed_rows)
+    allowed = frozenset(host_of(_c(u)) for _, u, _ in seed_rows)
 
     def domain_ok(host: str) -> bool:
         return host in allowed or any(host.endswith("." + d) for d in allowed)
@@ -122,6 +133,8 @@ def run_oracle(
     seen: dict[bytes, str] = {}
     next_time: dict[str, float] = {}
     pages_budget: dict[str, int] = {}
+    host_failures: dict[str, int] = {}
+    quarantined: set[str] = set()
     crawl_order: list[tuple[int, str, str, int]] = []
     docs_out: dict[str, list[dict]] = {}
     lists_out: dict[int, dict] = {}
@@ -134,16 +147,16 @@ def run_oracle(
     # candidates for the current round: (priority, ok, canon, sha, host)
     cands: list[tuple[int, int, str, bytes, str]] = []
     for idx, url, prio in seed_rows:
-        canon = canonicalize_url(url)
-        host = host_of(canon)
+        cu = _c(url)
+        host = host_of(cu)
         if not domain_ok(host):
             continue
         from urllib.parse import urlsplit
 
-        if not rules.allowed(host, urlsplit(canon).path):
+        if not rules.allowed(host, urlsplit(cu).path):
             continue
-        sha = url_sha1(canon)
-        cands.append((int(prio), int(idx), canon, sha, host))
+        sha = url_sha1(cu)
+        cands.append((int(prio), int(idx), cu, sha, host))
 
     seq = 0
     rnd = 0
@@ -157,6 +170,8 @@ def run_oracle(
         sched = [c for c in best.values() if c[3] not in seen]
         for c in sched:
             seen[c[3]] = c[2]
+        if quarantined:
+            sched = [c for c in sched if c[4] not in quarantined]
         # per-host pacing
         by_host: dict[str, list] = {}
         for c in sched:
@@ -187,6 +202,7 @@ def run_oracle(
             spans = page_spans.get(canon)
             if spans is None:
                 fetch_log.append((canon, "missing"))
+                host_failures[host] = host_failures.get(host, 0) + 1
                 continue
             fetch_log.append((canon, "fetched"))
             docs_out[canon] = spans
@@ -195,7 +211,7 @@ def run_oracle(
             for sp in spans:
                 if sp["kind"] != "link":
                     continue
-                child = canonicalize_url(sp["media_ref"], base=canon)
+                child = _c(sp["media_ref"], base=canon)
                 ch_host = host_of(child)
                 if not domain_ok(ch_host):
                     continue
@@ -280,7 +296,7 @@ def run_oracle(
                     for sp in spans:
                         if sp["kind"] != "link":
                             continue
-                        child = canonicalize_url(sp["media_ref"], base=canon)
+                        child = _c(sp["media_ref"], base=canon)
                         if not domain_ok(host_of(child)):
                             continue
                         tid = id_from_url(sp["media_ref"])
@@ -298,6 +314,10 @@ def run_oracle(
                             }
                         pos += 1
 
+        if host_fail_budget is not None:
+            for h, n in host_failures.items():
+                if n >= host_fail_budget:
+                    quarantined.add(h)
         cands = next_cands
         rnd += 1
 
