@@ -5339,6 +5339,7 @@ def qty_price_moments(sf_dir: str) -> ray.data.Dataset:
             "l_returnflag": b["l_returnflag"],
             "l_linestatus": b["l_linestatus"],
             "q": q, "p": p,
+            "qq": pc.multiply_checked(q, q),
             "qp": pc.multiply_checked(q, p),
         })
 
@@ -5346,6 +5347,7 @@ def qty_price_moments(sf_dir: str) -> ray.data.Dataset:
         li.map_batches(moments, batch_format="pyarrow"),
         keys=["l_returnflag", "l_linestatus"],
         sums={"q": "sum_qty", "p": "sum_price_cents",
+              "qq": "sum_qty_sq",
               "qp": "sum_qty_price_cents"},
         count_alias="n_rows",
     )
@@ -5354,19 +5356,25 @@ def qty_price_moments(sf_dir: str) -> ray.data.Dataset:
         n = b["n_rows"].to_numpy(zero_copy_only=False)
         sq = b["sum_qty"].to_numpy(zero_copy_only=False)
         sp = b["sum_price_cents"].to_numpy(zero_copy_only=False)
+        sqq = b["sum_qty_sq"].to_numpy(zero_copy_only=False)
         sqp = b["sum_qty_price_cents"].to_numpy(zero_copy_only=False)
         cov = [int(nn) * int(xy) - int(x) * int(y)
                for nn, xy, x, y in zip(n, sqp, sq, sp)]
-        assert all(-2**63 <= c < 2**63 for c in cov), \
-            "cov numerator exceeds int64: widen the output type"
+        # n·Σx² − (Σx)² — the OLS-slope denominator (slope = cov/var)
+        var = [int(nn) * int(xx) - int(x) * int(x)
+               for nn, xx, x in zip(n, sqq, sq)]
+        assert all(-2**63 <= c < 2**63 for c in cov + var), \
+            "moment numerator exceeds int64: widen the output type"
         return pa.table({
             "l_returnflag": b["l_returnflag"],
             "l_linestatus": b["l_linestatus"],
             "n_rows": pa.array(n, pa.int64()),
             "sum_qty": pa.array(sq, pa.int64()),
             "sum_price_cents": pa.array(sp, pa.int64()),
+            "sum_qty_sq": pa.array(sqq, pa.int64()),
             "sum_qty_price_cents": pa.array(sqp, pa.int64()),
             "cov_num_cents": pa.array(cov, pa.int64()),
+            "var_num_qty": pa.array(var, pa.int64()),
         })
 
     return merged.map_batches(finish, batch_format="pyarrow")
@@ -5380,14 +5388,17 @@ WITH c AS (
   FROM lineitem
 ), s AS (
   SELECT l_returnflag, l_linestatus,
-         count(*) AS n, sum(q) AS sq, sum(p) AS sp, sum(q * p) AS sqp
+         count(*) AS n, sum(q) AS sq, sum(p) AS sp,
+         sum(q * q) AS sqq, sum(q * p) AS sqp
   FROM c GROUP BY 1, 2
 )
 SELECT l_returnflag, l_linestatus,
        CAST(n AS BIGINT) AS n_rows,
        CAST(sq AS BIGINT) AS sum_qty,
        CAST(sp AS BIGINT) AS sum_price_cents,
+       CAST(sqq AS BIGINT) AS sum_qty_sq,
        CAST(sqp AS BIGINT) AS sum_qty_price_cents,
-       CAST(n * sqp - sq * sp AS BIGINT) AS cov_num_cents
+       CAST(n * sqp - sq * sp AS BIGINT) AS cov_num_cents,
+       CAST(n * sqq - sq * sq AS BIGINT) AS var_num_qty
 FROM s
 """
