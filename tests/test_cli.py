@@ -173,3 +173,27 @@ def test_cli_pipeline_stats(ray_session, capsys):
     out = capsys.readouterr().out
     assert '"rows": 500' in out
     assert "Operator" in out and "wall time" in out
+
+
+def test_cli_crawl_all_optins_compose(tmp_path):
+    """The opt-in knobs compose: bloom seen filter + tracking strip +
+    circuit breaker + pagination budget in one run still crawls SMALL
+    and reports the O4-bounded schedule."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "whakoom_webscrapper_ray.cli", "crawl",
+         "--synth", "SMALL", "--checkpoint", str(tmp_path / "ks"),
+         "--num-shards", "4", "--seen-filter", "bloom",
+         "--strip-tracking-params", "--host-fail-budget", "50",
+         "--max-pages-per-host", "7"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    # the SMALL fixture has no tracking-decorated or failing-host
+    # pathologies, so the O4 budget alone shapes the schedule: the
+    # documented {"rounds": 3, "scheduled": 56} oracle figure
+    assert res["rounds"] == 3 and res["scheduled"] == 56
