@@ -72,3 +72,52 @@ def test_recrawl_generation_finds_mutations(ray_session, small_web,
         len(changed), len(expected))
     gen0.shutdown()
     gen1.shutdown()
+
+
+def test_docs_diff_between_generations(ray_session, small_web,
+                                       tmp_path):
+    """docs_diff over two real engine exports pinpoints exactly the
+    mutated pages as 'changed' (added/removed empty here: both
+    generations fetch the same URL set)."""
+    from whakoom_webscrapper_ray.pipelines.crawl import CrawlEngine
+    from whakoom_webscrapper_ray.pipelines.dedup import docs_diff
+
+    gen0 = CrawlEngine(
+        small_web["pages"], small_web["seeds"], small_web["robots"],
+        checkpoint_dir=str(tmp_path / "g0"), num_shards=4)
+    gen0.run()
+    d0 = str(tmp_path / "docs0")
+    gen0.docs_dataset().map_batches(
+        lambda t: t.select(["doc_id", "spans"]),
+        batch_format="pyarrow").write_parquet(d0)
+
+    pages = small_web["pages"]
+    mutated = set(pages["doc_id"].to_pylist()[::10])
+    new_pages = pa.table({
+        "doc_id": pages["doc_id"],
+        "spans": pa.array(
+            [[{**sp, "text": sp["text"] + " v2"} for sp in spans]
+             if d in mutated else spans
+             for d, spans in zip(pages["doc_id"].to_pylist(),
+                                 pages["spans"].to_pylist())],
+            pages.schema.field("spans").type),
+    })
+    gen1 = CrawlEngine(
+        new_pages, gen0.export_seeds(), small_web["robots"],
+        checkpoint_dir=str(tmp_path / "g1"), num_shards=4)
+    gen1.run()
+    d1 = str(tmp_path / "docs1")
+    gen1.docs_dataset().map_batches(
+        lambda t: t.select(["doc_id", "spans"]),
+        batch_format="pyarrow").write_parquet(d1)
+
+    diff = docs_diff(d0, d1, parts=8).to_pandas()
+    fetched0 = set()
+    for b in gen0.docs_dataset().iter_batches(batch_format="pyarrow"):
+        fetched0 |= set(b["doc_id"].to_pylist())
+    expected_changed = {u for u in fetched0 if u in mutated}
+    assert set(diff[diff.status == "changed"].doc_id) \
+        == expected_changed and expected_changed
+    assert (diff.status == "changed").all()
+    gen0.shutdown()
+    gen1.shutdown()

@@ -2198,3 +2198,91 @@ SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
 FROM new n FULL OUTER JOIN old o ON n.doc_id = o.doc_id
 WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR n.h <> o.h
 """
+
+
+# --------------------------------------- crawl-export generation diff
+def docs_diff(docs_dir_a: str, docs_dir_b: str,
+              parts: int = 64) -> ray.data.Dataset:
+    """(doc_id, status): added/removed/changed between two crawl-export
+    docs directories (``cli export``'s ``docs/`` output, or any parquet
+    of ``(doc_id, spans)``) — :func:`snapshot_diff` operationalized on
+    REAL engine output, closing the incremental-recrawl loop that
+    ``CrawlEngine.export_seeds()`` opens.
+
+    A doc's content digest is the md5 of its span sequence in document
+    order (kind, text, media_ref, offset — the north rule's span-
+    sequence identity), so a changed page is exactly one whose span
+    sequence differs.  Scale shape identical to snapshot_diff: per-side
+    digests map-side, ONE doc-id-hash exchange of (id-hash, digest,
+    side), vectorized presence + digest resolve per partition;
+    documents never shuffle.  Output carries the string doc_id (the
+    canonical URL), shipped alongside the routing hash.
+    """
+    import pandas as pd
+
+    def side_rows(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_pylist()
+            digs = []
+            for sp in b["spans"].to_pylist():
+                h = hashlib.md5()
+                for s in sp:
+                    h.update(
+                        f"{s['kind']}\x1f{s['text']}\x1f"
+                        f"{s['media_ref']}\x1f{s['offset']}\x1e"
+                        .encode("utf-8"))
+                digs.append(h.digest())
+            hh = pd.util.hash_array(
+                np.asarray(ids, dtype=object)).astype(np.uint64)
+            return pa.table({
+                "doc_id": pa.array(ids, pa.string()),
+                "dig": pa.array(digs, pa.binary(16)),
+                "side": pa.array(
+                    np.full(len(ids), side, np.int8), pa.int8()),
+                "part": pa.array(
+                    (hh % np.uint64(parts)).astype(np.int64)),
+            })
+        return fn
+
+    both = (
+        ray.data.read_parquet(docs_dir_a, columns=["doc_id", "spans"])
+        .map_batches(side_rows(1), batch_format="pyarrow")
+        .union(
+            ray.data.read_parquet(docs_dir_b,
+                                  columns=["doc_id", "spans"])
+            .map_batches(side_rows(2), batch_format="pyarrow"))
+    )
+
+    out_schema = pa.schema([("doc_id", pa.string()),
+                            ("status", pa.string())])
+
+    def resolve(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, ids))
+        ids, side = ids[order], side[order]
+        dig = g["dig"].take(pa.array(order)).to_numpy(
+            zero_copy_only=False)
+        uk, start = np.unique(ids, return_index=True)
+        cnt = np.diff(np.r_[start, ids.size])
+        status = np.empty(uk.size, dtype=object)
+        single = cnt == 1
+        # side 1 = old generation, side 2 = new: lone-new is added,
+        # lone-old is removed
+        status[single & (side[start] == 2)] = "added"
+        status[single & (side[start] == 1)] = "removed"
+        both_m = ~single
+        changed = np.zeros(uk.size, dtype=bool)
+        bs = start[both_m]
+        changed[both_m] = dig[bs] != dig[bs + 1]
+        status[both_m & changed] = "changed"
+        keep = single | changed
+        return pa.table({
+            "doc_id": pa.array(uk[keep], pa.string()),
+            "status": pa.array(status[keep].tolist(), pa.string()),
+        })
+
+    return both.groupby("part").map_groups(
+        resolve, batch_format="pyarrow")
