@@ -121,3 +121,40 @@ def test_docs_diff_between_generations(ray_session, small_web,
     assert (diff.status == "changed").all()
     gen0.shutdown()
     gen1.shutdown()
+
+
+def test_docs_diff_added_removed(ray_session, tmp_path):
+    """All four fates over hand-built export dirs: present-only-in-new
+    is added, only-in-old removed, span mutation (text OR order) is
+    changed, identical spans absent."""
+    import pyarrow.parquet as pq
+
+    from whakoom_webscrapper_ray.pipelines.dedup import docs_diff
+    from whakoom_webscrapper_ray.schemas import PAGES_SCHEMA
+
+    def tbl(rows):
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows]),
+            "spans": pa.array([r[1] for r in rows],
+                              PAGES_SCHEMA.field("spans").type),
+        }).cast(PAGES_SCHEMA)
+
+    sp = lambda t, o: {"kind": "text", "text": t, "media_ref": "",  # noqa: E731
+                       "offset": o}
+    old = tbl([("u/keep", [sp("a", 0), sp("b", 1)]),
+               ("u/gone", [sp("x", 0)]),
+               ("u/edit", [sp("a", 0), sp("b", 1)]),
+               ("u/reorder", [sp("a", 0), sp("b", 1)])])
+    new = tbl([("u/keep", [sp("a", 0), sp("b", 1)]),
+               ("u/new", [sp("n", 0)]),
+               ("u/edit", [sp("a", 0), sp("B", 1)]),
+               ("u/reorder", [sp("b", 0), sp("a", 1)])])
+    d0, d1 = str(tmp_path / "o"), str(tmp_path / "n")
+    import os
+    os.makedirs(d0); os.makedirs(d1)
+    pq.write_table(old, f"{d0}/part.parquet")
+    pq.write_table(new, f"{d1}/part.parquet")
+    res = docs_diff(d0, d1, parts=4).to_pandas()
+    got = dict(zip(res.doc_id, res.status))
+    assert got == {"u/gone": "removed", "u/new": "added",
+                   "u/edit": "changed", "u/reorder": "changed"}
