@@ -272,3 +272,20 @@ def test_asof_semijoin_both_paths(ray_session):
     c = dataops.latest_order_before_event(SF_DIR, parts=7) \
         .to_pandas()[cols].sort_values("event_id").reset_index(drop=True)
     assert a.equals(c)
+
+
+def test_entry_contract(entry):
+    """The driver's smoke contract: entry() returns a Dataset in the
+    input_hint shape with >0 rows (crawl docs ∪ derived interleaved
+    documents)."""
+    import pyarrow as pa
+
+    ds = entry.entry()
+    schema = ds.schema()
+    assert schema.names == ["doc_id", "spans"]
+    spans_t = schema.types[1]
+    assert pa.types.is_list(spans_t)
+    f = {spans_t.value_type.field(i).name
+         for i in range(spans_t.value_type.num_fields)}
+    assert f == {"kind", "text", "media_ref", "offset"}
+    assert ds.count() > 0
