@@ -334,3 +334,34 @@ def test_breaker_fuzz_conformance(ray_session, tmp_path, seed,
         assert rows == golden.crawl_order
     finally:
         eng.shutdown()
+
+
+def test_combined_modes_fuzz_conformance(ray_session, tmp_path):
+    """Both opt-in modes at once (tracking strip + breaker) still
+    match the sequential oracle — the modes must not interact."""
+    from whakoom_webscrapper_ray.oracle import run_oracle
+    from whakoom_webscrapper_ray.pipelines.crawl import CrawlEngine
+    from whakoom_webscrapper_ray.sources.synth import (
+        SynthConfig, generate_web,
+    )
+
+    web = generate_web(SynthConfig(seed=50, dup_link_frac=0.15))
+    pages = _inject_tracking(_inject_hostile(web["pages"]))
+    golden = run_oracle(pages, web["seeds"], web["robots"],
+                        strip_tracking=True, host_fail_budget=3)
+    eng = CrawlEngine(
+        pages, web["seeds"], web["robots"],
+        checkpoint_dir=str(tmp_path / "combo"),
+        num_shards=3, fetcher_concurrency=2, batch_size=64,
+        strip_tracking_params=True, host_fail_budget=3,
+    )
+    try:
+        eng.run()
+        got = eng.crawl_order()
+        rows = list(zip(got.column("seq").to_pylist(),
+                        got.column("url").to_pylist(),
+                        got.column("host").to_pylist(),
+                        got.column("round").to_pylist()))
+        assert rows == golden.crawl_order
+    finally:
+        eng.shutdown()
