@@ -296,6 +296,16 @@ def test_strip_tracking_fuzz_conformance(ray_session, tmp_path, seed,
         seen = dict(zip(eng.seen_table()["url_sha1"].to_pylist(),
                         eng.seen_table()["canon_url"].to_pylist()))
         assert seen == golden.seen
+        # the finalize path must strip too: titles URLs match the
+        # oracle's stripped canon forms exactly
+        titles = eng.finalize_tables()["titles"]
+        got_urls = dict(zip(titles["title_id"].to_pylist(),
+                            titles["url"].to_pylist()))
+        want_urls = {tid: row["url"]
+                     for tid, row in golden.titles_out.items()}
+        assert got_urls == want_urls
+        assert not any("utm" in u or "gclid" in u
+                       for u in got_urls.values())
     finally:
         eng.shutdown()
 

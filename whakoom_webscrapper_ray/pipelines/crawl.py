@@ -1365,6 +1365,7 @@ class CrawlEngine:
 
         # ---- junction + titles: list-page title links in document order
         allowed = self.allowed
+        strip_tracking = self.strip_tracking
 
         def title_links_stage(t: pa.Table) -> pa.Table:
             links = extract_title_links(t)
@@ -1387,7 +1388,8 @@ class CrawlEngine:
             # crawl's route stage — slow (relative-href) rows resolve
             # against their source page URL
             cols = canonicalize_arrow(
-                href, base_for=lambda j: src[int(j)].as_py()
+                href, base_for=lambda j: src[int(j)].as_py(),
+                strip_tracking=strip_tracking,
             )
             tid_arr = ids_from_url_tail(href)
             keep = offsite_mask_arrow(cols["host"], allowed)

@@ -5311,9 +5311,10 @@ FROM u GROUP BY 1
 # ------------------------------------------------- grouped moments
 def qty_price_moments(sf_dir: str) -> ray.data.Dataset:
     """(l_returnflag, l_linestatus, n_rows, sum_qty, sum_price_cents,
-    sum_qty_price_cents, cov_num_cents): the mergeable second-moment
-    sketch of (quantity, price) per flag/status group, with the
-    covariance numerator n·Σxy − Σx·Σy evaluated exactly.
+    sum_qty_sq, sum_qty_price_cents, cov_num_cents, var_num_qty): the
+    mergeable second-moment sketch of (quantity, price) per
+    flag/status group, with the covariance numerator n·Σxy − Σx·Σy and
+    the OLS-denominator n·Σx² − (Σx)² evaluated exactly.
 
     The one-pass distributed-statistics primitive: every downstream
     estimator (variance, covariance, Pearson r, OLS slope) is a pure

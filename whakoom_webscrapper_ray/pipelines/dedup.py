@@ -2093,6 +2093,38 @@ ORACLE_SOURCE_DUP_MATRIX = source_dup_matrix_oracle_sql()
 
 
 # --------------------------------------------- incremental crawl diff
+def _gen_diff_resolve(g: pa.Table, id_type, new_side: int) -> pa.Table:
+    """Shared added/removed/changed resolver for snapshot_diff and
+    docs_diff (ONE copy of the status logic; the callers differ only
+    in id dtype and in which side-label means the NEW snapshot).
+    Expects (doc_id, side, dig) rows co-located per doc."""
+    out_schema = pa.schema([("doc_id", id_type),
+                            ("status", pa.string())])
+    if g.num_rows == 0:
+        return out_schema.empty_table()
+    ids = g["doc_id"].to_numpy(zero_copy_only=False)
+    side = g["side"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((side, ids))
+    ids, side = ids[order], side[order]
+    dig = g["dig"].take(pa.array(order)).to_numpy(zero_copy_only=False)
+    uk, start = np.unique(ids, return_index=True)
+    cnt = np.diff(np.r_[start, ids.size])
+    status = np.empty(uk.size, dtype=object)
+    single = cnt == 1
+    status[single & (side[start] == new_side)] = "added"
+    status[single & (side[start] != new_side)] = "removed"
+    both = ~single
+    changed = np.zeros(uk.size, dtype=bool)
+    bs = start[both]
+    changed[both] = dig[bs] != dig[bs + 1]
+    status[both & changed] = "changed"
+    keep = single | changed
+    return pa.table({
+        "doc_id": pa.array(uk[keep], id_type),
+        "status": pa.array(status[keep].tolist(), pa.string()),
+    })
+
+
 def snapshot_diff(sf_dir: str, parts: int = 64) -> ray.data.Dataset:
     """(doc_id, status): the incremental-recrawl diff — which documents
     were added, removed, or changed between two crawl snapshots.  The
@@ -2144,35 +2176,9 @@ def snapshot_diff(sf_dir: str, parts: int = 64) -> ray.data.Dataset:
                 .astype(np.int64)),
         })
 
-    out_schema = pa.schema([("doc_id", pa.int64()),
-                            ("status", pa.string())])
-
     def resolve(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return out_schema.empty_table()
-        did = g["doc_id"].to_numpy(zero_copy_only=False)
-        side = g["side"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((side, did))
-        did, side = did[order], side[order]
-        dig = g["dig"].take(pa.array(order)).to_numpy(
-            zero_copy_only=False)
-        uk, start = np.unique(did, return_index=True)
-        cnt = np.diff(np.r_[start, did.size])
-        status = np.empty(uk.size, dtype=object)
-        single = cnt == 1
-        # lone row: side 1 = only in new (added), side 2 = removed
-        status[single & (side[start] == 1)] = "added"
-        status[single & (side[start] == 2)] = "removed"
-        both = ~single
-        changed = np.zeros(uk.size, dtype=bool)
-        bs = start[both]
-        changed[both] = dig[bs] != dig[bs + 1]
-        status[both & changed] = "changed"
-        keep = single | changed
-        return pa.table({
-            "doc_id": pa.array(uk[keep], pa.int64()),
-            "status": pa.array(status[keep].tolist(), pa.string()),
-        })
+        # side 1 = the NEW snapshot in this operator's convention
+        return _gen_diff_resolve(g, pa.int64(), new_side=1)
 
     return (
         read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -2253,36 +2259,9 @@ def docs_diff(docs_dir_a: str, docs_dir_b: str,
             .map_batches(side_rows(2), batch_format="pyarrow"))
     )
 
-    out_schema = pa.schema([("doc_id", pa.string()),
-                            ("status", pa.string())])
-
     def resolve(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return out_schema.empty_table()
-        ids = g["doc_id"].to_numpy(zero_copy_only=False)
-        side = g["side"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((side, ids))
-        ids, side = ids[order], side[order]
-        dig = g["dig"].take(pa.array(order)).to_numpy(
-            zero_copy_only=False)
-        uk, start = np.unique(ids, return_index=True)
-        cnt = np.diff(np.r_[start, ids.size])
-        status = np.empty(uk.size, dtype=object)
-        single = cnt == 1
-        # side 1 = old generation, side 2 = new: lone-new is added,
-        # lone-old is removed
-        status[single & (side[start] == 2)] = "added"
-        status[single & (side[start] == 1)] = "removed"
-        both_m = ~single
-        changed = np.zeros(uk.size, dtype=bool)
-        bs = start[both_m]
-        changed[both_m] = dig[bs] != dig[bs + 1]
-        status[both_m & changed] = "changed"
-        keep = single | changed
-        return pa.table({
-            "doc_id": pa.array(uk[keep], pa.string()),
-            "status": pa.array(status[keep].tolist(), pa.string()),
-        })
+        # side 2 = the NEW generation in this operator's convention
+        return _gen_diff_resolve(g, pa.string(), new_side=2)
 
     return both.groupby("part").map_groups(
         resolve, batch_format="pyarrow")

@@ -121,6 +121,7 @@ class FrontierShard:
         self.host_fail_budget = host_fail_budget
         self.host_failures: dict[str, int] = {}
         self.quarantined: set[str] = set()
+        self._quarantined_hh = np.empty(0, dtype=np.uint64)
         self.n_quarantine_skipped = 0
         self.pending: list[pa.Table] = []  # columnar enqueue blocks
         self.next_time: dict[str, float] = {}
@@ -419,8 +420,9 @@ class FrontierShard:
         if sub.num_rows == 0:
             return _empty_poll_table()
         if self.quarantined:
-            hosts_np = sub.column("host").to_numpy(zero_copy_only=False)
-            keep = ~np.isin(hosts_np, list(self.quarantined))
+            hh_np = sub.column("host_hash").to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+            keep = ~np.isin(hh_np, self._quarantined_hh)
             if not keep.all():
                 self.n_quarantine_skipped += int((~keep).sum())
                 sub = sub.filter(pa.array(keep))
@@ -603,6 +605,7 @@ class FrontierShard:
         # checkpoints -> starts fresh, matching pre-breaker behavior)
         self.host_failures = dict(state.get("host_failures") or {})
         self.quarantined = set(state.get("quarantined") or ())
+        self._refresh_quarantine_hashes()
         self.n_quarantine_skipped = int(
             state.get("n_quarantine_skipped") or 0)
         # Re-link the checkpoint's spill runs into THIS incarnation's
@@ -699,6 +702,16 @@ class FrontierShard:
             self.host_failures[h] = n
             if n >= self.host_fail_budget:
                 self.quarantined.add(h)
+        self._refresh_quarantine_hashes()
+
+    def _refresh_quarantine_hashes(self) -> None:
+        """int64-filterable form of the quarantine set, so the poll
+        filter compares C-speed host hashes, never Python strings."""
+        from ..functions.canonicalize import host_hash64
+
+        self._quarantined_hh = np.array(
+            sorted(host_hash64(h) for h in self.quarantined),
+            dtype=np.uint64)
 
     def quarantine_stats(self) -> dict:
         return {
