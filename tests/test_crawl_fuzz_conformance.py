@@ -375,3 +375,39 @@ def test_combined_modes_fuzz_conformance(ray_session, tmp_path):
         assert rows == golden.crawl_order
     finally:
         eng.shutdown()
+
+
+@pytest.mark.parametrize("seed,budget,num_shards",
+                         [(51, 1, 2), (52, 3, 3), (53, 8, 5)])
+def test_breaker_budget_sweep_conformance(ray_session, tmp_path, seed,
+                                          budget, num_shards):
+    """Budget sweep: the tightest budget (1) quarantines on first
+    failure, mid budgets trip mid-crawl, loose budgets may never trip —
+    engine == oracle at every point of the dial."""
+    from whakoom_webscrapper_ray.oracle import run_oracle
+    from whakoom_webscrapper_ray.pipelines.crawl import CrawlEngine
+    from whakoom_webscrapper_ray.sources.synth import (
+        SynthConfig, generate_web,
+    )
+
+    web = generate_web(
+        SynthConfig(seed=seed, dup_link_frac=0.2, offsite_frac=0.1))
+    pages = _inject_hostile(web["pages"])
+    golden = run_oracle(pages, web["seeds"], web["robots"],
+                        host_fail_budget=budget)
+    eng = CrawlEngine(
+        pages, web["seeds"], web["robots"],
+        checkpoint_dir=str(tmp_path / f"bs_{seed}_{budget}"),
+        num_shards=num_shards, fetcher_concurrency=2, batch_size=64,
+        host_fail_budget=budget,
+    )
+    try:
+        eng.run()
+        got = eng.crawl_order()
+        rows = list(zip(got.column("seq").to_pylist(),
+                        got.column("url").to_pylist(),
+                        got.column("host").to_pylist(),
+                        got.column("round").to_pylist()))
+        assert rows == golden.crawl_order
+    finally:
+        eng.shutdown()
