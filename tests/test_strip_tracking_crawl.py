@@ -65,3 +65,32 @@ def test_strip_tracking_collapses_link_variants(ray_session, tmp_path):
     assert len(urls_off) == 4
     assert sum(st["missing"] for st in r_off["stats"]) == 2
     off.shutdown()
+
+
+def test_strip_mode_resume_equivalence(ray_session, tmp_path):
+    """A strip-mode crawl interrupted at round 1 resumes to the same
+    crawl order as the uninterrupted strip-mode run (canonical forms
+    in the checkpoint are already stripped, so resume must not
+    re-canonicalize differently)."""
+    from whakoom_webscrapper_ray.pipelines.crawl import CrawlEngine
+
+    pages, seeds, robots = _web()
+    full = CrawlEngine(pages, seeds, robots,
+                       checkpoint_dir=str(tmp_path / "full"),
+                       num_shards=2, strip_tracking_params=True)
+    full.run()
+    want = full.crawl_order()
+    full.shutdown()
+
+    part = CrawlEngine(pages, seeds, robots,
+                       checkpoint_dir=str(tmp_path / "part"),
+                       num_shards=2, strip_tracking_params=True)
+    part.run(max_rounds=1)
+    part.shutdown()
+    resumed = CrawlEngine(pages, seeds, robots,
+                          checkpoint_dir=str(tmp_path / "part"),
+                          num_shards=2, strip_tracking_params=True)
+    resumed.resume()
+    resumed.run(seed=False)
+    assert resumed.crawl_order().equals(want)
+    resumed.shutdown()
