@@ -268,3 +268,39 @@ def test_vocab_encode_oov_ties_and_truncation(ray_session, tmp_path):
     assert by[2] == "3 2 0 0"           # truncated at 4 tokens
     assert by[3] == "1 1 1 1"
     assert (res.n_tokens <= 4).all()
+
+
+def test_newest_ops_empty_corpus_safe(ray_session, tmp_path):
+    """Degenerate-input guard: every round-4e operator returns an
+    empty result (never crashes) on a zero-row corpus — the
+    embedding_pca empty-partials crash class, pinned for all of them."""
+    import pyarrow.parquet as pq
+
+    from whakoom_webscrapper_ray.pipelines import ann as an
+    from whakoom_webscrapper_ray.pipelines import dedup as dd
+    from whakoom_webscrapper_ray.pipelines import text as tx
+
+    sf = str(tmp_path / "sf")
+    import os
+    os.makedirs(sf)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+        "source": pa.array([], pa.string()),
+        "n_chars": pa.array([], pa.int64()),
+    }), f"{sf}/documents.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+        "label": pa.array([], pa.int32()),
+    }), f"{sf}/embeddings.parquet")
+
+    import ray.data
+    for fn in (tx.cms_term_counts, tx.lang_hll_vocab,
+               tx.lang_kll_quantiles, tx.vocab_encode,
+               dd.source_dup_matrix, dd.snapshot_diff,
+               an.embedding_pca):
+        r = fn(sf)
+        n = r.count() if isinstance(r, ray.data.Dataset) else r.num_rows
+        assert n == 0, fn.__name__
