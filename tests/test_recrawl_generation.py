@@ -158,3 +158,42 @@ def test_docs_diff_added_removed(ray_session, tmp_path):
     got = dict(zip(res.doc_id, res.status))
     assert got == {"u/gone": "removed", "u/new": "added",
                    "u/edit": "changed", "u/reorder": "changed"}
+
+
+def test_cli_diff_subcommand(tmp_path):
+    """`cli diff --old A --new B` prints per-status counts and writes
+    the delta parquet."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    from whakoom_webscrapper_ray.schemas import PAGES_SCHEMA
+
+    sp = lambda t, o: {"kind": "text", "text": t, "media_ref": "",  # noqa: E731
+                       "offset": o}
+    old = pa.table({
+        "doc_id": pa.array(["u/keep", "u/gone", "u/edit"]),
+        "spans": pa.array([[sp("a", 0)], [sp("x", 0)], [sp("e", 0)]],
+                          PAGES_SCHEMA.field("spans").type),
+    }).cast(PAGES_SCHEMA)
+    new = pa.table({
+        "doc_id": pa.array(["u/keep", "u/new", "u/edit"]),
+        "spans": pa.array([[sp("a", 0)], [sp("n", 0)], [sp("E", 0)]],
+                          PAGES_SCHEMA.field("spans").type),
+    }).cast(PAGES_SCHEMA)
+    d0, d1 = str(tmp_path / "o"), str(tmp_path / "n")
+    os.makedirs(d0); os.makedirs(d1)
+    pq.write_table(old, f"{d0}/p.parquet")
+    pq.write_table(new, f"{d1}/p.parquet")
+    out = subprocess.run(
+        [sys.executable, "-m", "whakoom_webscrapper_ray.cli", "diff",
+         "--old", d0, "--new", d1, "--out", str(tmp_path / "delta")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert out.returncode == 0, out.stderr[-1500:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["counts"] == {"added": 1, "removed": 1, "changed": 1}
+    got = pq.read_table(str(tmp_path / "delta"))
+    assert got.num_rows == 3

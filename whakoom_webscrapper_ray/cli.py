@@ -173,6 +173,26 @@ def cmd_get(args) -> int:
     return 0
 
 
+def cmd_diff(args) -> int:
+    """Generation delta between two crawl-export docs dirs: print the
+    per-status counts; optionally stream the full (doc_id, status)
+    delta to a parquet dir (the incremental-recrawl work list)."""
+    from .pipelines.dedup import docs_diff
+
+    _init_ray()
+    ds = docs_diff(args.old, args.new)
+    if args.out:
+        ds = ds.materialize()
+        ds.write_parquet(args.out)
+    counts: dict[str, int] = {}
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        for st in b["status"].to_pylist():
+            counts[st] = counts.get(st, 0) + 1
+    print(json.dumps({"counts": counts,
+                      **({"out": args.out} if args.out else {})}))
+    return 0
+
+
 def cmd_query(args) -> int:
     from .namedq import NamedQueryStore
 
@@ -318,6 +338,15 @@ def main(argv: list[str] | None = None) -> int:
     common(e)
     e.add_argument("--out", required=True)
     e.set_defaults(fn=cmd_export)
+
+    d = sub.add_parser(
+        "diff", help="added/removed/changed delta between two "
+                     "crawl-export docs dirs (recrawl work list)")
+    d.add_argument("--old", required=True, help="previous docs dir")
+    d.add_argument("--new", required=True, help="current docs dir")
+    d.add_argument("--out", default=None,
+                   help="write the full delta as partitioned parquet")
+    d.set_defaults(fn=cmd_diff)
 
     g = sub.add_parser("get", help="J2 point lookup over an exported "
                                    "table (GET_LIST_BY_ID analog)")
