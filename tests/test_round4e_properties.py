@@ -126,3 +126,30 @@ def test_source_dup_matrix_random_overlap(ray_session,
     sf = _write_sf(tmp_path_factory.mktemp("sd"), documents=docs)
     _compare(sf, source_dup_matrix(sf, parts=3),
              ORACLE_SOURCE_DUP_MATRIX)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "rare"]),
+             min_size=1, max_size=8),
+    min_size=1, max_size=10,
+), st.integers(1, 4), st.integers(1, 6))
+def test_vocab_encode_random_docs(ray_session, tmp_path_factory,
+                                  docs, vocab_top, max_tokens):
+    """Random tiny corpora under random vocab/window sizes: the
+    encoded id strings equal the ordered string_agg oracle, including
+    rank ties (count DESC, term ASC), OOV zeros and truncation."""
+    from whakoom_webscrapper_ray.pipelines.text import (
+        vocab_encode, vocab_encode_oracle_sql)
+
+    table = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array([" ".join(d) for d in docs]),
+        "lang": pa.array(["en"] * len(docs)),
+        "source": pa.array(["s"] * len(docs)),
+    })
+    sf = _write_sf(tmp_path_factory.mktemp("ve"), documents=table)
+    _compare(sf, vocab_encode(sf, vocab_top=vocab_top,
+                              max_tokens=max_tokens),
+             vocab_encode_oracle_sql(vocab_top=vocab_top,
+                                     max_tokens=max_tokens))
