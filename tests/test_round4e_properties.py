@@ -153,3 +153,48 @@ def test_vocab_encode_random_docs(ray_session, tmp_path_factory,
                               max_tokens=max_tokens),
              vocab_encode_oracle_sql(vocab_top=vocab_top,
                                      max_tokens=max_tokens))
+
+
+@settings(**_SETTINGS)
+@given(st.dictionaries(st.sampled_from([f"u/{i}" for i in range(8)]),
+                       st.integers(0, 3), min_size=0, max_size=8),
+       st.dictionaries(st.sampled_from([f"u/{i}" for i in range(8)]),
+                       st.integers(0, 3), min_size=0, max_size=8),
+       st.integers(1, 5))
+def test_docs_diff_random_generations(ray_session, tmp_path_factory,
+                                      old_docs, new_docs, parts):
+    """Random old/new generations (ids with versioned bodies): the
+    distributed delta equals the dict reference for every overlap
+    shape, at any partition count."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from whakoom_webscrapper_ray.pipelines.dedup import docs_diff
+    from whakoom_webscrapper_ray.schemas import PAGES_SCHEMA
+
+    def tbl(d):
+        return pa.table({
+            "doc_id": pa.array(list(d)),
+            "spans": pa.array(
+                [[{"kind": "text", "text": f"body v{v}",
+                   "media_ref": "", "offset": 0}] for v in d.values()],
+                PAGES_SCHEMA.field("spans").type),
+        }).cast(PAGES_SCHEMA)
+
+    base = tmp_path_factory.mktemp("dd")
+    d0, d1 = str(base / "o"), str(base / "n")
+    os.makedirs(d0); os.makedirs(d1)
+    pq.write_table(tbl(old_docs), f"{d0}/p.parquet")
+    pq.write_table(tbl(new_docs), f"{d1}/p.parquet")
+
+    want = {}
+    for k in set(old_docs) | set(new_docs):
+        if k not in old_docs:
+            want[k] = "added"
+        elif k not in new_docs:
+            want[k] = "removed"
+        elif old_docs[k] != new_docs[k]:
+            want[k] = "changed"
+    res = docs_diff(d0, d1, parts=parts).to_pandas()
+    assert dict(zip(res.doc_id, res.status)) == want
