@@ -197,4 +197,9 @@ def test_docs_diff_random_generations(ray_session, tmp_path_factory,
         elif old_docs[k] != new_docs[k]:
             want[k] = "changed"
     res = docs_diff(d0, d1, parts=parts).to_pandas()
+    if len(res) == 0:
+        # a fully-empty Ray Dataset carries no blocks (hence no
+        # schema); both sides agree the delta is empty
+        assert want == {}
+        return
     assert dict(zip(res.doc_id, res.status)) == want
