@@ -411,3 +411,36 @@ def test_breaker_budget_sweep_conformance(ray_session, tmp_path, seed,
         assert rows == golden.crawl_order
     finally:
         eng.shutdown()
+
+
+def test_breaker_with_pagination_budget_conformance(ray_session,
+                                                    tmp_path):
+    """Breaker + O4 pagination budget together: quarantine filters
+    before the per-host budget is charged, identically in engine and
+    oracle."""
+    from whakoom_webscrapper_ray.oracle import run_oracle
+    from whakoom_webscrapper_ray.pipelines.crawl import CrawlEngine
+    from whakoom_webscrapper_ray.sources.synth import (
+        SynthConfig, generate_web,
+    )
+
+    web = generate_web(SynthConfig(seed=54, dup_link_frac=0.2))
+    pages = _inject_hostile(web["pages"])
+    golden = run_oracle(pages, web["seeds"], web["robots"],
+                        max_pages_per_host=9, host_fail_budget=2)
+    eng = CrawlEngine(
+        pages, web["seeds"], web["robots"],
+        checkpoint_dir=str(tmp_path / "bb"),
+        num_shards=3, fetcher_concurrency=2, batch_size=64,
+        max_pages_per_host=9, host_fail_budget=2,
+    )
+    try:
+        eng.run()
+        got = eng.crawl_order()
+        rows = list(zip(got.column("seq").to_pylist(),
+                        got.column("url").to_pylist(),
+                        got.column("host").to_pylist(),
+                        got.column("round").to_pylist()))
+        assert rows == golden.crawl_order
+    finally:
+        eng.shutdown()
