@@ -106,6 +106,7 @@ QUERIES = [
     "source_dup_matrix",                        # cross-feed contamination
     "snapshot_diff",                            # incremental recrawl diff
     "vocab_encode",                             # vocab build + encode
+    "customer_value_deciles",                   # exact decile scoring
 ]
 
 

@@ -304,3 +304,33 @@ def test_newest_ops_empty_corpus_safe(ray_session, tmp_path):
         r = fn(sf)
         n = r.count() if isinstance(r, ray.data.Dataset) else r.num_rows
         assert n == 0, fn.__name__
+
+
+def test_customer_value_deciles_ties_and_mass_points(ray_session,
+                                                     tmp_path):
+    """A point mass (many equal totals) makes several decile cuts
+    coincide — values at the mass must land in the same (skipped-
+    bucket) decile in both engines; single-order customers and
+    duplicate orders sum correctly."""
+    from whakoom_webscrapper_ray.pipelines.dataops import (
+        ORACLE_CUSTOMER_VALUE_DECILES, customer_value_deciles)
+
+    cust = list(range(1, 21))
+    rows, keys = [], []
+    for c in cust:
+        # customers 1-14 all total 10.00 (mass point); 15-20 ascend
+        v = 10.0 if c <= 14 else 10.0 * (c - 13)
+        rows.append(v / 2)
+        rows.append(v / 2)
+        keys += [c, c]
+    orders = pa.table({
+        "o_custkey": pa.array(keys, pa.int64()),
+        "o_orderkey": pa.array(range(len(keys)), pa.int64()),
+        "o_totalprice": pa.array(rows, pa.float64()),
+    })
+    sf = _write_sf(tmp_path, orders=orders)
+    _compare(sf, customer_value_deciles(sf, parts=4),
+             ORACLE_CUSTOMER_VALUE_DECILES)
+    res = customer_value_deciles(sf, parts=4).to_pandas()
+    mass = res[res.monetary_cents == 1000]
+    assert mass.decile.nunique() == 1 and len(mass) == 14

@@ -361,3 +361,100 @@ def copartition_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         tagged.groupby("part")
         .map_groups(join_part, batch_format="pyarrow")
     )
+
+
+def exact_quantiles(ds: "ray.data.Dataset", col: str,
+                    pcts: tuple[int, ...],
+                    nbins: int = 1 << 16) -> list[tuple[int, object]]:
+    """EXACT discrete percentiles (``percentile_disc`` semantics: the
+    value at 1-based rank ceil(pct·n/100)) of one column of ``ds``,
+    for any numeric dtype, without a global sort — the distributed
+    selection primitive shared by value_quantiles and
+    customer_value_deciles:
+
+      pass 1: per-block (min, max, count) partials;
+      pass 2: fixed ``nbins`` bin counts over [min, max] via the
+              map-side combiner — the exchange moves bin-count
+              partials, never rows;
+      pass 3: ONLY the bins containing a target rank are re-scanned
+              and collected, and the exact order statistic is picked
+              locally from the original values (native dtype — int64
+              stays int64, so no float rounding on exact domains).
+
+    Returns ``[(pct, value), ...]`` driver-side Python scalars in the
+    order of ``pcts``; [] on an empty input.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def mmx(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False)
+        if v.size == 0:
+            return pa.table({"mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "mn": pa.array([float(v.min())], pa.float64()),
+            "mx": pa.array([float(v.max())], pa.float64()),
+            "n": pa.array([int(v.size)], pa.int64())})
+
+    mm = collect_small(
+        ds.map_batches(mmx, batch_format="pyarrow"),
+        pa.schema([("mn", pa.float64()), ("mx", pa.float64()),
+                   ("n", pa.int64())]))
+    n = int(pc.sum(mm["n"]).as_py() or 0)
+    if n == 0:
+        return []
+    lo = pc.min(mm["mn"]).as_py()
+    hi = pc.max(mm["mx"]).as_py()
+    width = (hi - lo) / nbins or 1.0
+
+    def bin_of(v: "np.ndarray") -> "np.ndarray":
+        return np.clip(
+            np.floor((v.astype(np.float64) - lo) / width).astype(
+                np.int64), 0, nbins - 1)
+
+    def binc(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False)
+        ub, c = np.unique(bin_of(v), return_counts=True)
+        return pa.table({"bin": pa.array(ub, pa.int64()),
+                         "c": pa.array(c.astype(np.int64), pa.int64())})
+
+    hist = collect_small(
+        two_phase_agg(ds.map_batches(binc, batch_format="pyarrow"),
+                      ["bin"], sums={"c": "c"}),
+        pa.schema([("bin", pa.int64()), ("c", pa.int64())])
+    ).sort_by("bin")
+    hbins = hist["bin"].to_numpy(zero_copy_only=False)
+    cum = np.cumsum(hist["c"].to_numpy(zero_copy_only=False))
+    want: dict[int, list[tuple[int, int]]] = {}
+    for pct in pcts:
+        r = -(-pct * n // 100)
+        i = int(np.searchsorted(cum, r))
+        b_id = int(hbins[i])
+        r_local = int(r - (cum[i - 1] if i else 0))
+        want.setdefault(b_id, []).append((pct, r_local))
+    need = np.array(sorted(want), dtype=np.int64)
+
+    sch = ds.schema()  # Ray Schema wrapper, not pyarrow
+    val_type = sch.types[sch.names.index(col)]
+
+    def pick(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False)
+        keep = np.isin(bin_of(v), need)
+        return pa.table({
+            "value": pa.array(v[keep], val_type),
+            "bin": pa.array(bin_of(v)[keep], pa.int64()),
+        })
+
+    cand = collect_small(
+        ds.map_batches(pick, batch_format="pyarrow"),
+        pa.schema([("value", val_type), ("bin", pa.int64())]))
+    cv = cand["value"].to_numpy(zero_copy_only=False)
+    cb = cand["bin"].to_numpy(zero_copy_only=False)
+    out: dict[int, object] = {}
+    for b_id, picks in want.items():
+        sv = np.sort(cv[cb == b_id])
+        for pct, r_local in picks:
+            out[pct] = sv[r_local - 1].item()
+    return [(p, out[p]) for p in pcts]

@@ -2289,100 +2289,20 @@ FROM documents
 def value_quantiles(sf_dir: str) -> ray.data.Dataset:
     """(pct, value): EXACT discrete percentiles of ``events.value`` — a
     CONTINUOUS domain, where token_quantiles' bounded-integer histogram
-    cannot enumerate values.  Classic distributed selection, no global
-    sort:
-
-      pass 1: per-block (min, max, count) partials;
-      pass 2: fixed 2^16-bin counts over [min, max] via the map-side
-              combiner — the exchange moves bin-count partials, never
-              rows;
-      pass 3: ONLY the bins containing a target rank are re-scanned and
-              collected (~corpus/2^16 rows per bin for non-degenerate
-              distributions; a point-mass bin is its own answer when
-              its width collapses to one value), and the exact order
-              statistic is picked locally from the original doubles.
-
-    Result values are untouched input doubles, so the DuckDB
-    ``percentile_disc`` oracle compares bit-exactly.
+    cannot enumerate values.  Thin wrapper over
+    :func:`common.exact_quantiles` (the shared distributed-selection
+    primitive: min/max pass → binned counts → rank-bin re-scan; no
+    global sort).  Result values are untouched input doubles, so the
+    DuckDB ``percentile_disc`` oracle compares bit-exactly.
     """
-    pcts = (25, 50, 75, 99)
-    nbins = 1 << 16
-    from .common import collect_small
+    from .common import exact_quantiles
 
-    vals_ds = read(sf_dir, "events", columns=["value"])
-
-    def mmx(b: pa.Table) -> pa.Table:
-        v = b["value"].to_numpy(zero_copy_only=False)
-        if v.size == 0:
-            return pa.table({"mn": pa.array([], pa.float64()),
-                             "mx": pa.array([], pa.float64()),
-                             "n": pa.array([], pa.int64())})
-        return pa.table({"mn": pa.array([float(v.min())], pa.float64()),
-                         "mx": pa.array([float(v.max())], pa.float64()),
-                         "n": pa.array([int(v.size)], pa.int64())})
-
-    mm = collect_small(
-        vals_ds.map_batches(mmx, batch_format="pyarrow"),
-        pa.schema([("mn", pa.float64()), ("mx", pa.float64()),
-                   ("n", pa.int64())]))
-    n = int(pc.sum(mm["n"]).as_py() or 0)
-    if n == 0:
-        return ray.data.from_arrow(pa.table(
-            {"pct": pa.array([], pa.int64()),
-             "value": pa.array([], pa.float64())}))
-    lo = pc.min(mm["mn"]).as_py()
-    hi = pc.max(mm["mx"]).as_py()
-    width = (hi - lo) / nbins or 1.0
-
-    def bin_of(v: np.ndarray) -> np.ndarray:
-        return np.clip(np.floor((v - lo) / width).astype(np.int64),
-                       0, nbins - 1)
-
-    def binc(b: pa.Table) -> pa.Table:
-        v = b["value"].to_numpy(zero_copy_only=False)
-        ub, c = np.unique(bin_of(v), return_counts=True)
-        return pa.table({"bin": pa.array(ub, pa.int64()),
-                         "c": pa.array(c.astype(np.int64), pa.int64())})
-
-    hist = collect_small(
-        two_phase_agg(vals_ds.map_batches(binc, batch_format="pyarrow"),
-                      ["bin"], sums={"c": "c"}),
-        pa.schema([("bin", pa.int64()), ("c", pa.int64())])
-    ).sort_by("bin")
-    hbins = hist["bin"].to_numpy(zero_copy_only=False)
-    cum = np.cumsum(hist["c"].to_numpy(zero_copy_only=False))
-    # rank r (1-based, = ceil(pct*n/100)) -> (bin, rank within bin)
-    want: dict[int, list[tuple[int, int]]] = {}
-    for pct in pcts:
-        r = -(-pct * n // 100)
-        i = int(np.searchsorted(cum, r))
-        b_id = int(hbins[i])
-        r_local = int(r - (cum[i - 1] if i else 0))
-        want.setdefault(b_id, []).append((pct, r_local))
-    need = np.array(sorted(want), dtype=np.int64)
-
-    def pick(b: pa.Table) -> pa.Table:
-        v = b["value"].to_numpy(zero_copy_only=False)
-        keep = np.isin(bin_of(v), need)
-        return pa.table({
-            "value": pa.array(v[keep], pa.float64()),
-            "bin": pa.array(bin_of(v)[keep], pa.int64()),
-        })
-
-    cand = collect_small(
-        vals_ds.map_batches(pick, batch_format="pyarrow"),
-        pa.schema([("value", pa.float64()), ("bin", pa.int64())]))
-    cv = cand["value"].to_numpy(zero_copy_only=False)
-    cb = cand["bin"].to_numpy(zero_copy_only=False)
-    out_p, out_v = [], []
-    for b_id, picks in want.items():
-        sv = np.sort(cv[cb == b_id])
-        for pct, r_local in picks:
-            out_p.append(pct)
-            out_v.append(float(sv[r_local - 1]))
+    qs = exact_quantiles(
+        read(sf_dir, "events", columns=["value"]), "value",
+        (25, 50, 75, 99))
     return ray.data.from_arrow(pa.table({
-        "pct": pa.array(out_p, pa.int64()),
-        "value": pa.array(out_v, pa.float64()),
+        "pct": pa.array([p for p, _ in qs], pa.int64()),
+        "value": pa.array([v for _, v in qs], pa.float64()),
     }))
 
 
@@ -5402,4 +5322,70 @@ SELECT l_returnflag, l_linestatus,
        CAST(n * sqp - sq * sp AS BIGINT) AS cov_num_cents,
        CAST(n * sqq - sq * sq AS BIGINT) AS var_num_qty
 FROM s
+"""
+
+
+# ------------------------------------------------- customer deciles
+def customer_value_deciles(sf_dir: str,
+                           parts: int = 64) -> ray.data.Dataset:
+    """(o_custkey, monetary_cents, decile): every customer's lifetime
+    order value and their 1–10 value decile — the "M" of an RFM
+    segmentation, scored against EXACT corpus-wide decile boundaries.
+
+    Two primitives compose: the coarse-hash keyed aggregate
+    (hash_keyed_agg — one exchange builds the per-customer totals) and
+    the shared distributed-selection quantile engine
+    (common.exact_quantiles — min/max pass, binned counts, rank-bin
+    re-scan over the totals; no global sort even though the totals
+    table is customer-cardinality).  The nine cut points broadcast
+    driver-side and the final scoring pass is a zero-shuffle
+    searchsorted map.  decile = 1 + #(cuts <= m) with percentile_disc
+    cut points — duplicate cuts (mass points) skip buckets identically
+    in both engines, keeping the hash compare exact.
+    """
+    from .common import exact_quantiles, hash_keyed_agg
+
+    orders = read(sf_dir, "orders",
+                  columns=["o_custkey", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": b["o_custkey"],
+            "m": _floor_cents(b["o_totalprice"]),
+        })
+
+    totals = hash_keyed_agg(
+        orders.map_batches(cents, batch_format="pyarrow"),
+        key="o_custkey", sums={"m": "monetary_cents"}, parts=parts,
+    ).materialize()   # consumed by 3 selection passes + the scorer
+
+    qs = exact_quantiles(totals, "monetary_cents",
+                         tuple(range(10, 100, 10)))
+    cuts = np.array([v for _, v in qs], dtype=np.int64)
+
+    def score(b: pa.Table) -> pa.Table:
+        m = b["monetary_cents"].to_numpy(zero_copy_only=False)
+        d = 1 + np.searchsorted(cuts, m, side="right")
+        return pa.table({
+            "o_custkey": b["o_custkey"],
+            "monetary_cents": b["monetary_cents"],
+            "decile": pa.array(d.astype(np.int64), pa.int64()),
+        })
+
+    return totals.map_batches(score, batch_format="pyarrow")
+
+
+ORACLE_CUSTOMER_VALUE_DECILES = """
+WITH t AS (
+  SELECT o_custkey,
+         sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS m
+  FROM orders GROUP BY 1
+), cuts AS (
+  SELECT percentile_disc(0.1) WITHIN GROUP (ORDER BY m) AS cut FROM t UNION ALL SELECT percentile_disc(0.2) WITHIN GROUP (ORDER BY m) AS cut FROM t UNION ALL SELECT percentile_disc(0.3) WITHIN GROUP (ORDER BY m) AS cut FROM t UNION ALL SELECT percentile_disc(0.4) WITHIN GROUP (ORDER BY m) AS cut FROM t UNION ALL SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY m) AS cut FROM t UNION ALL SELECT percentile_disc(0.6) WITHIN GROUP (ORDER BY m) AS cut FROM t UNION ALL SELECT percentile_disc(0.7) WITHIN GROUP (ORDER BY m) AS cut FROM t UNION ALL SELECT percentile_disc(0.8) WITHIN GROUP (ORDER BY m) AS cut FROM t UNION ALL SELECT percentile_disc(0.9) WITHIN GROUP (ORDER BY m) AS cut FROM t
+)
+SELECT t.o_custkey,
+       CAST(t.m AS BIGINT) AS monetary_cents,
+       CAST(1 + (SELECT count(*) FROM cuts WHERE cut <= t.m)
+            AS BIGINT) AS decile
+FROM t
 """
