@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": _ann.embedding_pca,
         "vocab_encode": _tx.vocab_encode,
         "customer_value_deciles": _do.customer_value_deciles,
+        "customer_rfm": _do.customer_rfm,
         "ship_window_join": _do.ship_window_join,
         "ship_disorder": _do.ship_disorder,
         "shipping_priority_topk": _do.shipping_priority_topk,
@@ -455,6 +456,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": _dd.ORACLE_SNAPSHOT_DIFF,
         "vocab_encode": _tx.vocab_encode_oracle_sql(),
         "customer_value_deciles": _do.ORACLE_CUSTOMER_VALUE_DECILES,
+        "customer_rfm": _do.ORACLE_CUSTOMER_RFM,
         "docs_filter_project": _do.ORACLE_DOCS_FILTER,
         "pricing_summary": _do.ORACLE_PRICING_SUMMARY,
         "top_customers": _do.ORACLE_TOP_CUSTOMERS,

@@ -81,7 +81,7 @@ BENCH_QUERIES = [
     "event_transitions", "user_set_ops", "qty_price_moments",
     "source_dup_matrix", "snapshot_diff", "lang_hll_vocab",
     "cms_term_counts", "lang_kll_quantiles", "embedding_pca",
-    "vocab_encode", "customer_value_deciles",
+    "vocab_encode", "customer_value_deciles", "customer_rfm",
 ]
 
 

@@ -107,6 +107,7 @@ QUERIES = [
     "snapshot_diff",                            # incremental recrawl diff
     "vocab_encode",                             # vocab build + encode
     "customer_value_deciles",                   # exact decile scoring
+    "customer_rfm",                             # 3-dim quintile scoring
 ]
 
 

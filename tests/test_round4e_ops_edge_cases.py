@@ -334,3 +334,35 @@ def test_customer_value_deciles_ties_and_mass_points(ray_session,
     res = customer_value_deciles(sf, parts=4).to_pandas()
     mass = res[res.monetary_cents == 1000]
     assert mass.decile.nunique() == 1 and len(mass) == 14
+
+
+def test_customer_rfm_recency_and_scores(ray_session, tmp_path):
+    """Recency is measured against the corpus max date in whole days
+    (floor); single-order customers score; all three dimensions match
+    the oracle through quintile mass points."""
+    from whakoom_webscrapper_ray.pipelines.dataops import (
+        ORACLE_CUSTOMER_RFM, customer_rfm)
+
+    orders = pa.table({
+        "o_custkey": pa.array([1, 1, 1, 2, 3, 4, 5, 5], pa.int64()),
+        "o_orderkey": pa.array(range(8), pa.int64()),
+        "o_totalprice": pa.array(
+            [10.0, 20.0, 30.0, 5.0, 500.0, 5.0, 40.0, 40.0]),
+        "ts_helper": pa.array(range(8), pa.int64()),
+        "o_orderdate": pa.array(
+            [np.datetime64(s, "us") for s in
+             ("2024-01-01T12:00:00", "2024-02-01T00:00:00",
+              "2024-03-15T23:59:59", "2024-01-10T00:00:00",
+              "2024-03-16T00:00:00", "2024-02-29T06:00:00",
+              "2024-01-20T00:00:00", "2024-03-01T00:00:00")],
+            pa.timestamp("us")),
+    }).drop_columns(["ts_helper"])
+    sf = _write_sf(tmp_path, orders=orders)
+    _compare(sf, customer_rfm(sf, parts=4), ORACLE_CUSTOMER_RFM)
+    res = customer_rfm(sf, parts=4).to_pandas().set_index("o_custkey")
+    # corpus max is cust 3's 2024-03-16; cust 1's last order is
+    # 2024-03-15T23:59:59 -> 0 full days elapsed (floor)
+    assert res.loc[3].recency_days == 0
+    assert res.loc[1].recency_days == 0
+    assert res.loc[2].recency_days == 66
+    assert res.loc[1].n_orders == 3 and res.loc[1].monetary_cents == 6000

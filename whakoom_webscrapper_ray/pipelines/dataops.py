@@ -5389,3 +5389,118 @@ SELECT t.o_custkey,
             AS BIGINT) AS decile
 FROM t
 """
+
+
+# ------------------------------------------------- full RFM scoring
+def customer_rfm(sf_dir: str, parts: int = 64) -> ray.data.Dataset:
+    """(o_custkey, recency_days, n_orders, monetary_cents, r_score,
+    f_score, m_score): the full RFM segmentation — every customer's
+    recency (days since last order, against the corpus max date),
+    frequency and lifetime value, each scored 1–5 against EXACT
+    corpus-wide quintile boundaries.
+
+    Composition of the engine's primitives, nothing new per-dimension:
+    ONE keyed exchange builds all three per-customer metrics
+    (hash_keyed_agg; max-date rides as min of the negated int64), the
+    shared selection engine (common.exact_quantiles) produces four
+    percentile_disc cuts per dimension over the customer-cardinality
+    totals, and one zero-shuffle broadcast-searchsorted pass scores
+    all three dimensions.  score = 1 + #(cuts <= v) — mechanical on
+    every dimension (recency scores read "5 = longest-lapsed"), mass
+    points skip buckets identically in both engines.
+    """
+    from .common import collect_small, exact_quantiles, hash_keyed_agg
+
+    orders = read(sf_dir, "orders",
+                  columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        t = pc.cast(b["o_orderdate"], pa.int64())
+        return pa.table({
+            "o_custkey": b["o_custkey"],
+            "m": _floor_cents(b["o_totalprice"]),
+            "neg_t": pc.negate_checked(t),
+        })
+
+    totals = hash_keyed_agg(
+        orders.map_batches(keyed, batch_format="pyarrow"),
+        key="o_custkey", sums={"m": "monetary_cents"},
+        mins={"neg_t": "neg_last_us"}, count_alias="n_orders",
+        parts=parts,
+    ).materialize()
+
+    mx = collect_small(
+        totals.map_batches(
+            lambda b: pa.table({"mx": pa.array(
+                [-int(b["neg_last_us"].to_numpy(
+                    zero_copy_only=False).min())
+                 if b.num_rows else 0], pa.int64())}),
+            batch_format="pyarrow"),
+        pa.schema([("mx", pa.int64())]))
+    corpus_max_us = int(pc.max(mx["mx"]).as_py() or 0)
+
+    def with_metrics(b: pa.Table) -> pa.Table:
+        last = -b["neg_last_us"].to_numpy(zero_copy_only=False)
+        rec = (corpus_max_us - last) // 86_400_000_000
+        return pa.table({
+            "o_custkey": b["o_custkey"],
+            "recency_days": pa.array(rec.astype(np.int64), pa.int64()),
+            "n_orders": b["n_orders"],
+            "monetary_cents": b["monetary_cents"],
+        })
+
+    metrics = totals.map_batches(
+        with_metrics, batch_format="pyarrow").materialize()
+
+    pcts = (20, 40, 60, 80)
+    cuts = {
+        col: np.array([v for _, v in exact_quantiles(metrics, col,
+                                                     pcts)],
+                      dtype=np.int64)
+        for col in ("recency_days", "n_orders", "monetary_cents")
+    }
+
+    def score(b: pa.Table) -> pa.Table:
+        out = {c: b[c] for c in ("o_custkey", "recency_days",
+                                 "n_orders", "monetary_cents")}
+        for col, alias in (("recency_days", "r_score"),
+                           ("n_orders", "f_score"),
+                           ("monetary_cents", "m_score")):
+            v = b[col].to_numpy(zero_copy_only=False)
+            out[alias] = pa.array(
+                (1 + np.searchsorted(cuts[col], v, side="right"))
+                .astype(np.int64), pa.int64())
+        return pa.table(out)
+
+    return metrics.map_batches(score, batch_format="pyarrow")
+
+
+def _rfm_cut_sql(col: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT percentile_disc(0.{d}) WITHIN GROUP (ORDER BY {col}) "
+        f"AS cut FROM t" for d in (2, 4, 6, 8))
+
+
+ORACLE_CUSTOMER_RFM = f"""
+WITH t AS (
+  SELECT o_custkey,
+         ((SELECT epoch_us(max(o_orderdate)) FROM orders)
+          - epoch_us(max(o_orderdate))) // 86400000000 AS recency_days,
+         count(*) AS n_orders,
+         sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+  FROM orders GROUP BY o_custkey
+), rc AS ({_rfm_cut_sql('recency_days')}),
+   fc AS ({_rfm_cut_sql('n_orders')}),
+   mc AS ({_rfm_cut_sql('monetary_cents')})
+SELECT o_custkey,
+       CAST(recency_days AS BIGINT) AS recency_days,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(monetary_cents AS BIGINT) AS monetary_cents,
+       CAST(1 + (SELECT count(*) FROM rc WHERE cut <= recency_days)
+            AS BIGINT) AS r_score,
+       CAST(1 + (SELECT count(*) FROM fc WHERE cut <= n_orders)
+            AS BIGINT) AS f_score,
+       CAST(1 + (SELECT count(*) FROM mc WHERE cut <= monetary_cents)
+            AS BIGINT) AS m_score
+FROM t
+"""
