@@ -203,3 +203,32 @@ def test_docs_diff_random_generations(ray_session, tmp_path_factory,
         assert want == {}
         return
     assert dict(zip(res.doc_id, res.status)) == want
+
+
+@settings(**_SETTINGS)
+@given(st.lists(
+    st.tuples(st.integers(1, 6),          # custkey
+              st.integers(0, 90),         # order day offset
+              st.floats(1.0, 999.99, allow_nan=False,
+                        allow_infinity=False)),
+    min_size=1, max_size=30,
+))
+def test_customer_rfm_random_orders(ray_session, tmp_path_factory,
+                                    rows):
+    """Random order histories: metrics and all three quintile scores
+    equal the percentile_disc oracle, including heavy customer-count
+    mass points (few distinct customers -> coinciding cuts)."""
+    from whakoom_webscrapper_ray.pipelines.dataops import (
+        ORACLE_CUSTOMER_RFM, customer_rfm)
+
+    orders = pa.table({
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+        "o_totalprice": pa.array([r[2] for r in rows]),
+        "o_orderdate": pa.array(
+            [np.datetime64(r[1] * 86_400_000_000 + 3_600_000_000,
+                           "us") for r in rows],
+            pa.timestamp("us")),
+    })
+    sf = _write_sf(tmp_path_factory.mktemp("rfm"), orders=orders)
+    _compare(sf, customer_rfm(sf, parts=3), ORACLE_CUSTOMER_RFM)
