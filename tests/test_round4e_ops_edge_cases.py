@@ -296,11 +296,21 @@ def test_newest_ops_empty_corpus_safe(ray_session, tmp_path):
         "label": pa.array([], pa.int32()),
     }), f"{sf}/embeddings.parquet")
 
+    from whakoom_webscrapper_ray.pipelines import dataops as do
+
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([], pa.int64()),
+        "o_orderkey": pa.array([], pa.int64()),
+        "o_totalprice": pa.array([], pa.float64()),
+        "o_orderdate": pa.array([], pa.timestamp("us")),
+    }), f"{sf}/orders.parquet")
+
     import ray.data
     for fn in (tx.cms_term_counts, tx.lang_hll_vocab,
                tx.lang_kll_quantiles, tx.vocab_encode,
                dd.source_dup_matrix, dd.snapshot_diff,
-               an.embedding_pca):
+               an.embedding_pca, do.customer_value_deciles,
+               do.customer_rfm):
         r = fn(sf)
         n = r.count() if isinstance(r, ray.data.Dataset) else r.num_rows
         assert n == 0, fn.__name__

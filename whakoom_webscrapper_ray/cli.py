@@ -184,10 +184,13 @@ def cmd_diff(args) -> int:
     if args.out:
         ds = ds.materialize()
         ds.write_parquet(args.out)
+    import pyarrow.compute as pc
+
     counts: dict[str, int] = {}
     for b in ds.iter_batches(batch_format="pyarrow"):
-        for st in b["status"].to_pylist():
-            counts[st] = counts.get(st, 0) + 1
+        for row in pc.value_counts(b["status"]).to_pylist():
+            counts[row["values"]] = (
+                counts.get(row["values"], 0) + row["counts"])
     print(json.dumps({"counts": counts,
                       **({"out": args.out} if args.out else {})}))
     return 0

@@ -382,13 +382,15 @@ def exact_quantiles(ds: "ray.data.Dataset", col: str,
               stays int64, so no float rounding on exact domains).
 
     Returns ``[(pct, value), ...]`` driver-side Python scalars in the
-    order of ``pcts``; [] on an empty input.
+    order of ``pcts``; [] on an empty input.  NULLs are dropped on
+    every pass (percentile_disc semantics) so a null-bearing column
+    can never poison the bin bounds.
     """
     import numpy as np
     import pyarrow.compute as pc
 
     def mmx(b: pa.Table) -> pa.Table:
-        v = b[col].to_numpy(zero_copy_only=False)
+        v = b[col].drop_null().to_numpy(zero_copy_only=False)
         if v.size == 0:
             return pa.table({"mn": pa.array([], pa.float64()),
                              "mx": pa.array([], pa.float64()),
@@ -415,7 +417,7 @@ def exact_quantiles(ds: "ray.data.Dataset", col: str,
                 np.int64), 0, nbins - 1)
 
     def binc(b: pa.Table) -> pa.Table:
-        v = b[col].to_numpy(zero_copy_only=False)
+        v = b[col].drop_null().to_numpy(zero_copy_only=False)
         ub, c = np.unique(bin_of(v), return_counts=True)
         return pa.table({"bin": pa.array(ub, pa.int64()),
                          "c": pa.array(c.astype(np.int64), pa.int64())})
@@ -440,11 +442,12 @@ def exact_quantiles(ds: "ray.data.Dataset", col: str,
     val_type = sch.types[sch.names.index(col)]
 
     def pick(b: pa.Table) -> pa.Table:
-        v = b[col].to_numpy(zero_copy_only=False)
-        keep = np.isin(bin_of(v), need)
+        v = b[col].drop_null().to_numpy(zero_copy_only=False)
+        bv = bin_of(v)
+        keep = np.isin(bv, need)
         return pa.table({
             "value": pa.array(v[keep], val_type),
-            "bin": pa.array(bin_of(v)[keep], pa.int64()),
+            "bin": pa.array(bv[keep], pa.int64()),
         })
 
     cand = collect_small(

@@ -5375,13 +5375,26 @@ def customer_value_deciles(sf_dir: str,
     return totals.map_batches(score, batch_format="pyarrow")
 
 
-ORACLE_CUSTOMER_VALUE_DECILES = """
+def _cut_sql(col: str, pcts: tuple[int, ...]) -> str:
+    """percentile_disc cut-list SQL shared by BOTH scoring oracles —
+    one representation, so cut semantics can never drift between
+    deciles and RFM."""
+    return " UNION ALL ".join(
+        f"SELECT percentile_disc({p / 100}) WITHIN GROUP "
+        f"(ORDER BY {col}) AS cut FROM t" for p in pcts)
+
+
+def _rfm_cut_sql(col: str) -> str:
+    return _cut_sql(col, (20, 40, 60, 80))
+
+
+ORACLE_CUSTOMER_VALUE_DECILES = f"""
 WITH t AS (
   SELECT o_custkey,
          sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS m
   FROM orders GROUP BY 1
 ), cuts AS (
-  SELECT percentile_disc(0.1) WITHIN GROUP (ORDER BY m) AS cut FROM t UNION ALL SELECT percentile_disc(0.2) WITHIN GROUP (ORDER BY m) AS cut FROM t UNION ALL SELECT percentile_disc(0.3) WITHIN GROUP (ORDER BY m) AS cut FROM t UNION ALL SELECT percentile_disc(0.4) WITHIN GROUP (ORDER BY m) AS cut FROM t UNION ALL SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY m) AS cut FROM t UNION ALL SELECT percentile_disc(0.6) WITHIN GROUP (ORDER BY m) AS cut FROM t UNION ALL SELECT percentile_disc(0.7) WITHIN GROUP (ORDER BY m) AS cut FROM t UNION ALL SELECT percentile_disc(0.8) WITHIN GROUP (ORDER BY m) AS cut FROM t UNION ALL SELECT percentile_disc(0.9) WITHIN GROUP (ORDER BY m) AS cut FROM t
+  {_cut_sql('m', tuple(range(10, 100, 10)))}
 )
 SELECT t.o_custkey,
        CAST(t.m AS BIGINT) AS monetary_cents,
@@ -5429,15 +5442,19 @@ def customer_rfm(sf_dir: str, parts: int = 64) -> ray.data.Dataset:
         parts=parts,
     ).materialize()
 
+    def block_max(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:   # empty partitions contribute NOTHING —
+            # a sentinel row would win the max on all-pre-epoch corpora
+            return pa.table({"mx": pa.array([], pa.int64())})
+        return pa.table({"mx": pa.array(
+            [-int(b["neg_last_us"].to_numpy(
+                zero_copy_only=False).min())], pa.int64())})
+
     mx = collect_small(
-        totals.map_batches(
-            lambda b: pa.table({"mx": pa.array(
-                [-int(b["neg_last_us"].to_numpy(
-                    zero_copy_only=False).min())
-                 if b.num_rows else 0], pa.int64())}),
-            batch_format="pyarrow"),
+        totals.map_batches(block_max, batch_format="pyarrow"),
         pa.schema([("mx", pa.int64())]))
-    corpus_max_us = int(pc.max(mx["mx"]).as_py() or 0)
+    corpus_max_us = (int(pc.max(mx["mx"]).as_py())
+                     if mx.num_rows else 0)
 
     def with_metrics(b: pa.Table) -> pa.Table:
         last = -b["neg_last_us"].to_numpy(zero_copy_only=False)
@@ -5473,12 +5490,6 @@ def customer_rfm(sf_dir: str, parts: int = 64) -> ray.data.Dataset:
         return pa.table(out)
 
     return metrics.map_batches(score, batch_format="pyarrow")
-
-
-def _rfm_cut_sql(col: str) -> str:
-    return " UNION ALL ".join(
-        f"SELECT percentile_disc(0.{d}) WITHIN GROUP (ORDER BY {col}) "
-        f"AS cut FROM t" for d in (2, 4, 6, 8))
 
 
 ORACLE_CUSTOMER_RFM = f"""
