@@ -363,101 +363,161 @@ def copartition_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     )
 
 
-def exact_quantiles(ds: "ray.data.Dataset", col: str,
-                    pcts: tuple[int, ...],
-                    nbins: int = 1 << 16) -> list[tuple[int, object]]:
+def exact_quantiles_multi(ds: "ray.data.Dataset", cols: list[str],
+                          pcts: tuple[int, ...],
+                          nbins: int = 1 << 16
+                          ) -> dict[str, list[tuple[int, object]]]:
     """EXACT discrete percentiles (``percentile_disc`` semantics: the
-    value at 1-based rank ceil(pct·n/100)) of one column of ``ds``,
-    for any numeric dtype, without a global sort — the distributed
-    selection primitive shared by value_quantiles and
-    customer_value_deciles:
+    value at 1-based rank ceil(pct·n/100)) for SEVERAL columns of
+    ``ds`` in ONE set of shared scans — the distributed selection
+    primitive behind value_quantiles / customer_value_deciles /
+    customer_rfm.  Fusing the columns matters: each extra dimension
+    costs vector math inside the same three passes, not three more
+    passes over the corpus.
 
-      pass 1: per-block (min, max, count) partials;
-      pass 2: fixed ``nbins`` bin counts over [min, max] via the
-              map-side combiner — the exchange moves bin-count
-              partials, never rows;
-      pass 3: ONLY the bins containing a target rank are re-scanned
-              and collected, and the exact order statistic is picked
+      pass 1: per-block (min, max, count) partials per column;
+      pass 2: fixed ``nbins`` bin counts per column via the map-side
+              combiner — the exchange moves bin-count partials, never
+              rows;
+      pass 3: ONLY the (column, bin) cells containing a target rank
+              are re-scanned, and each exact order statistic is picked
               locally from the original values (native dtype — int64
               stays int64, so no float rounding on exact domains).
 
-    Returns ``[(pct, value), ...]`` driver-side Python scalars in the
-    order of ``pcts``; [] on an empty input.  NULLs are dropped on
-    every pass (percentile_disc semantics) so a null-bearing column
-    can never poison the bin bounds.
+    NULLs are dropped on every pass (percentile_disc semantics).
+    Returns ``{col: [(pct, value), ...]}``; a column with no non-null
+    rows maps to [].
     """
     import numpy as np
     import pyarrow.compute as pc
 
     def mmx(b: pa.Table) -> pa.Table:
-        v = b[col].drop_null().to_numpy(zero_copy_only=False)
-        if v.size == 0:
-            return pa.table({"mn": pa.array([], pa.float64()),
-                             "mx": pa.array([], pa.float64()),
-                             "n": pa.array([], pa.int64())})
+        out_c, out_mn, out_mx, out_n = [], [], [], []
+        for c in cols:
+            v = b[c].drop_null().to_numpy(zero_copy_only=False)
+            if v.size == 0:
+                continue
+            out_c.append(c)
+            out_mn.append(float(v.min()))
+            out_mx.append(float(v.max()))
+            out_n.append(int(v.size))
         return pa.table({
-            "mn": pa.array([float(v.min())], pa.float64()),
-            "mx": pa.array([float(v.max())], pa.float64()),
-            "n": pa.array([int(v.size)], pa.int64())})
+            "c": pa.array(out_c, pa.string()),
+            "mn": pa.array(out_mn, pa.float64()),
+            "mx": pa.array(out_mx, pa.float64()),
+            "n": pa.array(out_n, pa.int64())})
 
     mm = collect_small(
         ds.map_batches(mmx, batch_format="pyarrow"),
-        pa.schema([("mn", pa.float64()), ("mx", pa.float64()),
-                   ("n", pa.int64())]))
-    n = int(pc.sum(mm["n"]).as_py() or 0)
-    if n == 0:
-        return []
-    lo = pc.min(mm["mn"]).as_py()
-    hi = pc.max(mm["mx"]).as_py()
-    width = (hi - lo) / nbins or 1.0
+        pa.schema([("c", pa.string()), ("mn", pa.float64()),
+                   ("mx", pa.float64()), ("n", pa.int64())]))
+    bounds: dict[str, tuple[float, float, int]] = {}
+    mmc = mm["c"].to_numpy(zero_copy_only=False)
+    for col in cols:
+        sel = mmc == col
+        if not sel.any():
+            continue
+        bounds[col] = (
+            float(mm["mn"].to_numpy(zero_copy_only=False)[sel].min()),
+            float(mm["mx"].to_numpy(zero_copy_only=False)[sel].max()),
+            int(mm["n"].to_numpy(zero_copy_only=False)[sel].sum()))
+    if not bounds:
+        return {c: [] for c in cols}
+    width = {c: ((hi - lo) / nbins or 1.0)
+             for c, (lo, hi, _) in bounds.items()}
 
-    def bin_of(v: "np.ndarray") -> "np.ndarray":
+    def bin_of(c: str, v: "np.ndarray") -> "np.ndarray":
+        lo = bounds[c][0]
         return np.clip(
-            np.floor((v.astype(np.float64) - lo) / width).astype(
+            np.floor((v.astype(np.float64) - lo) / width[c]).astype(
                 np.int64), 0, nbins - 1)
 
+    live = [c for c in cols if c in bounds]
+
     def binc(b: pa.Table) -> pa.Table:
-        v = b[col].drop_null().to_numpy(zero_copy_only=False)
-        ub, c = np.unique(bin_of(v), return_counts=True)
-        return pa.table({"bin": pa.array(ub, pa.int64()),
-                         "c": pa.array(c.astype(np.int64), pa.int64())})
+        out_c, out_b, out_n = [], [], []
+        for c in live:
+            v = b[c].drop_null().to_numpy(zero_copy_only=False)
+            ub, cnt = np.unique(bin_of(c, v), return_counts=True)
+            out_c.append(np.full(ub.size, c, dtype=object))
+            out_b.append(ub)
+            out_n.append(cnt.astype(np.int64))
+        return pa.table({
+            "c": pa.array(np.concatenate(out_c).tolist(), pa.string()),
+            "bin": pa.array(np.concatenate(out_b), pa.int64()),
+            "n": pa.array(np.concatenate(out_n), pa.int64())})
 
     hist = collect_small(
         two_phase_agg(ds.map_batches(binc, batch_format="pyarrow"),
-                      ["bin"], sums={"c": "c"}),
-        pa.schema([("bin", pa.int64()), ("c", pa.int64())])
-    ).sort_by("bin")
-    hbins = hist["bin"].to_numpy(zero_copy_only=False)
-    cum = np.cumsum(hist["c"].to_numpy(zero_copy_only=False))
-    want: dict[int, list[tuple[int, int]]] = {}
-    for pct in pcts:
-        r = -(-pct * n // 100)
-        i = int(np.searchsorted(cum, r))
-        b_id = int(hbins[i])
-        r_local = int(r - (cum[i - 1] if i else 0))
-        want.setdefault(b_id, []).append((pct, r_local))
-    need = np.array(sorted(want), dtype=np.int64)
+                      ["c", "bin"], sums={"n": "n"}),
+        pa.schema([("c", pa.string()), ("bin", pa.int64()),
+                   ("n", pa.int64())]))
+    hc = hist["c"].to_numpy(zero_copy_only=False)
+    want: dict[str, dict[int, list[tuple[int, int]]]] = {}
+    need: dict[str, "np.ndarray"] = {}
+    for col in live:
+        sel = hc == col
+        sub = hist.filter(pa.array(sel)).sort_by("bin")
+        hbins = sub["bin"].to_numpy(zero_copy_only=False)
+        cum = np.cumsum(sub["n"].to_numpy(zero_copy_only=False))
+        n = bounds[col][2]
+        w: dict[int, list[tuple[int, int]]] = {}
+        for pct in pcts:
+            r = -(-pct * n // 100)
+            i = int(np.searchsorted(cum, r))
+            b_id = int(hbins[i])
+            w.setdefault(b_id, []).append(
+                (pct, int(r - (cum[i - 1] if i else 0))))
+        want[col] = w
+        need[col] = np.array(sorted(w), dtype=np.int64)
 
     sch = ds.schema()  # Ray Schema wrapper, not pyarrow
-    val_type = sch.types[sch.names.index(col)]
+    vt = {c: sch.types[sch.names.index(c)] for c in live}
 
     def pick(b: pa.Table) -> pa.Table:
-        v = b[col].drop_null().to_numpy(zero_copy_only=False)
-        bv = bin_of(v)
-        keep = np.isin(bv, need)
+        out_c, out_v, out_b = [], [], []
+        for c in live:
+            v = b[c].drop_null().to_numpy(zero_copy_only=False)
+            bv = bin_of(c, v)
+            keep = np.isin(bv, need[c])
+            out_c.append(np.full(int(keep.sum()), c, dtype=object))
+            out_v.append(v[keep].astype(np.float64))
+            out_b.append(bv[keep])
         return pa.table({
-            "value": pa.array(v[keep], val_type),
-            "bin": pa.array(bv[keep], pa.int64()),
-        })
+            "c": pa.array(np.concatenate(out_c).tolist(), pa.string()),
+            # float64 carrier is exact for doubles AND for int64 cents
+            # domains < 2^53; the final cast back is checked
+            "value": pa.array(np.concatenate(out_v), pa.float64()),
+            "bin": pa.array(np.concatenate(out_b), pa.int64())})
 
     cand = collect_small(
         ds.map_batches(pick, batch_format="pyarrow"),
-        pa.schema([("value", val_type), ("bin", pa.int64())]))
+        pa.schema([("c", pa.string()), ("value", pa.float64()),
+                   ("bin", pa.int64())]))
+    cc = cand["c"].to_numpy(zero_copy_only=False)
     cv = cand["value"].to_numpy(zero_copy_only=False)
     cb = cand["bin"].to_numpy(zero_copy_only=False)
-    out: dict[int, object] = {}
-    for b_id, picks in want.items():
-        sv = np.sort(cv[cb == b_id])
-        for pct, r_local in picks:
-            out[pct] = sv[r_local - 1].item()
-    return [(p, out[p]) for p in pcts]
+    result: dict[str, list[tuple[int, object]]] = {c: [] for c in cols}
+    for col in live:
+        out: dict[int, object] = {}
+        sel = cc == col
+        for b_id, picks in want[col].items():
+            sv = np.sort(cv[sel][cb[sel] == b_id])
+            for pct, r_local in picks:
+                val = sv[r_local - 1]
+                if pa.types.is_integer(vt[col]):
+                    iv = int(val)
+                    assert float(iv) == val, "int64 beyond float64"
+                    out[pct] = iv
+                else:
+                    out[pct] = float(val)
+        result[col] = [(p, out[p]) for p in pcts]
+    return result
+
+
+def exact_quantiles(ds: "ray.data.Dataset", col: str,
+                    pcts: tuple[int, ...],
+                    nbins: int = 1 << 16) -> list[tuple[int, object]]:
+    """Single-column wrapper over :func:`exact_quantiles_multi` (one
+    code path for every selection caller)."""
+    return exact_quantiles_multi(ds, [col], pcts, nbins=nbins)[col]

@@ -5422,7 +5422,8 @@ def customer_rfm(sf_dir: str, parts: int = 64) -> ray.data.Dataset:
     every dimension (recency scores read "5 = longest-lapsed"), mass
     points skip buckets identically in both engines.
     """
-    from .common import collect_small, exact_quantiles, hash_keyed_agg
+    from .common import (collect_small, exact_quantiles_multi,
+                         hash_keyed_agg)
 
     orders = read(sf_dir, "orders",
                   columns=["o_custkey", "o_orderdate", "o_totalprice"])
@@ -5470,12 +5471,10 @@ def customer_rfm(sf_dir: str, parts: int = 64) -> ray.data.Dataset:
         with_metrics, batch_format="pyarrow").materialize()
 
     pcts = (20, 40, 60, 80)
-    cuts = {
-        col: np.array([v for _, v in exact_quantiles(metrics, col,
-                                                     pcts)],
-                      dtype=np.int64)
-        for col in ("recency_days", "n_orders", "monetary_cents")
-    }
+    qs = exact_quantiles_multi(
+        metrics, ["recency_days", "n_orders", "monetary_cents"], pcts)
+    cuts = {col: np.array([v for _, v in qs[col]], dtype=np.int64)
+            for col in qs}
 
     def score(b: pa.Table) -> pa.Table:
         out = {c: b[c] for c in ("o_custkey", "recency_days",
