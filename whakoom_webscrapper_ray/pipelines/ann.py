@@ -1049,7 +1049,19 @@ def embedding_pca(sf_dir: str, k: int = 2, scale: int = 1_000_000,
     if parts:
         emb = emb.repartition(parts)
 
+    empty_partials = pa.schema([
+        ("g", pa.list_(pa.float64())), ("s", pa.list_(pa.float64())),
+        ("n", pa.int64()),
+    ]).empty_table()
+
     def gram_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            # zero-row partial, not a degenerate (g=[], n=0) row: the
+            # driver fold reshapes g into (dim, dim), so an empty-block
+            # row would poison the fold (same guard as block_max in
+            # customer_rfm; Ray's skip-empty-blocks behavior is not
+            # contractual)
+            return empty_partials
         mat = emb_matrix(b["embedding"]).astype(np.float64)
         g = mat.T @ mat
         s = mat.sum(axis=0)

@@ -480,8 +480,19 @@ def exact_quantiles_multi(ds: "ray.data.Dataset", cols: list[str],
             v = b[c].drop_null().to_numpy(zero_copy_only=False)
             bv = bin_of(c, v)
             keep = np.isin(bv, need[c])
+            vk = v[keep]
+            if (pa.types.is_integer(vt[c]) and vk.size
+                    and int(np.abs(vk).max()) >= 2 ** 53):
+                # checked HERE, against the original integer values —
+                # past this point the carrier is float64 and the loss
+                # would be silent (ADVICE r4: the old post-hoc
+                # float(int(val)) == val check was tautological)
+                raise ValueError(
+                    f"exact_quantiles_multi: int64 column {c!r} has "
+                    f"|values| >= 2**53 — float64 candidate carrier "
+                    f"would lose precision")
             out_c.append(np.full(int(keep.sum()), c, dtype=object))
-            out_v.append(v[keep].astype(np.float64))
+            out_v.append(vk.astype(np.float64))
             out_b.append(bv[keep])
         return pa.table({
             "c": pa.array(np.concatenate(out_c).tolist(), pa.string()),
@@ -505,10 +516,11 @@ def exact_quantiles_multi(ds: "ray.data.Dataset", cols: list[str],
             sv = np.sort(cv[sel][cb[sel] == b_id])
             for pct, r_local in picks:
                 val = sv[r_local - 1]
+                # precision for integer columns is guaranteed by the
+                # |v| < 2**53 check in pick() (against the original
+                # int64 values, before the float64 carrier)
                 if pa.types.is_integer(vt[col]):
-                    iv = int(val)
-                    assert float(iv) == val, "int64 beyond float64"
-                    out[pct] = iv
+                    out[pct] = int(val)
                 else:
                     out[pct] = float(val)
         result[col] = [(p, out[p]) for p in pcts]

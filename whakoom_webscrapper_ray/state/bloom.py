@@ -5,9 +5,10 @@ approximate-membership layer; :mod:`.cuckoo` is the default and this
 is the Bloom alternative, selectable per deployment
 (``SeenCore(filter_kind="bloom")``, CLI ``--seen-filter bloom``).
 Trade-off vs the cuckoo filter (Fan et al., CoNEXT'14, table 1): no
-deletion and ~2 B/key at the same ~0.01% false-positive rate, but
-insertion is two scatter stores with NO kick loops — a hot shard
-ingesting 10⁷ new keys/round pays pure vectorized writes.
+deletion and 2 B/key at a ~5.7e-4 false-positive rate at full load
+((1 - e^(-k·n/m))^k with k = 8, m/n = 16), but insertion is pure
+scatter stores with NO kick loops — a hot shard ingesting 10⁷ new
+keys/round pays pure vectorized writes.
 
 Keys are 20-byte SHA-1 digests; the k probe positions are derived by
 double hashing (Kirsch & Mitzenmacher 2006: idx_i = h1 + i·h2) over
@@ -39,6 +40,12 @@ class BloomFilter:
         self.num_bits = nb
         self.mask = np.uint64(nb - 1)
         self.words = np.zeros(nb >> 6, dtype=np.uint64)
+        # keys INSERTED, duplicates included: insert_void cannot tell a
+        # re-insert from a novel key (no read-back on the write path),
+        # so load_factor over-reports under duplicate-bearing streams.
+        # Exactness is unaffected — SeenCore is exact-backed and sizes
+        # rebuilds from its own exact count — but treat load/FP figures
+        # from a duplicate-bearing stream as upper bounds.
         self.count = 0
         self._seed = np.uint64(seed * 2 + 1)
 
