@@ -212,6 +212,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _tx.heavy_hitters,
         "ann_range": _ann.ann_range,
         "knn_graph": _ann.knn_graph,
+        # r5: the 100-TB knn path — fullprobe is bit-exact vs the same
+        # brute-force SQL as knn_graph (the IVF machinery's hard
+        # oracle); the nprobe<K path is approximate by design
+        # (recall-vs-exact pytest, rows-only driver check)
+        "knn_graph_ivf_fullprobe": _ann.knn_graph_ivf_fullprobe,
+        "knn_graph_ivf": _ann.knn_graph_ivf,
         "events_rollup": _do.events_rollup,
         "decontaminate_bloom": _cu.decontaminate_bloom,
         "lang_vocab": _tx.lang_vocab,
@@ -441,6 +447,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_filtered": _ann.oracle_ann_topk_filtered(),
         "ann_range": _ann.oracle_ann_range(),
         "knn_graph": _ann.knn_graph_oracle_sql(),
+        # full-probe IVF knn graph must equal the exact graph bit for
+        # bit (every source meets every member once, same f64 kernel)
+        "knn_graph_ivf_fullprobe": _ann.knn_graph_oracle_sql(),
         # full-probe IVF must equal the exact top-k bit for bit — the
         # IVF machinery's hard oracle (approximation quality itself
         # stays a recall pytest on the nprobe<K path)

@@ -63,7 +63,8 @@ BENCH_QUERIES = [
     "attribution_window", "event_type_pivot", "price_histogram",
     "mad_outliers", "user_event_sequence",
     "term_counts_topk", "heavy_hitters", "ann_range",
-    "decontaminate_bloom", "knn_graph", "events_rollup", "lang_vocab",
+    "decontaminate_bloom", "knn_graph", "knn_graph_ivf",
+    "knn_graph_ivf_fullprobe", "events_rollup", "lang_vocab",
     "doc_percentile_rank", "source_overlap", "value_quantiles",
     "retention_cohorts", "rolling_active_users", "copurchase_pairs",
     "duplicate_ngram_coverage", "keyword_search", "interval_merge",

@@ -57,6 +57,7 @@ QUERIES = [
     "mad_outliers",                             # robust median/MAD screen
     "user_event_sequence",                      # ordered string agg
     "knn_graph",                                # exact k-NN graph
+    "knn_graph_ivf_fullprobe",                  # IVF machinery, exact
     "events_rollup",                            # multi-level ROLLUP agg
     "lang_vocab",                               # groupwise count-distinct
     "doc_percentile_rank",                      # global rank via CDF bcast

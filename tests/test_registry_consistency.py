@@ -19,6 +19,7 @@ def _entry():
 # an exact companion and/or a property-tested bound (see docstrings).
 EXPECTED_NO_ORACLE = {
     "ann_ivf": "ann_ivf_fullprobe companion + recall pytest",
+    "knn_graph_ivf": "knn_graph_ivf_fullprobe companion + recall pytest",
     "ann_lsh": "ann_lsh_fullprobe companion + recall pytest",
     "hll_vocab": "vocab_size companion + 5% bound pytest",
     "lang_hll_vocab": "lang_vocab companion + 5% bound pytest",

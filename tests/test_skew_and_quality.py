@@ -143,6 +143,47 @@ def test_ivf_fullprobe_exact(ray_session):
     assert fp.equals(tk)
 
 
+def test_knn_graph_ivf_fullprobe_exact(ray_session):
+    """Probing every bucket must reproduce the exact block-pair kNN
+    graph bit for bit (every source meets every member exactly once,
+    same f64 kernel and tie order) — the hard oracle for the IVF knn
+    machinery, mirroring test_ivf_fullprobe_exact."""
+    from whakoom_webscrapper_ray.pipelines import ann
+
+    cols = ["vec_id", "neighbor_id", "rank"]
+    ex = ann.knn_graph(SF, block_rows=64).to_pandas()[cols] \
+        .sort_values(cols).reset_index(drop=True)
+    fp = ann.knn_graph_ivf_fullprobe(SF).to_pandas()[cols] \
+        .sort_values(cols).reset_index(drop=True)
+    assert fp.equals(ex)
+
+
+def test_knn_graph_ivf_recall(ray_session):
+    """The nprobe<K approximate graph must recall well above the
+    probed fraction (nprobe/n_centroids = 1/4 of buckets) and improve
+    monotonically with nprobe.  Deterministic: seeded k-means over a
+    fixed sample (measured 0.60 / 0.83 at nprobe 4 / 8 on sf0.001)."""
+    from whakoom_webscrapper_ray.pipelines import ann
+
+    ex = ann.knn_graph(SF, block_rows=64).to_pandas()
+    en = collections.defaultdict(set)
+    for r in ex.itertuples():
+        en[r.vec_id].add(r.neighbor_id)
+
+    def mean_recall(df):
+        got = collections.defaultdict(set)
+        for r in df.itertuples():
+            got[r.vec_id].add(r.neighbor_id)
+        return sum(
+            len(en[v] & got[v]) / len(en[v]) for v in en
+        ) / len(en)
+
+    r4 = mean_recall(ann.knn_graph_ivf(SF, nprobe=4).to_pandas())
+    r8 = mean_recall(ann.knn_graph_ivf(SF, nprobe=8).to_pandas())
+    assert r4 >= 0.5           # 2x over the 25% probed fraction
+    assert r8 > r4             # more probes -> strictly better here
+
+
 def test_lsh_recall_and_prune(ray_session):
     """LSH recall must be a real LIFT over its probed fraction.
 

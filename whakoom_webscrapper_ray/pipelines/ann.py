@@ -690,9 +690,8 @@ FROM scored WHERE sim >= {tau}
 _KNN_K = 5
 
 
-@ray.remote
-def _knn_block_pair(ta: pa.Table, tb: pa.Table, k: int,
-                    tile: int = 2048) -> pa.Table:
+def _knn_pair_kernel(ta: pa.Table, tb: pa.Table, k: int,
+                     tile: int = 2048) -> pa.Table:
     """Local top-k candidates from source block ta against dest block
     tb (self-matches masked).  float64 tiled matmul: the adjacent-rank
     sim gaps in this corpus bottom out ~1.4e-6 — far above f64
@@ -722,6 +721,61 @@ def _knn_block_pair(ta: pa.Table, tb: pa.Table, k: int,
     return pa.concat_tables(out)
 
 
+_knn_block_pair = ray.remote(_knn_pair_kernel)
+
+_KNN_OUT_SCHEMA = pa.schema([
+    ("vec_id", pa.int64()), ("neighbor_id", pa.int64()),
+    ("rank", pa.int64()),
+])
+
+
+def _knn_coarse_merge(cands: ray.data.Dataset, k: int,
+                      parts: int = 64) -> ray.data.Dataset:
+    """Global per-source top-k over candidate rows (vec_id,
+    neighbor_id, sim) — ONE exchange keyed by ``mix64(vec_id) %
+    parts`` and one vectorized lexsort + segmented-rank sweep per
+    partition.  NEVER ``groupby(vec_id)``: vec_id is corpus-cardinality
+    and Ray's per-key path dominates beyond ~10⁴ groups (measured at
+    common.hash_keyed_agg).  Candidate generators must not emit a
+    (vec_id, neighbor_id) pair twice (exact blocks are disjoint; an
+    IVF member lives in exactly one bucket), so rank = segmented
+    position after the (vec_id, -sim, neighbor_id) lexsort."""
+    from .text import mix64
+
+    def keyed(b: pa.Table) -> pa.Table:
+        v = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("part", pa.array(
+            (mix64(v.view(np.uint64)) % np.uint64(parts)).astype(
+                np.int64)))
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _KNN_OUT_SCHEMA.empty_table()
+        vid = g["vec_id"].to_numpy(zero_copy_only=False)
+        sim = g["sim"].to_numpy(zero_copy_only=False)
+        nid = g["neighbor_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, -sim, vid))
+        vid, nid = vid[order], nid[order]
+        first = np.ones(vid.size, dtype=bool)
+        first[1:] = vid[1:] != vid[:-1]
+        gstart = np.flatnonzero(first)
+        gcnt = np.diff(np.r_[gstart, vid.size])
+        rank = (np.arange(vid.size, dtype=np.int64)
+                - np.repeat(gstart, gcnt) + 1)
+        keep = rank <= k
+        return pa.table({
+            "vec_id": pa.array(vid[keep], pa.int64()),
+            "neighbor_id": pa.array(nid[keep], pa.int64()),
+            "rank": pa.array(rank[keep], pa.int64()),
+        })
+
+    return (
+        cands.map_batches(keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 def knn_graph(sf_dir: str, k: int = _KNN_K,
               block_rows: int = 4096) -> ray.data.Dataset:
     """(vec_id, neighbor_id, rank): the exact k-nearest-neighbor GRAPH
@@ -732,13 +786,14 @@ def knn_graph(sf_dir: str, k: int = _KNN_K,
     Scale shape: a blocked self-join (cf. embedding_dup_pairs) — the
     corpus is cut into angularly-arbitrary blocks, every ordered block
     pair runs as one Ray task emitting LOCAL top-k rows per source
-    (k x |block| rows, never |block|²), and one groupby merges
-    per-source candidates.  Exact is O(B²) tasks by construction; at
-    100 TB swap the all-pairs task list for IVF-bucketed candidate
-    generation + multi-probe (the ann_ivf machinery) and accept the
-    recall trade, or bound-prune block pairs against the running kth
-    sim.  Raw tasks per the custom-operator rule: a top-k self-join
-    has no Dataset-API expression.
+    (k x |block| rows, never |block|²), and the coarse-partition merge
+    reduces per-source candidates (one exchange, vectorized segmented
+    rank — no per-key groupby).  Exact is O(B²) tasks by construction
+    — the small-corpus / oracle baseline; the 100-TB path is
+    :func:`knn_graph_ivf` (IVF-bucketed candidate generation, linear
+    tasks, recall-tested against this exact build).  Raw tasks per the
+    custom-operator rule: a top-k self-join has no Dataset-API
+    expression.
     """
     emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     mat = emb.materialize()
@@ -749,30 +804,117 @@ def knn_graph(sf_dir: str, k: int = _KNN_K,
         _knn_block_pair.remote(ra, rb, k)
         for ra in refs for rb in refs
     ]
-    return (
-        ray.data.from_arrow_refs(tasks)
-        .groupby("vec_id")
-        .map_groups(_knn_merge(k), batch_format="pyarrow")
+    return _knn_coarse_merge(ray.data.from_arrow_refs(tasks), k)
+
+
+def knn_graph_ivf(sf_dir: str, k: int = _KNN_K,
+                  n_centroids: int = 16, nprobe: int = 4
+                  ) -> ray.data.Dataset:
+    """(vec_id, neighbor_id, rank): the APPROXIMATE k-NN graph — the
+    100-TB path :func:`knn_graph`'s docstring promises.  Work is
+    linear in the corpus instead of O(B²) block pairs:
+
+      1. centroids train on a bounded deterministic sample (the
+         ann_ivf recipe — at 100 TB the trainer never sees the corpus);
+      2. ONE routed exchange: every vector ships to its nearest
+         centroid's bucket as a MEMBER and to its ``nprobe`` nearest
+         buckets as a SOURCE (1 + nprobe copies — the standard IVF
+         build amplification, tunable);
+      3. per bucket, one tiled f64 matmul emits each source's LOCAL
+         top-k against that bucket's members (the
+         :func:`_knn_pair_kernel` kernel — k rows per source per
+         bucket, never |bucket|²);
+      4. the same coarse-partition merge as exact knn_graph reduces
+         the <= nprobe·k candidates per source.
+
+    The bucket groupby is over ``n_centroids`` keys — a DESIGN
+    cardinality (≈ sqrt(corpus) at scale, 16 here), never the corpus;
+    a member lives in exactly one bucket so no (vec_id, neighbor_id)
+    pair is emitted twice.  Recall vs the exact graph is pytest-pinned;
+    ``nprobe = n_centroids`` (:func:`knn_graph_ivf_fullprobe`) makes
+    every source see every member — bit-identical to exact knn_graph
+    and oracle-checked against the same SQL.
+    """
+    from .common import deref
+
+    emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    sample = pa.concat_tables(
+        [ray.get(r) for r in emb.limit(16384).to_arrow_refs()]
     )
+    smat = emb_matrix(sample["embedding"])
+    smat = smat / np.linalg.norm(smat, axis=1, keepdims=True)
+    cent = _kmeans(smat, min(n_centroids, len(smat)))
+    nprobe = min(nprobe, len(cent))
+    cent_ref = ray.put(np.ascontiguousarray(cent.astype(np.float64)))
 
-
-def _knn_merge(k: int):
-    def merge(g: pa.Table) -> pa.Table:
-        sim = g["sim"].to_numpy(zero_copy_only=False)
-        nid = g["neighbor_id"].to_numpy(zero_copy_only=False)
-        # candidates may repeat a neighbor across block tasks only if
-        # blocks overlapped (they don't) — order and cut is enough
-        order = np.lexsort((nid, -sim))[:k]
-        t = g.take(pa.array(order, pa.int64()))
+    def route(b: pa.Table, cref=None, npb=nprobe) -> pa.Table:
+        c = deref(cref)
+        emb_col = b["embedding"]
+        if isinstance(emb_col, pa.ChunkedArray):
+            emb_col = emb_col.combine_chunks()
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = ids.size
+        if n == 0:
+            return pa.table({
+                "bucket": pa.array([], pa.int64()),
+                "role": pa.array([], pa.int8()),
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], emb_col.type),
+            })
+        m = emb_matrix(b["embedding"]).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ c.T                                    # (n, C)
+        # stable sort: probe[:, 0] == argmax even on tied centroids,
+        # so the member bucket is always among the probed ones
+        probe = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
+        member = probe[:, 0]
+        idx = np.tile(np.arange(n, dtype=np.int64), 1 + npb)
+        buckets = np.concatenate(
+            [member] + [probe[:, j] for j in range(npb)])
+        roles = np.concatenate(
+            [np.zeros(n, np.int8), np.ones(n * npb, np.int8)])
         return pa.table({
-            "vec_id": t["vec_id"],
-            "neighbor_id": t["neighbor_id"],
-            "rank": pa.array(
-                np.arange(1, order.size + 1, dtype=np.int64),
-                pa.int64()),
+            "bucket": pa.array(buckets.astype(np.int64), pa.int64()),
+            "role": pa.array(roles, pa.int8()),
+            "vec_id": pa.array(ids[idx], pa.int64()),
+            "embedding": emb_col.take(pa.array(idx, pa.int64())),
         })
 
-    return merge
+    cand_schema = pa.schema([
+        ("vec_id", pa.int64()), ("neighbor_id", pa.int64()),
+        ("sim", pa.float64()),
+    ])
+
+    def bucket_knn(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return cand_schema.empty_table()
+        role = g["role"].to_numpy(zero_copy_only=False)
+        mem = g.filter(pa.array(role == 0))
+        src = g.filter(pa.array(role == 1))
+        if mem.num_rows == 0 or src.num_rows == 0:
+            return cand_schema.empty_table()
+        return _knn_pair_kernel(
+            src.select(["vec_id", "embedding"]),
+            mem.select(["vec_id", "embedding"]), k)
+
+    cands = (
+        emb.map_batches(route, fn_kwargs={"cref": cent_ref},
+                        batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_knn, batch_format="pyarrow")
+    )
+    return _knn_coarse_merge(cands, k)
+
+
+def knn_graph_ivf_fullprobe(sf_dir: str, k: int = _KNN_K,
+                            n_centroids: int = 16) -> ray.data.Dataset:
+    """knn_graph_ivf with every bucket probed — exact by construction
+    (each source meets every member exactly once, same f64 kernel and
+    tie order as the block-pair build), so the brute-force SQL oracle
+    applies verbatim.  The correctness anchor for the IVF machinery."""
+    return knn_graph_ivf(sf_dir, k=k, n_centroids=n_centroids,
+                         nprobe=n_centroids)
 
 
 def knn_graph_oracle_sql(k: int = _KNN_K) -> str:
