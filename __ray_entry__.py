@@ -251,7 +251,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- dedup family (pair stage REWRITTEN this round) and the
         # verdict-mandated cluster consumers (done-condition rows)
         "minhash_lsh_pairs": _dd.minhash_lsh_pairs,
-        "dedup_clusters": _cu.dedup_clusters,
+        # artifact-backed (r5): first caller per corpus version runs
+        # the chain and persists (doc_id, cluster_id); this row and
+        # every consumer then reuse one column-pruned scan
+        "dedup_clusters": _cu.dedup_labels,
         "corpus_dedup": _cu.corpus_dedup,
         # ---- crawl-family head (fixture gained Allow/wildcard rules;
         # order + seen set pin the schedule and URL set — the surfaces

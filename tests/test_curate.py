@@ -109,6 +109,31 @@ def test_dedup_clusters_all_singletons(ray_session, tmp_path):
     assert str(out["cluster_id"].dtype) == "int64"
 
 
+def test_dedup_labels_artifact_equals_chain(ray_session, tmp_path):
+    """The persisted labels artifact is interchangeable with a fresh
+    chain run, and a second call serves the artifact WITHOUT re-running
+    the chain (the r4-verdict persist-once contract)."""
+    from unittest import mock
+
+    from whakoom_webscrapper_ray.pipelines import curate
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["doc_id", "cluster_id"]
+    fresh = curate.dedup_clusters(sf).to_pandas()[cols] \
+        .sort_values(cols).reset_index(drop=True)
+    art = curate.dedup_labels(sf, artifact_root=str(tmp_path)) \
+        .to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+    assert art.equals(fresh)
+    # second call must read the artifact, never re-enter the chain
+    with mock.patch.object(
+        curate, "dedup_clusters",
+        side_effect=AssertionError("chain re-run"),
+    ):
+        again = curate.dedup_labels(sf, artifact_root=str(tmp_path)) \
+            .to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+    assert again.equals(fresh)
+
+
 def test_quality_sample_deterministic(ray_session):
     """Same input → identical sample (content-hash bucket, no RNG)."""
     from whakoom_webscrapper_ray.pipelines.curate import quality_sample

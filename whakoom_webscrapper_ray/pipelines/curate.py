@@ -26,6 +26,8 @@ group — the remedy is alternating large-star/small-star contraction
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -351,6 +353,11 @@ def dedup_clusters(sf_dir: str, num_partitions: int = 8
     join back onto the corpus (labels are only dup-pair members, but at
     100 TB that can be a third of the corpus — a broadcast would not
     hold, the hash join co-partitions by doc_id).
+
+    This is the CHAIN; consumers (corpus_dedup / dedup_report /
+    cluster_best_doc / corpus_prep, and the registry row) go through
+    :func:`dedup_labels`, which runs the chain once per corpus version
+    and serves the persisted artifact afterwards.
     """
     pairs = minhash_lsh_pairs(sf_dir).drop_columns(["jaccard"])
     labels = _cc_labels(pairs).map_batches(
@@ -391,6 +398,62 @@ SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
 """
 
 
+# ------------------------------------------ persisted label artifact
+# At 100 TB nobody recomputes near-dup labels per report: the
+# shingle→LSH→verify→CC chain runs ONCE per corpus version and every
+# consumer (corpus_dedup / dedup_report / cluster_best_doc /
+# corpus_prep) joins against the persisted (doc_id, cluster_id) table
+# through the storage seam — the same persisted-index pattern as
+# incremental_dedup's band index (dedup.build_lsh_index).
+_ARTIFACT_ROOT = os.environ.get(
+    "WKM_ARTIFACT_DIR", "/tmp/whakoom_ray_artifacts")
+_LABELS_FMT = 1  # bump on any chain-semantics change to invalidate
+
+
+def _corpus_version(sf_dir: str) -> str:
+    """Corpus-version key for the labels artifact: identity + size +
+    mtime_ns of the documents table (ns granularity makes a silent
+    same-size in-place rewrite collision implausible; regenerated
+    corpora get fresh mtimes and therefore fresh artifacts)."""
+    import hashlib
+
+    p = os.path.join(os.path.realpath(sf_dir), "documents.parquet")
+    st = os.stat(p)
+    return hashlib.sha1(
+        f"{p}|{st.st_size}|{st.st_mtime_ns}|fmt{_LABELS_FMT}".encode()
+    ).hexdigest()[:16]
+
+
+def dedup_labels(sf_dir: str, num_partitions: int = 8,
+                 artifact_root: str | None = None) -> ray.data.Dataset:
+    """(doc_id, cluster_id) for every document — :func:`dedup_clusters`
+    semantics, served from the per-corpus-version persisted artifact.
+
+    First call per corpus version runs the full chain and streams the
+    labels through the storage seam (workers write their own
+    fragments, atomic directory rename publishes); subsequent calls —
+    including every consumer pipeline — are ONE column-pruned scan.
+    The chain output is deterministic, so artifact and fresh compute
+    are interchangeable (pytest-pinned)."""
+    from .. import storage
+
+    root = artifact_root if artifact_root is not None else _ARTIFACT_ROOT
+    final = os.path.join(root, "dedup_labels", _corpus_version(sf_dir))
+    if not os.path.isdir(final):
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        tmp = f"{final}.tmp-{os.getpid()}"
+        storage.backend().write_dataset(
+            dedup_clusters(sf_dir, num_partitions), tmp)
+        try:
+            os.rename(tmp, final)      # atomic publish
+        except OSError:                # concurrent builder won the race
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return storage.backend().read_dataset(
+        final, columns=["doc_id", "cluster_id"])
+
+
 def corpus_dedup(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, n_members): the deduplicated corpus — one representative
     (= component-min doc_id) per near-dup cluster, with its member
@@ -400,7 +463,7 @@ def corpus_dedup(sf_dir: str) -> ray.data.Dataset:
     # cluster_id cardinality ~ |docs|: coarse-partition vectorized
     # count, not Ray's per-key aggregate
     return hash_keyed_agg(
-        dedup_clusters(sf_dir), "cluster_id", count_alias="n_members"
+        dedup_labels(sf_dir), "cluster_id", count_alias="n_members"
     ).map_batches(
         lambda b: pa.table(
             {"doc_id": b["cluster_id"], "n_members": b["n_members"]}
@@ -1030,7 +1093,7 @@ def corpus_prep(sf_dir: str, budget: int = _PACK_BUDGET,
     """
     from .dedup import _id_part
 
-    reps = dedup_clusters(sf_dir)
+    reps = dedup_labels(sf_dir)  # persisted artifact, not a recompute
     qs = quality_sample(sf_dir)
     dec = decontaminate(sf_dir)
     docs = read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1350,16 +1413,16 @@ def dedup_report(sf_dir: str, parts: int = 32) -> ray.data.Dataset:
     telemetry a curation run reports before anyone commits to the
     pruned corpus.
 
-    Composition: :func:`dedup_clusters` labels every document; a doc
-    is REMOVED iff it is not its own cluster representative
-    (cluster_id != doc_id).  Labels co-partition-join back onto the
-    (doc_id, source) projection — doc→source is corpus-sized, so this
-    is never a broadcast — and per-source counts ride the two-phase
-    combiner.
+    Composition: the persisted :func:`dedup_labels` artifact labels
+    every document (one scan, no chain recompute); a doc is REMOVED
+    iff it is not its own cluster representative (cluster_id !=
+    doc_id).  Labels co-partition-join back onto the (doc_id, source)
+    projection — doc→source is corpus-sized, so this is never a
+    broadcast — and per-source counts ride the two-phase combiner.
     """
     from .common import copartition_join, read, two_phase_agg
 
-    labels = dedup_clusters(sf_dir)
+    labels = dedup_labels(sf_dir)
     docs = read(sf_dir, "documents", columns=["doc_id", "source"])
     joined = copartition_join(
         labels, docs, on="doc_id", parts=parts,
@@ -1430,17 +1493,17 @@ def cluster_best_doc(sf_dir: str, parts: int = 64) -> ray.data.Dataset:
     content over the arbitrary min-id representative corpus_dedup
     keeps.
 
-    Scale shape: cluster labels come from the distributed CC engine,
-    token counts from a single-pass map over documents; the two meet
-    in the engine's ONE-exchange copartition_join on doc_id, and the
-    per-cluster argmax is one lexsort per hash partition keyed by
-    cluster — never a driver-side collection, never a broadcast of
-    the label table (at 100 TB a third of the corpus can be cluster
-    members).
+    Scale shape: cluster labels come from the persisted
+    :func:`dedup_labels` artifact (one scan), token counts from a
+    single-pass map over documents; the two meet in the engine's
+    ONE-exchange copartition_join on doc_id, and the per-cluster
+    argmax is one lexsort per hash partition keyed by cluster — never
+    a driver-side collection, never a broadcast of the label table
+    (at 100 TB a third of the corpus can be cluster members).
     """
     from .text import mix64
 
-    labels = dedup_clusters(sf_dir)
+    labels = dedup_labels(sf_dir)
 
     def tok_count(b: pa.Table) -> pa.Table:
         words = pc.split_pattern(b["text"], " ")
