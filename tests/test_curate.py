@@ -134,6 +134,24 @@ def test_dedup_labels_artifact_equals_chain(ray_session, tmp_path):
     assert again.equals(fresh)
 
 
+def test_decontaminate_embedding_budget_paths_agree(ray_session):
+    """Forcing eval_broadcast_budget=0 engages the chunked object-store
+    probe (one flag stage per eval chunk, no driver gather); per-chunk
+    comparisons are independent so the OR-fold must equal the broadcast
+    path exactly (the minhash ids_broadcast_budget discipline)."""
+    from whakoom_webscrapper_ray.pipelines import curate
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["vec_id", "contaminated"]
+    bc = curate.decontaminate_embedding(sf).to_pandas()[cols] \
+        .sort_values("vec_id").reset_index(drop=True)
+    ch = curate.decontaminate_embedding(
+        sf, eval_broadcast_budget=0
+    ).to_pandas()[cols].sort_values("vec_id").reset_index(drop=True)
+    assert ch.equals(bc)
+    assert bc["contaminated"].any()  # fixture has real contamination
+
+
 def test_quality_sample_deterministic(ray_session):
     """Same input → identical sample (content-hash bucket, no RNG)."""
     from whakoom_webscrapper_ray.pipelines.curate import quality_sample

@@ -1601,7 +1601,19 @@ FROM ranked WHERE rn = 1
 _EMB_EVAL_MOD = 19  # deterministic eval split: vec_id % 19 == 0
 
 
-def decontaminate_embedding(sf_dir: str, threshold: float = 0.45
+# per-worker memo of per-chunk normalized-transposed eval matrices for
+# the above-budget decontaminate_embedding path (built once per worker
+# per chunk, like dedup._WORKER_MEMO)
+_EVT_MEMO: dict = {}
+
+
+@ray.remote(num_cpus=0)
+def _nrows_task(t: pa.Table) -> int:
+    return t.num_rows
+
+
+def decontaminate_embedding(sf_dir: str, threshold: float = 0.45,
+                            eval_broadcast_budget: int = 1_000_000
                             ) -> ray.data.Dataset:
     """(vec_id, contaminated) over CORPUS vectors (vec_id % 19 != 0):
     contaminated = cosine similarity >= ``threshold`` against ANY
@@ -1615,6 +1627,14 @@ def decontaminate_embedding(sf_dir: str, threshold: float = 0.45
     through one sgemm + rowwise max — no shuffle at all.  Same cosine
     kernel and float32 contract as embedding_dup_pairs
     (dedup.py _pairs_between; margin analysis at ann.emb_matrix).
+
+    Budget gate (the minhash ``ids_broadcast_budget`` discipline): the
+    driver-side gather only happens while the eval split is under
+    ``eval_broadcast_budget`` rows.  Past it, the eval blocks STAY in
+    the object store; block refs are greedy-packed into chunks under
+    the budget and the corpus streams through one flag stage per chunk
+    (per-chunk comparisons are independent, so the OR-fold is exactly
+    the single-matrix result — pytest-pinned at a forced budget).
     """
     from .ann import emb_matrix
 
@@ -1624,32 +1644,120 @@ def decontaminate_embedding(sf_dir: str, threshold: float = 0.45
         ids = b["vec_id"].to_numpy(zero_copy_only=False)
         return b.filter(pa.array(ids % _EMB_EVAL_MOD == 0))
 
-    ev = collect_small(
-        emb.map_batches(eval_side, batch_format="pyarrow"),
-        pa.schema([("vec_id", pa.int64()),
-                   ("embedding", pa.list_(pa.float32()))]),
-    )
-    me = emb_matrix(ev["embedding"])
-    me = me / np.linalg.norm(me, axis=1, keepdims=True)
-    ev_ref = ray.put(np.ascontiguousarray(me.T))
+    ev_ds = emb.map_batches(
+        eval_side, batch_format="pyarrow"
+    ).materialize()  # eval rows only — tiny relative to the corpus
 
-    def flag(b: pa.Table, evt=None) -> pa.Table:
+    def keep_training(b: pa.Table) -> pa.Table:
         ids = b["vec_id"].to_numpy(zero_copy_only=False)
-        b = b.filter(pa.array(ids % _EMB_EVAL_MOD != 0))
+        return b.filter(pa.array(ids % _EMB_EVAL_MOD != 0))
+
+    empty_out = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "contaminated": pa.array([], pa.bool_())})
+
+    if ev_ds.count() <= eval_broadcast_budget:
+        ev = collect_small(
+            ev_ds,
+            pa.schema([("vec_id", pa.int64()),
+                       ("embedding", pa.list_(pa.float32()))]),
+        )
+        me = emb_matrix(ev["embedding"])
+        me = me / np.linalg.norm(me, axis=1, keepdims=True)
+        ev_ref = ray.put(np.ascontiguousarray(me.T))
+
+        def flag(b: pa.Table, evt=None) -> pa.Table:
+            b = keep_training(b)
+            if b.num_rows == 0:
+                return empty_out
+            m = emb_matrix(b["embedding"])
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ deref(evt)
+            return pa.table({
+                "vec_id": pc.cast(b["vec_id"], pa.int64()),
+                "contaminated": pa.array(
+                    (sims >= threshold).any(axis=1), pa.bool_()),
+            })
+
+        return emb.map_batches(flag, fn_kwargs={"evt": ev_ref},
+                               batch_format="pyarrow")
+
+    # ---- above budget: chunked object-store probe, no driver gather
+    import ray as _ray
+
+    refs = list(ev_ds.to_arrow_refs())
+    # row counts per block via tiny metadata tasks (blocks stay put)
+    counts = _ray.get([_nrows_task.remote(r) for r in refs])
+    chunks: list[list] = []
+    cur, cur_rows = [], 0
+    for r, n in zip(refs, counts):
+        if n == 0:
+            continue
+        if cur and cur_rows + n > max(eval_broadcast_budget, 1):
+            chunks.append(cur)
+            cur, cur_rows = [], 0
+        cur.append(r)
+        cur_rows += n
+    if cur:
+        chunks.append(cur)
+
+    empty_mid = pa.schema([
+        ("vec_id", pa.int64()),
+        ("embedding", pa.list_(pa.float32())),
+        ("contaminated", pa.bool_()),
+    ]).empty_table()
+
+    def flag_chunk(b: pa.Table, chunk=None, first=False) -> pa.Table:
+        if first:
+            b = keep_training(b)
         if b.num_rows == 0:
-            return pa.table({"vec_id": pa.array([], pa.int64()),
-                             "contaminated": pa.array([], pa.bool_())})
+            return empty_mid  # keep the mid-chain schema stable
+        key = ("evt", tuple(r.hex() for r in chunk))
+        evt = _EVT_MEMO.get(key)
+        if evt is None:
+            parts = [t for t in _ray.get(list(chunk)) if t.num_rows]
+            me = emb_matrix(pa.concat_tables(parts)["embedding"])
+            me = me / np.linalg.norm(me, axis=1, keepdims=True)
+            evt = _EVT_MEMO[key] = np.ascontiguousarray(me.T)
         m = emb_matrix(b["embedding"])
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        sims = m @ deref(evt)
+        hit = (m @ evt >= threshold).any(axis=1)
+        if first:
+            prev = np.zeros(b.num_rows, dtype=bool)
+            base = b
+        else:
+            prev = b["contaminated"].to_numpy(zero_copy_only=False)
+            base = b
         return pa.table({
-            "vec_id": pc.cast(b["vec_id"], pa.int64()),
-            "contaminated": pa.array(
-                (sims >= threshold).any(axis=1), pa.bool_()),
+            "vec_id": pc.cast(base["vec_id"], pa.int64()),
+            "embedding": base["embedding"],
+            "contaminated": pa.array(prev | hit, pa.bool_()),
         })
 
-    return emb.map_batches(flag, fn_kwargs={"evt": ev_ref},
-                           batch_format="pyarrow")
+    def strip(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty_out
+        return b.select(["vec_id", "contaminated"])
+
+    if not chunks:  # no eval vectors at all — nothing can contaminate
+        def none_flag(b: pa.Table) -> pa.Table:
+            b = keep_training(b)
+            if b.num_rows == 0:
+                return empty_out
+            return pa.table({
+                "vec_id": pc.cast(b["vec_id"], pa.int64()),
+                "contaminated": pa.array(
+                    np.zeros(b.num_rows, dtype=bool), pa.bool_()),
+            })
+
+        return emb.map_batches(none_flag, batch_format="pyarrow")
+
+    ds = emb
+    for i, ch in enumerate(chunks):
+        ds = ds.map_batches(
+            flag_chunk, fn_kwargs={"chunk": ch, "first": i == 0},
+            batch_format="pyarrow",
+        )
+    return ds.map_batches(strip, batch_format="pyarrow")
 
 
 ORACLE_DECONTAMINATE_EMBEDDING = f"""
