@@ -1,0 +1,145 @@
+"""Real-transport conformance (r4 verdict item 3): the same crawl,
+fetched over an actual HTTP socket, must be byte-identical to the
+synthetic in-memory path on the same graph.
+
+A loopback ``SynthWebServer`` renders the SMALL fixture's pages as
+HTML; ``HttpFetcher`` (persistent http.client connection per worker,
+virtual hosts via the Host header) crawls it through the unchanged
+engine — routing, politeness, robots, seen-set, extraction and
+checkpointing all ride the same seam.  Also covered: HTML span
+round-trip losslessness, semantic 5xx retries, and the S3 dynamic
+"Load more" loop realized as real repeated fetches.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from whakoom_webscrapper_ray.sources.httpserve import (
+    SynthWebServer,
+    render_spans_html,
+)
+from whakoom_webscrapper_ray.sources.synth import (
+    SMALL,
+    generate_web,
+    paginate_pages,
+)
+from whakoom_webscrapper_ray.stages.fetch import (
+    HttpFetcher,
+    _SpanHTMLParser,
+)
+
+
+def test_html_span_roundtrip():
+    """render -> parse is lossless for every span shape the synthetic
+    web emits, including escaping hazards and padded whitespace."""
+    rows = [
+        ("heading", "Section <0> & more", ""),
+        ("link", "  padded name  ", "/user0/lists/x_100001"),
+        ("link", "★", "/user0"),
+        ("text", 'quotes "double" \'single\'', ""),
+        ("image", 'alt with "quotes" & <brackets>',
+         "https://cdn.example/covers/1.jpg?a=1&b=2"),
+        ("text", "", ""),
+        ("heading", "unicode → emoji 🎉", ""),
+    ]
+    doc = render_spans_html(*(list(c) for c in zip(*rows)))
+    assert _SpanHTMLParser().parse(doc) == rows
+
+
+def _run(web, tmp_path, sub, **kw):
+    from whakoom_webscrapper_ray.pipelines.crawl import CrawlEngine
+
+    eng = CrawlEngine(
+        kw.pop("pages", web["pages"]), web["seeds"], web["robots"],
+        checkpoint_dir=str(tmp_path / sub), num_shards=3,
+        fetcher_concurrency=2, batch_size=64, **kw,
+    )
+    eng.run()
+    return eng
+
+
+def _docs(eng) -> dict:
+    out = {}
+    for r in eng.docs_dataset().to_pandas().itertuples():
+        out[r.doc_id] = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in r.spans
+        ]
+    return out
+
+
+def _tables(eng) -> dict:
+    return {
+        name: t.to_pydict()
+        for name, t in eng.finalize_tables().items()
+    }
+
+
+def test_http_crawl_byte_identical_to_synthetic(ray_session, tmp_path):
+    web = generate_web(SMALL)
+    with SynthWebServer(web["pages"]) as srv:
+        http_eng = _run(
+            web, tmp_path, "http", pages=None,
+            transport={"host": srv.host, "port": srv.port},
+        )
+        synth_eng = _run(web, tmp_path, "synth")
+        assert http_eng.crawl_order().equals(synth_eng.crawl_order())
+        assert http_eng.seen_table().sort_by("canon_url").equals(
+            synth_eng.seen_table().sort_by("canon_url"))
+        assert _docs(http_eng) == _docs(synth_eng)
+        assert _tables(http_eng) == _tables(synth_eng)
+
+
+def test_http_semantic_retries(ray_session, tmp_path):
+    """A URL serving fewer 503s than max_attempts recovers and the
+    crawl is unchanged; one serving >= max_attempts is marked failed
+    (never silent), exactly like the synthetic fail_fn path."""
+    web = generate_web(SMALL)
+    seed_url = web["seeds"]["url"][0].as_py()
+    # the first list page linked from seed 0 — fetched in round 1
+    with SynthWebServer(web["pages"],
+                        fail_503={seed_url: 2}) as srv:
+        eng = _run(
+            web, tmp_path, "retry_ok", pages=None,
+            transport={"host": srv.host, "port": srv.port},
+        )
+        ref = _run(web, tmp_path, "ref")
+        assert eng.crawl_order().equals(ref.crawl_order())
+        assert _docs(eng) == _docs(ref)
+    with SynthWebServer(web["pages"],
+                        fail_503={seed_url: 99}) as srv:
+        eng2 = _run(
+            web, tmp_path, "retry_fail", pages=None,
+            transport={"host": srv.host, "port": srv.port},
+        )
+        docs2 = _docs(eng2)
+        assert seed_url not in docs2   # failed, not fetched
+        # failure is recorded, not silent: the per-entity scraping
+        # log carries the failed status for that URL (X4)
+        m = eng2.entity_metrics_table().to_pandas()
+        row = m[m["entity_id"] == seed_url]
+        assert (row["status"] == "failed").any()
+
+
+def test_http_dynamic_pagination_matches_stateful_store(
+        ray_session, tmp_path):
+    """S3 over real HTTP: the fetcher's click loop against
+    ?page_state=N states lands on each URL's terminal accumulated
+    content — byte-identical to the synthetic stateful-store path on
+    the same paginated web."""
+    web = generate_web(SMALL)
+    paged = paginate_pages(web["pages"])
+    with SynthWebServer(paged) as srv:
+        http_eng = _run(
+            web, tmp_path, "http_dyn", pages=None,
+            transport={"host": srv.host, "port": srv.port,
+                       "dynamic": True},
+        )
+        synth_eng = _run(web, tmp_path, "synth_dyn", pages=paged)
+        assert http_eng.crawl_order().equals(synth_eng.crawl_order())
+        assert _docs(http_eng) == _docs(synth_eng)
+        assert _tables(http_eng) == _tables(synth_eng)
+        # the click loop really ran: some URL was fetched at state >= 1
+        assert any("page_state=1" in r for r in srv.request_log)

@@ -97,8 +97,21 @@ def cmd_crawl(args) -> int:
                          f"{args.user_profile!r}"
             }))
             return 2
+    server = None
+    transport = None
+    pages = web["pages"]
+    if getattr(args, "http", False):
+        # real-transport mode: serve the synthetic web over a loopback
+        # socket and crawl it with the HttpFetcher — the page store is
+        # never broadcast; every fetch is an actual HTTP request
+        from .sources.httpserve import SynthWebServer
+
+        server = SynthWebServer(pages).__enter__()
+        transport = {"host": server.host, "port": server.port,
+                     "dynamic": bool(getattr(args, "paginate", False))}
+        pages = None
     eng = CrawlEngine(
-        web["pages"], seeds, web["robots"],
+        pages, seeds, web["robots"],
         checkpoint_dir=args.checkpoint,
         num_shards=args.num_shards,
         run_id=args.run_id,
@@ -107,6 +120,7 @@ def cmd_crawl(args) -> int:
         seen_filter=args.seen_filter,
         strip_tracking_params=args.strip_tracking_params,
         host_fail_budget=args.host_fail_budget,
+        transport=transport,
     )
     t0 = time.perf_counter()
     if args.resume:
@@ -125,6 +139,8 @@ def cmd_crawl(args) -> int:
     }
     print(json.dumps(out))
     eng.shutdown()
+    if server is not None:
+        server.__exit__()
     return 0
 
 
@@ -310,6 +326,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--max-pages-per-host", type=int, default=None,
                    help="O4 pagination budget: cap total pages "
                         "scheduled per host across all rounds")
+    c.add_argument("--http", action="store_true",
+                   help="real-transport mode: serve the synthetic web "
+                        "over a loopback HTTP socket and crawl it via "
+                        "HttpFetcher (with --paginate the fetcher runs "
+                        "the dynamic Load-more loop over page states)")
     c.add_argument("--paginate", action="store_true",
                    help="S3 dynamic pagination: serve the synthetic "
                         "web as cumulative 'Load more' page states "

@@ -312,10 +312,19 @@ class LinkRouter:
 _WORKER_STATE: dict = {}
 
 
-def _worker_fetcher(pages_ref) -> SyntheticWebFetcher:
+def _worker_fetcher(pages_ref):
     key = ("fetcher", pages_ref.hex())
     if key not in _WORKER_STATE:
-        _WORKER_STATE[key] = SyntheticWebFetcher(pages_ref)
+        obj = ray.get(pages_ref)
+        if isinstance(obj, dict) and "__transport__" in obj:
+            # real-transport mode: the broadcast carries a fetcher
+            # spec instead of a page partition (same seam — routing,
+            # extraction, retries, checkpoints are transport-agnostic)
+            from ..stages.fetch import HttpFetcher
+
+            _WORKER_STATE[key] = HttpFetcher(**obj["__transport__"])
+        else:
+            _WORKER_STATE[key] = SyntheticWebFetcher(pages_ref)
     return _WORKER_STATE[key]
 
 
@@ -733,6 +742,7 @@ class CrawlEngine:
         seen_filter: str = "cuckoo",
         strip_tracking_params: bool = False,
         host_fail_budget: int | None = None,
+        transport: dict | None = None,
     ) -> None:
         self.checkpoint_dir = checkpoint_dir
         os.makedirs(checkpoint_dir, exist_ok=True)
@@ -788,14 +798,21 @@ class CrawlEngine:
         # ``pages_parts``: reuse a prior engine's laid-out page store
         # (same pages/num_shards/routing — e.g. bench trials over one
         # input); the layout is immutable in the object store.
-        self.pages_parts = (
-            list(pages_parts)
-            if pages_parts is not None
-            else partition_pages_refs(
-                pages, num_shards, self.delayed,
-                route_by_host=self._route_by_host,
+        # ``transport``: real-transport mode (HttpFetcher kwargs, e.g.
+        # {"host": ..., "port": ..., "dynamic": ...}) — no page store
+        # is broadcast at all; every shard's fetcher talks HTTP.
+        if transport is not None:
+            spec_ref = ray.put({"__transport__": dict(transport)})
+            self.pages_parts = [spec_ref] * num_shards
+        else:
+            self.pages_parts = (
+                list(pages_parts)
+                if pages_parts is not None
+                else partition_pages_refs(
+                    pages, num_shards, self.delayed,
+                    route_by_host=self._route_by_host,
+                )
             )
-        )
         self.rules_ref = ray.put(self.rules)
 
         self.extractors = list(extractors or ())

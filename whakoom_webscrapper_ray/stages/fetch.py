@@ -86,6 +86,177 @@ def resolve_page_states(pages: pa.Table) -> pa.Table:
     )
 
 
+class _SpanHTMLParser:
+    """HTML → span rows for :class:`HttpFetcher` (stdlib html.parser;
+    the inverse of ``sources.httpserve.render_spans_html``)."""
+
+    def __init__(self) -> None:
+        from html.parser import HTMLParser
+
+        outer = self
+        self.rows: list[tuple[str, str, str]] = []
+        self._cur: tuple[str, str, list[str]] | None = None
+
+        class P(HTMLParser):
+            def handle_starttag(p, tag, attrs):
+                a = dict(attrs)
+                if tag == "h3":
+                    outer._cur = ("heading", "", [])
+                elif tag == "p":
+                    outer._cur = ("text", "", [])
+                elif tag == "a":
+                    outer._cur = ("link", a.get("href", ""), [])
+                elif tag == "img":
+                    outer.rows.append(
+                        ("image", a.get("alt", ""), a.get("src", "")))
+
+            def handle_data(p, data):
+                if outer._cur is not None:
+                    outer._cur[2].append(data)
+
+            def handle_endtag(p, tag):
+                if tag in ("h3", "p", "a") and outer._cur is not None:
+                    kind, ref, parts = outer._cur
+                    outer.rows.append((kind, "".join(parts), ref))
+                    outer._cur = None
+
+        self._p = P(convert_charrefs=True)
+
+    def parse(self, doc: str) -> list[tuple[str, str, str]]:
+        self.rows = []
+        self._cur = None
+        self._p.feed(doc)
+        self._p.close()
+        self._p.reset()
+        return self.rows
+
+
+class HttpFetcher:
+    """REAL-transport fetcher behind the same seam as
+    :class:`SyntheticWebFetcher`: a persistent stdlib ``http.client``
+    connection per actor (the once-per-actor expensive client, T1),
+    virtual hosts resolved via the ``Host`` header through one socket,
+    HTML parsed back into document-order spans.  Batch contract is
+    identical — ``canon_url`` in, ``spans`` / ``fetch_status`` /
+    ``fetch_ms`` appended — so every downstream stage (routing,
+    extraction, politeness, retries, checkpointing) is transport-
+    agnostic; a crawl over HTTP is byte-identical to the synthetic
+    path on the same graph (pytest-pinned).
+
+    ``dynamic=True`` runs the S3 "Load more" loop per URL over the
+    server's ``?page_state=N`` states: advance while the next state
+    exists (no 404) AND grows the span count — the
+    ``resolve_page_states`` termination rule, realized as actual
+    repeated fetches the way the reference's Selenium loop clicks
+    (publications.py:74-93).
+
+    Retries are SEMANTIC, mirroring the reference's 3 attempts
+    (pipelines.py:88-122): 5xx and transport errors retry up to
+    ``max_attempts``, then the row is marked ``failed`` — never
+    silent.  404 is ``missing`` (not retried).
+    """
+
+    def __init__(self, host: str, port: int, dynamic: bool = False,
+                 max_attempts: int = 3) -> None:
+        import http.client
+
+        from .. import warm_worker
+        from ..schemas import SPAN_STRUCT
+
+        warm_worker()
+        self._http = http.client
+        self.addr = (host, port)
+        self.dynamic = dynamic
+        self.max_attempts = max_attempts
+        self.span_type = pa.list_(SPAN_STRUCT)
+        self.conn = http.client.HTTPConnection(host, port, timeout=30)
+        self.parser = _SpanHTMLParser()
+        self.attempt_log: dict[str, int] = {}
+
+    # -- one GET with semantic retries ---------------------------------
+    def _get(self, url: str, state: int) -> tuple[str, str | None]:
+        from urllib.parse import urlsplit
+
+        s = urlsplit(url)
+        path = s.path or "/"
+        if s.query:
+            path += f"?{s.query}"
+        if state:
+            sep = "&" if "?" in path else "?"
+            path += f"{sep}page_state={state}"
+        for attempt in range(self.max_attempts):
+            if attempt:
+                self.attempt_log[url] = attempt
+            try:
+                self.conn.request("GET", path,
+                                  headers={"Host": s.netloc})
+                r = self.conn.getresponse()
+                body = r.read()
+            except (OSError, self._http.HTTPException):
+                # dead connection: rebuild and retry (counts as an
+                # attempt, like the reference's transient failures)
+                self.conn.close()
+                self.conn = self._http.HTTPConnection(
+                    *self.addr, timeout=30)
+                continue
+            if r.status == 200:
+                return "fetched", body.decode("utf-8")
+            if r.status == 404:
+                return "missing", None
+            # 5xx / anything else: transient, retry
+        return "failed", None
+
+    def _fetch_url(self, url: str
+                   ) -> tuple[str, list[tuple[str, str, str]] | None]:
+        status, body = self._get(url, 0)
+        if status != "fetched":
+            return status, None
+        rows = self.parser.parse(body)
+        if self.dynamic:
+            s = 0
+            while True:
+                st, nxt = self._get(url, s + 1)
+                if st != "fetched":
+                    break                      # no more-button (404)
+                nrows = self.parser.parse(nxt)
+                if len(nrows) == len(rows):
+                    break                      # clicked, nothing new
+                rows, s = nrows, s + 1
+        return "fetched", rows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import time as _time
+
+        _t0 = _time.perf_counter()
+        statuses: list[str] = []
+        span_rows: list[list[dict]] = []
+        for url in batch.column("canon_url").to_pylist():
+            status, rows = self._fetch_url(url)
+            statuses.append(status)
+            span_rows.append(
+                []
+                if rows is None
+                else [
+                    {"kind": k, "text": t, "media_ref": r,
+                     "offset": i}
+                    for i, (k, t, r) in enumerate(rows)
+                ]
+            )
+        ms = ((_time.perf_counter() - _t0) * 1000.0
+              / max(batch.num_rows, 1))
+        return (
+            batch.append_column(
+                "spans", pa.array(span_rows, type=self.span_type))
+            .append_column(
+                "fetch_status", pa.array(statuses, pa.string()))
+            .append_column(
+                "fetch_ms",
+                pa.array(
+                    np.full(batch.num_rows, ms, dtype=np.float64),
+                    pa.float64()))
+        )
+
+
 class SyntheticWebFetcher:
     """``map_batches`` callable class resolving URLs against ``pages``.
 
