@@ -1,13 +1,16 @@
-"""Multimodal (binary-payload) columns: real plumbing, stubbed codecs.
+"""Multimodal (binary-payload) columns: real plumbing, dual codecs.
 
 Media is carried as an opaque ``binary`` column with typed metadata —
 exactly how the crawl's interleaved documents reference media
 (``media_ref`` spans, input_hint).  The decode/feature stages are
 actor-pool ``map_batches`` transforms whose Ray-side plumbing (schema,
-batch sizing, actor signature, output layout) is real and tested; the
-actual image/audio codecs are not in this container, so decode is
-gated behind an import-try and falls back to a deterministic fake
-parser over our own payload format.
+batch sizing, actor signature, output layout) is real and tested.
+Each stage carries TWO decode paths behind one batch contract: the
+REAL codec path (PIL for images, PyAV for video — import-gated since
+neither wheel is in this container, exercised by the fake-codec shims
+in tests/test_media_codec.py so it cannot rot) and a deterministic
+stub parser over our own payload format (the oracle-compared default
+here).
 
 Payload format (synthesized deterministically from ``documents``):
 ``b"WKM0" + width:uint16 + height:uint16 + utf8(text)`` — a stand-in
@@ -27,12 +30,19 @@ from .common import read
 
 MAGIC = b"WKM0"
 
-try:  # the real decode path (absent in this container)
+try:  # the real image codec (absent in this container)
     import PIL.Image  # type: ignore  # noqa: F401
 
     HAVE_CODEC = True
 except ImportError:
     HAVE_CODEC = False
+
+try:  # the real video codec (absent in this container)
+    import av  # type: ignore  # noqa: F401
+
+    HAVE_VIDEO_CODEC = True
+except ImportError:
+    HAVE_VIDEO_CODEC = False
 
 
 def synth_payload_batch(batch: pa.Table) -> pa.Table:
@@ -58,33 +68,57 @@ def synth_payload_batch(batch: pa.Table) -> pa.Table:
 class MediaDecoder:
     """Actor-pool decode/feature stage.
 
-    ``__init__`` holds the (stub) codec state once per actor; real
-    deployments would load the image/audio decoder or model here.
-    Batches stay small (binary payloads are large at 100 TB —
-    ``batch_size`` is set by the caller so batch × concurrency fits
-    worker heaps).
+    ``__init__`` holds the codec choice once per actor; real
+    deployments load the image decoder or model here.  Batches stay
+    small (binary payloads are large at 100 TB — ``batch_size`` is set
+    by the caller so batch × concurrency fits worker heaps).
+
+    Two decode paths behind one batch contract:
+
+    - **real** (PIL importable, or ``force_codec=True`` with a shim —
+      tests/test_media_codec.py): per-payload ``PIL.Image.open``
+      (codecs are inherently per item), digest over the DECODED pixel
+      buffer (``IMG|w|h|`` + tobytes);
+    - **stub** (this container): vectorized fixed-width header parse
+      over the Arrow buffers, digest over the decoded stub fields.
     """
 
-    def __init__(self) -> None:
-        self.have_codec = HAVE_CODEC
+    def __init__(self, force_codec: bool | None = None) -> None:
+        self.have_codec = (HAVE_CODEC if force_codec is None
+                           else force_codec)
 
-    def _decode(self, payload: bytes) -> tuple[int, int, bytes]:
-        if self.have_codec:
-            # Real path: PIL.Image.open(io.BytesIO(payload)).size
-            raise NotImplementedError(
-                "real image decode not exercised in this container"
+    def _decode_real(self, payload: bytes) -> tuple[int, int, bytes]:
+        import io
+
+        import PIL.Image
+
+        im = PIL.Image.open(io.BytesIO(payload))
+        w, h = im.size
+        return w, h, im.tobytes()
+
+    def _call_real(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["media"].to_pylist()
+        widths = np.empty(len(payloads), dtype=np.int64)
+        heights = np.empty(len(payloads), dtype=np.int64)
+        nbytes = np.empty(len(payloads), dtype=np.int64)
+        digests = []
+        for i, p in enumerate(payloads):
+            w, h, pix = self._decode_real(p)
+            widths[i], heights[i], nbytes[i] = w, h, len(p)
+            digests.append(
+                hashlib.md5(b"IMG|%d|%d|" % (w, h) + pix).hexdigest()
             )
-        if payload[:4] != MAGIC:
-            raise ValueError("bad media payload")
-        w, h = struct.unpack("<HH", payload[4:8])
-        return w, h, payload[8:]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bytes": pa.array(nbytes, pa.int64()),
+            "width": pa.array(widths, pa.int64()),
+            "height": pa.array(heights, pa.int64()),
+            "payload_md5": pa.array(digests, pa.string()),
+        })
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.have_codec:
-            # Real path: PIL per-payload decode loop via self._decode
-            raise NotImplementedError(
-                "real image decode not exercised in this container"
-            )
+            return self._call_real(batch)
         # Stub path, vectorized: the fixed-width container header is
         # parsed straight off the Arrow binary buffers — one uint8
         # view + fancy-indexed little-endian recompose, no per-payload
@@ -158,28 +192,47 @@ _RESIZE_MAX = 64  # fit-within target for the long edge
 class MediaResizer:
     """Actor-pool resize stage: binary payload in, binary payload out
     (the transform shape a real thumbnailer has — decode, scale to fit
-    ``max_edge``, re-encode).  The stub re-encodes our container with
-    the scaled header and untouched body; real deployments put the
-    codec in ``__init__`` and the pixel resample here."""
+    ``max_edge``, re-encode).  Real path (PIL importable, or
+    ``force_codec=True`` with a shim): ``Image.open`` → fit-within
+    ``resize`` → ``save`` in the source format.  Stub path re-encodes
+    our container with the scaled header and untouched body — the
+    same fit-within integer geometry, so the shim test can assert the
+    two paths agree byte for byte on the synthetic container."""
 
-    def __init__(self, max_edge: int = _RESIZE_MAX) -> None:
-        self.have_codec = HAVE_CODEC
+    def __init__(self, max_edge: int = _RESIZE_MAX,
+                 force_codec: bool | None = None) -> None:
+        self.have_codec = (HAVE_CODEC if force_codec is None
+                           else force_codec)
         self.max_edge = max_edge
 
+    def _fit(self, w: int, h: int) -> tuple[int, int]:
+        m = max(w, h)
+        if m > self.max_edge:
+            return (w * self.max_edge // m, h * self.max_edge // m)
+        return w, h
+
+    def _resize_real(self, payload: bytes) -> bytes:
+        import io
+
+        import PIL.Image
+
+        im = PIL.Image.open(io.BytesIO(payload))
+        w, h = self._fit(*im.size)
+        if (w, h) != im.size:
+            im = im.resize((w, h))
+        buf = io.BytesIO()
+        im.save(buf, format=im.format)
+        return buf.getvalue()
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.have_codec:
-            raise NotImplementedError(
-                "real image resize not exercised in this container"
-            )
         out = []
         for p in batch["media"].to_pylist():
+            if self.have_codec:
+                out.append(self._resize_real(p))
+                continue
             if p[:4] != MAGIC:
                 raise ValueError("bad media payload")
-            w, h = struct.unpack("<HH", p[4:8])
-            m = max(w, h)
-            if m > self.max_edge:
-                w = w * self.max_edge // m
-                h = h * self.max_edge // m
+            w, h = self._fit(*struct.unpack("<HH", p[4:8]))
             out.append(MAGIC + struct.pack("<HH", w, h) + p[8:])
         return pa.table(
             {
@@ -274,24 +327,46 @@ class FrameSampler:
     Output fans out rows (docs × frames/stride), so the caller keeps
     ``batch_size`` payload-sized."""
 
-    def __init__(self, stride: int = _FRAME_STRIDE) -> None:
-        self.have_codec = HAVE_CODEC
+    def __init__(self, stride: int = _FRAME_STRIDE,
+                 force_codec: bool | None = None) -> None:
+        self.have_codec = (HAVE_VIDEO_CODEC if force_codec is None
+                           else force_codec)
         self.stride = stride
 
     def _frames(self, payload: bytes) -> tuple[int, int, bytes]:
-        if self.have_codec:
-            raise NotImplementedError(
-                "real video decode not exercised in this container"
-            )
         if payload[:4] != VIDEO_MAGIC:
             raise ValueError("bad video payload")
         n_frames, fps = struct.unpack("<HH", payload[4:8])
         return n_frames, fps, payload[8:]
 
+    def _sample_real(self, doc_id: int, payload: bytes
+                     ) -> list[tuple[int, int, str]]:
+        """Real path (PyAV importable, or ``force_codec=True`` with a
+        shim): demux/decode the stream, keep every ``stride``-th
+        frame, digest its decoded pixel buffer."""
+        import io
+
+        import av
+
+        out = []
+        with av.open(io.BytesIO(payload)) as container:
+            for i, frame in enumerate(container.decode(video=0)):
+                if i % self.stride == 0:
+                    pix = frame.to_ndarray().tobytes()
+                    out.append((doc_id, i, hashlib.md5(
+                        b"FRM|%d|" % i + pix).hexdigest()))
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
         out_id, out_idx, out_md5 = [], [], []
         for d, p in zip(ids, batch["media"].to_pylist()):
+            if self.have_codec:
+                for doc, i, dig in self._sample_real(d, p):
+                    out_id.append(doc)
+                    out_idx.append(i)
+                    out_md5.append(dig)
+                continue
             n_frames, _fps, body = self._frames(p)
             for i in range(0, n_frames, self.stride):
                 out_id.append(d)
