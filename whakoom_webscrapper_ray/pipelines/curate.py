@@ -547,6 +547,51 @@ def _gram_set(b: pa.Table, k: int = 3) -> np.ndarray:
     return np.unique(g)
 
 
+def _decon_eval_ref(docs: ray.data.Dataset) -> "ray.ObjectRef":
+    """One pass over documents: the eval split's unique gram hashes,
+    unioned driver-side and broadcast once (the small side)."""
+
+    def eval_grams(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        g = _gram_set(b.filter(pa.array(ids % _EVAL_MOD == 0)))
+        return pa.table({"g": pa.array(g.view(np.int64), pa.int64())})
+
+    gs = collect_small(
+        docs.map_batches(eval_grams, batch_format="pyarrow"),
+        pa.schema([("g", pa.int64())]),
+    )
+    return ray.put(
+        pa.array(np.unique(gs["g"].to_numpy(zero_copy_only=False)),
+                 pa.int64())
+    )
+
+
+def _decon_flag_batch(b: pa.Table, gset) -> pa.Table:
+    """(doc_id, contaminated) for one batch's TRAINING docs — the
+    vectorized is_in probe against the broadcast eval-gram set (per-doc
+    any via logical_or.reduceat).  Shared by :func:`decontaminate` and
+    the fused corpus_prep scan."""
+    ids = b["doc_id"].to_numpy(zero_copy_only=False)
+    b = b.filter(pa.array(ids % _EVAL_MOD != 0))
+    th, starts, lens = _split_flat(b)
+    g, bounds = _gram_hashes_flat(th, starts, lens, 3)
+    hit = pc.is_in(
+        pa.array(g.view(np.int64), pa.int64()), value_set=deref(gset)
+    ).to_numpy(zero_copy_only=False)
+    # every doc owns >= 1 gram (short docs hash their whole token
+    # sequence), so bounds are strictly increasing per doc
+    contaminated = (
+        np.logical_or.reduceat(hit, bounds[:-1])
+        if b.num_rows else np.empty(0, dtype=bool)
+    )
+    return pa.table(
+        {
+            "doc_id": b["doc_id"],
+            "contaminated": pa.array(contaminated, pa.bool_()),
+        }
+    )
+
+
 def decontaminate(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, contaminated) over TRAINING docs (doc_id % 97 != 0):
     contaminated = shares any word-3-gram with the held-out eval split
@@ -560,44 +605,10 @@ def decontaminate(sf_dir: str) -> ray.data.Dataset:
     Jaccard oracle documents (dedup.py ORACLE_JACCARD_PAIRS).
     """
     docs = read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def eval_grams(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        g = _gram_set(b.filter(pa.array(ids % _EVAL_MOD == 0)))
-        return pa.table({"g": pa.array(g.view(np.int64), pa.int64())})
-
-    gs = collect_small(
-        docs.map_batches(eval_grams, batch_format="pyarrow"),
-        pa.schema([("g", pa.int64())]),
-    )
-    gs_ref = ray.put(
-        pa.array(np.unique(gs["g"].to_numpy(zero_copy_only=False)),
-                 pa.int64())
-    )
-
-    def flag(b: pa.Table, gset=None) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        b = b.filter(pa.array(ids % _EVAL_MOD != 0))
-        th, starts, lens = _split_flat(b)
-        g, bounds = _gram_hashes_flat(th, starts, lens, 3)
-        hit = pc.is_in(
-            pa.array(g.view(np.int64), pa.int64()), value_set=deref(gset)
-        ).to_numpy(zero_copy_only=False)
-        # every doc owns >= 1 gram (short docs hash their whole token
-        # sequence), so bounds are strictly increasing per doc
-        contaminated = (
-            np.logical_or.reduceat(hit, bounds[:-1])
-            if b.num_rows else np.empty(0, dtype=bool)
-        )
-        return pa.table(
-            {
-                "doc_id": b["doc_id"],
-                "contaminated": pa.array(contaminated, pa.bool_()),
-            }
-        )
-
+    gs_ref = _decon_eval_ref(docs)
     return docs.map_batches(
-        flag, fn_kwargs={"gset": gs_ref}, batch_format="pyarrow"
+        _decon_flag_batch, fn_kwargs={"gset": gs_ref},
+        batch_format="pyarrow",
     )
 
 
@@ -632,25 +643,28 @@ def quality_sample(sf_dir: str) -> ray.data.Dataset:
     (quality + fingerprint share the read), no shuffle.
     """
 
-    def sample(b: pa.Table) -> pa.Table:
-        q = _quality_batch(b)
-        fp = _fingerprint_batch(b)["fingerprint"].to_numpy(
-            zero_copy_only=False
-        ).view(np.uint64)
-        bucket = (fp % np.uint64(100)).astype(np.int64)
-        ok = q["quality_ok"].to_numpy(zero_copy_only=False)
-        keep = ok | (bucket < _SAMPLE_PCT_LOW)
-        return pa.table(
-            {
-                "doc_id": q["doc_id"],
-                "quality_ok": q["quality_ok"],
-                "samp_bucket": pa.array(bucket, pa.int64()),
-            }
-        ).filter(pa.array(keep))
-
     return read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        sample, batch_format="pyarrow"
+        _quality_sample_batch, batch_format="pyarrow"
     )
+
+
+def _quality_sample_batch(b: pa.Table) -> pa.Table:
+    """One batch of the quality-stratified downsample — shared by
+    :func:`quality_sample` and the fused corpus_prep scan."""
+    q = _quality_batch(b)
+    fp = _fingerprint_batch(b)["fingerprint"].to_numpy(
+        zero_copy_only=False
+    ).view(np.uint64)
+    bucket = (fp % np.uint64(100)).astype(np.int64)
+    ok = q["quality_ok"].to_numpy(zero_copy_only=False)
+    keep = ok | (bucket < _SAMPLE_PCT_LOW)
+    return pa.table(
+        {
+            "doc_id": q["doc_id"],
+            "quality_ok": q["quality_ok"],
+            "samp_bucket": pa.array(bucket, pa.int64()),
+        }
+    ).filter(pa.array(keep))
 
 
 # ----------------------------------- deterministic split / shuffle
@@ -1082,8 +1096,14 @@ def corpus_prep(sf_dir: str, budget: int = _PACK_BUDGET,
     chain must compose correctly end to end — this is what the oracle
     checks).
 
-    Scale shape: the three mask datasets and the slim keyed rows
-    (doc_id, shuffle hash, token count) co-partition by
+    Scale shape (r5: FUSED scan): the quality and decontamination
+    masks are batch-local kernels given the broadcast eval-gram set,
+    so ONE pass over documents emits the keyed packing rows AND both
+    mask-bit row families from the same batch — the documents table
+    is read twice total (eval-gram collection + fused scan) instead
+    of four times, which at 100 TB is the dominant I/O halved.  The
+    cluster-representative bit rides the slim persisted
+    :func:`dedup_labels` artifact.  All row families co-partition by
     ``mix64(doc_id) % parts`` in ONE tagged-union shuffle; each
     partition ORs the per-doc mask bits and keeps the keyed rows of
     docs with all three bits — id-level rows only, never text.
@@ -1094,27 +1114,21 @@ def corpus_prep(sf_dir: str, budget: int = _PACK_BUDGET,
     from .dedup import _id_part
 
     reps = dedup_labels(sf_dir)  # persisted artifact, not a recompute
-    qs = quality_sample(sf_dir)
-    dec = decontaminate(sf_dir)
     docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    gs_ref = _decon_eval_ref(docs)   # pass 1 of 2 over documents
 
     z64 = lambda n: pa.array(np.zeros(n, np.int64), pa.int64())  # noqa: E731
 
-    def bit_rows(bit: int, keep_fn=None):
-        def f(b: pa.Table) -> pa.Table:
-            if keep_fn is not None:
-                b = keep_fn(b)
-            n = b.num_rows
-            return pa.table({
-                "mpart": _id_part(b["doc_id"], parts),
-                "bit": pa.array(np.full(n, bit, np.int8), pa.int8()),
-                "doc_id": b["doc_id"],
-                "h": z64(n),
-                "part": z64(n),
-                "n_tok": z64(n),
-            })
-
-        return f
+    def bit_rows_tbl(b: pa.Table, bit: int) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "mpart": _id_part(b["doc_id"], parts),
+            "bit": pa.array(np.full(n, bit, np.int8), pa.int8()),
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "h": z64(n),
+            "part": z64(n),
+            "n_tok": z64(n),
+        })
 
     def keyed(b: pa.Table) -> pa.Table:
         # the packing rows (shared _shuffle_keyed), tagged for the
@@ -1130,19 +1144,27 @@ def corpus_prep(sf_dir: str, budget: int = _PACK_BUDGET,
             "n_tok": t["n_tok"],
         })
 
-    def keep_reps(b: pa.Table) -> pa.Table:
-        return b.filter(pc.equal(b["doc_id"], b["cluster_id"]))
+    def fused(b: pa.Table, gset=None) -> pa.Table:
+        # pass 2 of 2: keyed rows + quality survivors (bit 2) +
+        # decontaminated training docs (bit 4), one batch in flight —
+        # identical kernels to the standalone pipelines
+        qs = _quality_sample_batch(b)
+        dec = _decon_flag_batch(b, gset)
+        clean = dec.filter(pc.invert(dec["contaminated"]))
+        return pa.concat_tables([
+            keyed(b),
+            bit_rows_tbl(qs, 2),
+            bit_rows_tbl(clean, 4),
+        ])
 
-    def keep_clean(b: pa.Table) -> pa.Table:
-        return b.filter(pc.invert(b["contaminated"]))
+    def rep_rows(b: pa.Table) -> pa.Table:
+        return bit_rows_tbl(
+            b.filter(pc.equal(b["doc_id"], b["cluster_id"])), 1)
 
     tagged = (
-        docs.map_batches(keyed, batch_format="pyarrow")
-        .union(reps.map_batches(bit_rows(1, keep_reps),
-                                batch_format="pyarrow"))
-        .union(qs.map_batches(bit_rows(2), batch_format="pyarrow"))
-        .union(dec.map_batches(bit_rows(4, keep_clean),
-                               batch_format="pyarrow"))
+        docs.map_batches(fused, fn_kwargs={"gset": gs_ref},
+                         batch_format="pyarrow")
+        .union(reps.map_batches(rep_rows, batch_format="pyarrow"))
     )
 
     def survivors(g: pa.Table) -> pa.Table:
