@@ -123,6 +123,69 @@ def test_http_semantic_retries(ray_session, tmp_path):
         assert (row["status"] == "failed").any()
 
 
+def test_robots_txt_roundtrip_and_rfc_parsing():
+    """render -> parse is lossless for the fixture rules, and the
+    parser honors RFC 9309 grouping: case-insensitive keys, comments,
+    other-UA groups ignored, multiple * groups merged, and an empty
+    Disallow value as allow-all (not a match-everything prefix)."""
+    from whakoom_webscrapper_ray.functions.robots import (
+        parse_robots_txt,
+    )
+    from whakoom_webscrapper_ray.sources.httpserve import (
+        render_robots_txt,
+    )
+
+    web = generate_web(SMALL)
+    for row in web["robots"].to_pylist():
+        got = parse_robots_txt(render_robots_txt(
+            row["crawl_delay"], row["disallow"], row["allow"]))
+        assert got == (row["crawl_delay"], row["disallow"],
+                       row["allow"])
+    txt = """
+# a comment
+User-Agent: googlebot
+Disallow: /only-for-google
+USER-AGENT: *
+user-agent: other-bot
+CRAWL-DELAY: 1.5   # inline comment
+Disallow: /a/*
+Allow: /a/ok$
+Disallow:
+User-agent: *
+Disallow: /second-star-group
+"""
+    assert parse_robots_txt(txt) == (
+        1.5, ["/a/*", "/second-star-group"], ["/a/ok$"])
+
+
+def test_http_fetched_robots_crawl_identical(ray_session, tmp_path):
+    """The transport-complete loop: robots rules FETCHED per host from
+    /robots.txt over real HTTP reproduce the fixture-table crawl
+    exactly (schedule includes the crawl-delay clock and the
+    Allow/wildcard carve-outs the SMALL fixture exercises)."""
+    from whakoom_webscrapper_ray.functions.canonicalize import (
+        canonicalize_batch,
+    )
+    from whakoom_webscrapper_ray.stages.fetch import (
+        fetch_robots_table,
+    )
+
+    web = generate_web(SMALL)
+    with SynthWebServer(web["pages"], robots=web["robots"]) as srv:
+        hosts = sorted(
+            set(canonicalize_batch(web["seeds"].column("url"))["host"]))
+        fetched = fetch_robots_table(hosts, srv.host, srv.port)
+        http_eng = _run(
+            dict(web, robots=fetched), tmp_path, "http_rob",
+            pages=None,
+            transport={"host": srv.host, "port": srv.port},
+        )
+        ref = _run(web, tmp_path, "ref_rob")
+        assert http_eng.crawl_order().equals(ref.crawl_order())
+        assert _docs(http_eng) == _docs(ref)
+        assert _tables(http_eng) == _tables(ref)
+
+
 def test_http_dynamic_pagination_matches_stateful_store(
         ray_session, tmp_path):
     """S3 over real HTTP: the fetcher's click loop against

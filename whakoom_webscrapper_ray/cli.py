@@ -100,18 +100,27 @@ def cmd_crawl(args) -> int:
     server = None
     transport = None
     pages = web["pages"]
+    robots = web["robots"]
     if getattr(args, "http", False):
         # real-transport mode: serve the synthetic web over a loopback
         # socket and crawl it with the HttpFetcher — the page store is
-        # never broadcast; every fetch is an actual HTTP request
+        # never broadcast; every fetch is an actual HTTP request, and
+        # the robots rules are FETCHED per host from /robots.txt at
+        # seed time instead of handed over as a table
+        from .functions.canonicalize import canonicalize_batch
         from .sources.httpserve import SynthWebServer
+        from .stages.fetch import fetch_robots_table
 
-        server = SynthWebServer(pages).__enter__()
+        server = SynthWebServer(pages, robots=robots).__enter__()
+        seed_hosts = sorted(
+            set(canonicalize_batch(seeds.column("url"))["host"]))
+        robots = fetch_robots_table(seed_hosts, server.host,
+                                    server.port)
         transport = {"host": server.host, "port": server.port,
                      "dynamic": bool(getattr(args, "paginate", False))}
         pages = None
     eng = CrawlEngine(
-        pages, seeds, web["robots"],
+        pages, seeds, robots,
         checkpoint_dir=args.checkpoint,
         num_shards=args.num_shards,
         run_id=args.run_id,

@@ -143,6 +143,71 @@ class RobotsRules:
         return out
 
 
+def parse_robots_txt(text: str) -> tuple[float, list[str], list[str]]:
+    """RFC 9309 robots.txt text → (crawl_delay, disallow, allow).
+
+    Group handling per the RFC: lines are ``key: value`` with ``#``
+    comments, keys case-insensitive; a group is one or more
+    ``User-agent`` lines followed by rules.  This engine sends no
+    product token, so it honors the ``*`` group(s); groups for other
+    user agents are ignored.  Multiple ``*`` groups merge (RFC 9309
+    §2.2.1: rules of groups sharing a user agent combine).  An empty
+    ``Disallow:`` value is a no-op (allow-all), not an empty-prefix
+    match-everything rule.  ``Crawl-delay`` is the de-facto extension
+    Scrapy/AutoThrottle honors; absent → 0.
+    """
+    delay = 0.0
+    disallow: list[str] = []
+    allow: list[str] = []
+    in_star = False          # current group applies to us
+    after_rules = True       # a UA line after rules starts a NEW group
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if after_rules:
+                in_star = False
+                after_rules = False
+            in_star = in_star or val == "*"
+            continue
+        after_rules = True
+        if not in_star:
+            continue
+        if key == "disallow" and val:
+            disallow.append(val)
+        elif key == "allow" and val:
+            allow.append(val)
+        elif key == "crawl-delay":
+            try:
+                delay = float(val)
+            except ValueError:
+                pass
+    return delay, disallow, allow
+
+
+def robots_table_from_texts(hosts: list[str],
+                            texts: list[str | None]) -> pa.Table:
+    """Per-host robots.txt bodies → the engine's robots rules table
+    (``None`` body = no robots.txt served → allow-all, no delay — the
+    RFC 9309 §2.3.1.2 unavailable-status behavior)."""
+    delays, dis, alw = [], [], []
+    for t in texts:
+        d, di, al = parse_robots_txt(t) if t is not None else (0.0, [], [])
+        delays.append(d)
+        dis.append(di)
+        alw.append(al)
+    return pa.table({
+        "host": pa.array(hosts, pa.string()),
+        "crawl_delay": pa.array(delays, pa.float64()),
+        "disallow": pa.array(dis, pa.list_(pa.string())),
+        "allow": pa.array(alw, pa.list_(pa.string())),
+    })
+
+
 def offsite_mask_arrow(host: pa.Array,
                        allowed_domains: frozenset[str] | set[str]
                        ) -> np.ndarray:

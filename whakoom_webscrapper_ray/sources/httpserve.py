@@ -56,6 +56,22 @@ def render_spans_html(kinds, texts, refs) -> str:
     return "\n".join(out)
 
 
+def render_robots_txt(crawl_delay: float, disallow: list[str],
+                      allow: list[str]) -> str:
+    """One host's rules table row → an RFC 9309 robots.txt body (the
+    inverse of ``functions.robots.parse_robots_txt``)."""
+    out = ["# synthetic web robots", "User-agent: *"]
+    if crawl_delay:
+        d = crawl_delay
+        out.append("Crawl-delay: "
+                   f"{int(d) if float(d).is_integer() else d}")
+    out.extend(f"Disallow: {p}" for p in disallow)
+    out.extend(f"Allow: {p}" for p in allow)
+    if not disallow and not allow:
+        out.append("Disallow:")   # explicit allow-all (RFC example)
+    return "\n".join(out) + "\n"
+
+
 def _page_key(url: str) -> tuple[str, str]:
     s = urlsplit(url)
     return (s.netloc, s.path or "/")
@@ -74,7 +90,8 @@ class SynthWebServer:
     """
 
     def __init__(self, pages: pa.Table, host: str = "127.0.0.1",
-                 fail_503: dict[str, int] | None = None) -> None:
+                 fail_503: dict[str, int] | None = None,
+                 robots: pa.Table | None = None) -> None:
         store: dict[tuple[str, str, int], bytes] = {}
         has_state = "state" in pages.column_names
         for row in pages.to_pylist():
@@ -86,6 +103,16 @@ class SynthWebServer:
                 [s["text"] for s in spans],
                 [s["media_ref"] for s in spans],
             ).encode("utf-8")
+        if robots is not None:
+            # each host's /robots.txt, rendered from the rules table —
+            # the transport-complete loop: the crawler FETCHES its
+            # politeness/deny rules instead of being handed a table
+            for row in robots.to_pylist():
+                store[(row["host"], "/robots.txt", 0)] = (
+                    render_robots_txt(
+                        row["crawl_delay"], row["disallow"],
+                        row.get("allow") or [],
+                    ).encode("utf-8"))
         self._store = store
         remaining = dict(fail_503 or {})
         self.request_log: list[str] = []

@@ -257,6 +257,29 @@ class HttpFetcher:
         )
 
 
+def fetch_robots_table(hosts: list[str], server_host: str,
+                       port: int) -> pa.Table:
+    """Seed-time robots acquisition over REAL HTTP: one
+    ``GET /robots.txt`` per allowed host (robots is per-host and tiny
+    — a driver-side loop, not a pipeline stage), parsed per RFC 9309
+    into the engine's rules table.  404 → allow-all with no delay
+    (RFC 9309 §2.3.1.2).  The transport-complete analog of Scrapy's
+    RobotsTxtMiddleware fetch (settings.py:68 ``ROBOTSTXT_OBEY``)."""
+    import http.client
+
+    from ..functions.robots import robots_table_from_texts
+
+    conn = http.client.HTTPConnection(server_host, port, timeout=30)
+    texts: list[str | None] = []
+    for h in hosts:
+        conn.request("GET", "/robots.txt", headers={"Host": h})
+        r = conn.getresponse()
+        body = r.read()
+        texts.append(body.decode("utf-8") if r.status == 200 else None)
+    conn.close()
+    return robots_table_from_texts(list(hosts), texts)
+
+
 class SyntheticWebFetcher:
     """``map_batches`` callable class resolving URLs against ``pages``.
 
