@@ -174,8 +174,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     full local gate at sf0.01 this session.
     """
     return {
-        # ---- (a) SQL-oracled, never driver-checked (30): these lead
-        # so CORRECTNESS_r05 closes the cumulative coverage gap
+        # ---- (a) SQL-oracled, never driver-checked: these lead so
+        # CORRECTNESS_r05 closes the cumulative coverage gap
+        "ann_ivf_indexed_fullprobe": _ann.ann_ivf_indexed_fullprobe,
         "knn_graph_ivf_fullprobe": _ann.knn_graph_ivf_fullprobe,
         "media_resize": _mm.media_resize,
         "frame_sample": _mm.frame_sample,
@@ -337,6 +338,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_filtered": _ann.ann_topk_filtered,
         "ann_ivf": _ann.ann_ivf,
         "ann_ivf_fullprobe": _ann.ann_ivf_fullprobe,
+        # persisted-index serving path (r5): index built once per
+        # corpus version through the storage seam; probed buckets only
+        "ann_ivf_indexed": _ann.ann_ivf_indexed,
         "ann_lsh": _ann.ann_lsh,
         "ann_lsh_fullprobe": _ann.ann_lsh_fullprobe,
     }
@@ -427,6 +431,9 @@ def oracle_sql() -> dict[str, str]:
         # IVF machinery's hard oracle (approximation quality itself
         # stays a recall pytest on the nprobe<K path)
         "ann_ivf_fullprobe": _ann.oracle_ann_topk(),
+        # every bucket of the PERSISTED index probed — the index
+        # write/read/merge path must lose nothing vs brute force
+        "ann_ivf_indexed_fullprobe": _ann.oracle_ann_topk(),
         # same contract for the LSH variant: radius=n_bits probes every
         # bucket, so the signature/probe/merge machinery must equal the
         # exact top-k (the radius<n_bits path is the recall pytest)

@@ -55,7 +55,8 @@ BENCH_QUERIES = [
     "corpus_prep",
     "source_mix_sample", "sequence_pack",
     "revenue_by_nation", "link_rank",
-    "ann_topk", "ann_topk_filtered", "ann_ivf", "ann_lsh",
+    "ann_topk", "ann_topk_filtered", "ann_ivf", "ann_ivf_indexed",
+    "ann_ivf_indexed_fullprobe", "ann_lsh",
     "span_links", "span_kind_counts", "anchor_text_stats",
     "cooccurrence_topk", "distinctive_terms", "media_features", "media_resize",
     "frame_sample",

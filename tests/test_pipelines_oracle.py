@@ -58,6 +58,7 @@ QUERIES = [
     "user_event_sequence",                      # ordered string agg
     "knn_graph",                                # exact k-NN graph
     "knn_graph_ivf_fullprobe",                  # IVF machinery, exact
+    "ann_ivf_indexed_fullprobe",                # persisted index, exact
     "events_rollup",                            # multi-level ROLLUP agg
     "lang_vocab",                               # groupwise count-distinct
     "doc_percentile_rank",                      # global rank via CDF bcast

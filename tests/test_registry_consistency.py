@@ -19,6 +19,8 @@ def _entry():
 # an exact companion and/or a property-tested bound (see docstrings).
 EXPECTED_NO_ORACLE = {
     "ann_ivf": "ann_ivf_fullprobe companion + recall pytest",
+    "ann_ivf_indexed": "ann_ivf_indexed_fullprobe companion + "
+                       "equality-vs-ann_ivf pytest",
     "knn_graph_ivf": "knn_graph_ivf_fullprobe companion + recall pytest",
     "ann_lsh": "ann_lsh_fullprobe companion + recall pytest",
     "hll_vocab": "vocab_size companion + 5% bound pytest",

@@ -143,6 +143,34 @@ def test_ivf_fullprobe_exact(ray_session):
     assert fp.equals(tk)
 
 
+def test_ann_ivf_indexed_matches_and_reuses(ray_session, tmp_path,
+                                            monkeypatch):
+    """The persisted-index serving path: (a) full probe over the index
+    equals brute-force bit for bit (the write/read/merge path loses
+    nothing); (b) the default nprobe path equals in-memory ann_ivf
+    (same centroids, same candidates); (c) a second call serves the
+    artifact without rebuilding."""
+    from unittest import mock
+
+    from whakoom_webscrapper_ray.pipelines import ann, curate
+
+    monkeypatch.setattr(curate, "_ARTIFACT_ROOT", str(tmp_path))
+    cols = ["query_id", "neighbor_id", "rank"]
+
+    def run(fn, **kw):
+        return fn(SF, **kw).to_pandas()[cols] \
+            .sort_values(cols).reset_index(drop=True)
+
+    tk = run(ann.ann_topk)
+    assert run(ann.ann_ivf_indexed_fullprobe).equals(tk)
+    assert run(ann.ann_ivf_indexed).equals(run(ann.ann_ivf))
+    with mock.patch.object(
+        ann, "build_ivf_index",
+        side_effect=AssertionError("index rebuilt"),
+    ):
+        assert run(ann.ann_ivf_indexed_fullprobe).equals(tk)
+
+
 def test_knn_graph_ivf_fullprobe_exact(ray_session):
     """Probing every bucket must reproduce the exact block-pair kNN
     graph bit for bit (every source meets every member exactly once,
