@@ -517,8 +517,11 @@ def build_ivf_index(sf_dir: str, index_dir: str,
         d = os.path.join(index_dir, f"bucket={kb}")
         os.makedirs(d, exist_ok=True)
         bk2 = storage.backend()
+        # bucket travels as a stored column too, so the query path can
+        # scan all probed buckets as ONE dataset (blocks may coalesce
+        # fragments across buckets; the scorer masks per row)
         bk2.write_fragment_atomic(
-            g.select(["vec_id", "embedding"]),
+            g.select(["vec_id", "embedding", "bucket"]),
             bk2.fragment_path(d, f"part-{uuid.uuid4().hex[:12]}"))
         return pa.table({"bucket": pa.array([kb], pa.int64()),
                          "n": pa.array([g.num_rows], pa.int64())})
@@ -589,27 +592,29 @@ def ann_ivf_indexed(sf_dir: str, k: int = 10, num_queries: int = 8,
         return ray.data.from_arrow(pa.schema(
             [("query_id", pa.int64()), ("neighbor_id", pa.int64()),
              ("rank", pa.int64())]).empty_table())
-    # bucket id travels as a column derived from the file path? No —
-    # cheaper: per-dir datasets union, each tagged with its bucket
     state_ref = ray.put((qids, qmat, probe_sets))
 
-    def scorer(b: pa.Table, state=None, bucket_id=None,
-               k_=k) -> pa.Table:
+    def scorer(b: pa.Table, state=None, k_=k) -> pa.Table:
+        # the stored bucket column drives the probe mask — buckets are
+        # assigned at BUILD time, never recomputed at query time
         sids, smat, sprobes = deref(state)
         ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(
             np.int64)
+        bucket = b["bucket"].to_numpy(zero_copy_only=False)
         m = emb_matrix(b["embedding"]).astype(np.float64)
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
         sims = smat @ m.T
         out_q, out_n, out_s = [], [], []
         for qi in range(len(sids)):
-            if bucket_id not in sprobes[qi]:
+            mask = np.isin(bucket, list(sprobes[qi]))
+            if not mask.any():
                 continue
-            kk = min(k_, ids.size)
-            o = np.lexsort((ids, -sims[qi]))[:kk]
+            cid, csim = ids[mask], sims[qi][mask]
+            kk = min(k_, cid.size)
+            o = np.lexsort((cid, -csim))[:kk]
             out_q.append(np.full(kk, sids[qi], dtype=np.int64))
-            out_n.append(ids[o])
-            out_s.append(sims[qi][o])
+            out_n.append(cid[o])
+            out_s.append(csim[o])
         if not out_q:
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "neighbor_id": pa.array([], pa.int64()),
@@ -620,23 +625,15 @@ def ann_ivf_indexed(sf_dir: str, k: int = 10, num_queries: int = 8,
             "sim": pa.array(np.concatenate(out_s), pa.float64()),
         })
 
-    parts = []
-    for kb, d in zip(needed, bucket_dirs):
-        parts.append(
-            bk.read_dataset(
-                sorted(_glob.glob(os.path.join(d, "*"))),
-                columns=["vec_id", "embedding"],
-            ).map_batches(
-                scorer,
-                fn_kwargs={"state": state_ref, "bucket_id": kb},
-                batch_format="pyarrow",
-            )
-        )
-    ds = parts[0]
-    for p in parts[1:]:
-        ds = ds.union(p)
+    files = sorted(
+        f for d in bucket_dirs for f in _glob.glob(
+            os.path.join(d, "*")))
     return (
-        ds.groupby("query_id")
+        bk.read_dataset(files,
+                        columns=["vec_id", "embedding", "bucket"])
+        .map_batches(scorer, fn_kwargs={"state": state_ref},
+                     batch_format="pyarrow")
+        .groupby("query_id")
         .map_groups(_merge_topk(k), batch_format="pyarrow")
     )
 
