@@ -153,10 +153,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     ORDERING IS DELIBERATE (rotating driver coverage, r4 verdict
     item 4): the driver's correctness file caps at 50 rows, so the
-    in-cap prefix holds, in priority order: (a) the 30 SQL-oracled
+    in-cap prefix holds, in priority order: (a) the 31 SQL-oracled
     queries with NO driver row in any of rounds 1-4 (they were green
-    only under the judge's local-gate re-run) — a driver row for each
-    closes the cumulative coverage gap; (b) 20 rows whose machinery
+    only under the judge's local-gate re-run, or are new this round)
+    — a driver row for each closes the cumulative coverage gap; (b)
+    rows whose machinery
     was touched this round: the artifact-backed dedup-label consumers
     (dedup_clusters/corpus_dedup/cluster_best_doc/corpus_prep +
     minhash), the knn coarse-partition merge, the vectorized media
@@ -338,9 +339,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_filtered": _ann.ann_topk_filtered,
         "ann_ivf": _ann.ann_ivf,
         "ann_ivf_fullprobe": _ann.ann_ivf_fullprobe,
-        # persisted-index serving path (r5): index built once per
+        # persisted-index serving paths (r5): index built once per
         # corpus version through the storage seam; probed buckets only
         "ann_ivf_indexed": _ann.ann_ivf_indexed,
+        "knn_graph_ivf_indexed": _ann.knn_graph_ivf_indexed,
         "ann_lsh": _ann.ann_lsh,
         "ann_lsh_fullprobe": _ann.ann_lsh_fullprobe,
     }

@@ -65,7 +65,8 @@ BENCH_QUERIES = [
     "mad_outliers", "user_event_sequence",
     "term_counts_topk", "heavy_hitters", "ann_range",
     "decontaminate_bloom", "knn_graph", "knn_graph_ivf",
-    "knn_graph_ivf_fullprobe", "events_rollup", "lang_vocab",
+    "knn_graph_ivf_fullprobe", "knn_graph_ivf_indexed",
+    "events_rollup", "lang_vocab",
     "doc_percentile_rank", "source_overlap", "value_quantiles",
     "retention_cohorts", "rolling_active_users", "copurchase_pairs",
     "duplicate_ngram_coverage", "keyword_search", "interval_merge",

@@ -22,6 +22,8 @@ EXPECTED_NO_ORACLE = {
     "ann_ivf_indexed": "ann_ivf_indexed_fullprobe companion + "
                        "equality-vs-ann_ivf pytest",
     "knn_graph_ivf": "knn_graph_ivf_fullprobe companion + recall pytest",
+    "knn_graph_ivf_indexed": "equality-vs-knn_graph_ivf pytest "
+                             "(whose fullprobe is oracled)",
     "ann_lsh": "ann_lsh_fullprobe companion + recall pytest",
     "hll_vocab": "vocab_size companion + 5% bound pytest",
     "lang_hll_vocab": "lang_vocab companion + 5% bound pytest",

@@ -171,6 +171,23 @@ def test_ann_ivf_indexed_matches_and_reuses(ray_session, tmp_path,
         assert run(ann.ann_ivf_indexed_fullprobe).equals(tk)
 
 
+def test_knn_graph_ivf_indexed_matches(ray_session, tmp_path,
+                                       monkeypatch):
+    """The graph built from the persisted index (stored bucket
+    assignments + loaded centroids) equals the in-memory IVF graph bit
+    for bit — both routing formulas run in f64 on the same training
+    output."""
+    from whakoom_webscrapper_ray.pipelines import ann, curate
+
+    monkeypatch.setattr(curate, "_ARTIFACT_ROOT", str(tmp_path))
+    cols = ["vec_id", "neighbor_id", "rank"]
+    mem = ann.knn_graph_ivf(SF).to_pandas()[cols] \
+        .sort_values(cols).reset_index(drop=True)
+    idx = ann.knn_graph_ivf_indexed(SF).to_pandas()[cols] \
+        .sort_values(cols).reset_index(drop=True)
+    assert idx.equals(mem)
+
+
 def test_knn_graph_ivf_fullprobe_exact(ray_session):
     """Probing every bucket must reproduce the exact block-pair kNN
     graph bit for bit (every source meets every member exactly once,

@@ -1097,6 +1097,118 @@ def knn_graph_ivf(sf_dir: str, k: int = _KNN_K,
     return _knn_coarse_merge(cands, k)
 
 
+def knn_graph_ivf_indexed(sf_dir: str, k: int = _KNN_K,
+                          nprobe: int = 4,
+                          index_dir: str | None = None
+                          ) -> ray.data.Dataset:
+    """knn_graph_ivf served from the PERSISTED IVF index: member
+    bucket assignments are READ from the ``bucket=K/`` partitions
+    (stored at build time, never recomputed), centroids load from the
+    index, and only the source-probe routing runs at query time — the
+    steady-state shape where one index build amortizes across every
+    graph (re)build, hard-negative pass and dedup sweep over the same
+    corpus version.  Bit-identical to :func:`knn_graph_ivf` at the
+    same centroids (pytest: both argmax/probe formulas run in f64 on
+    the same training output)."""
+    import os
+
+    from .. import storage
+    from .common import deref
+
+    if index_dir is None:
+        from .curate import _ARTIFACT_ROOT, _corpus_version
+
+        index_dir = os.path.join(
+            _ARTIFACT_ROOT, "ivf_index",
+            _corpus_version(sf_dir) + "-c16")
+        if not os.path.isdir(index_dir):
+            tmp = f"{index_dir}.tmp-{os.getpid()}"
+            build_ivf_index(sf_dir, tmp)
+            try:
+                os.rename(tmp, index_dir)
+            except OSError:
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
+    bk = storage.backend()
+    cent_tbl = bk.read_fragment(
+        bk.fragment_path(index_dir, "centroids"))
+    order = np.argsort(
+        cent_tbl["centroid_id"].to_numpy(zero_copy_only=False))
+    cent = emb_matrix(
+        cent_tbl["centroid"].take(pa.array(order, pa.int64()))
+    ).astype(np.float64)
+    nprobe = min(nprobe, len(cent))
+    cent_ref = ray.put(np.ascontiguousarray(cent))
+
+    import glob as _glob
+
+    files = sorted(
+        f for d in _glob.glob(os.path.join(index_dir, "bucket=*"))
+        for f in _glob.glob(os.path.join(d, "*")))
+    idx = bk.read_dataset(
+        files, columns=["vec_id", "embedding", "bucket"])
+
+    def route(b: pa.Table, cref=None, npb=nprobe) -> pa.Table:
+        c = deref(cref)
+        emb_col = b["embedding"]
+        if isinstance(emb_col, pa.ChunkedArray):
+            emb_col = emb_col.combine_chunks()
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = ids.size
+        if n == 0:
+            return pa.table({
+                "bucket": pa.array([], pa.int64()),
+                "role": pa.array([], pa.int8()),
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], emb_col.type),
+            })
+        member = b["bucket"].to_numpy(zero_copy_only=False).astype(
+            np.int64)                      # STORED assignment
+        m = emb_matrix(b["embedding"]).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        probe = np.argsort(-(m @ c.T), axis=1,
+                           kind="stable")[:, :npb]
+        idx_rows = np.tile(np.arange(n, dtype=np.int64), 1 + npb)
+        buckets = np.concatenate(
+            [member] + [probe[:, j] for j in range(npb)])
+        roles = np.concatenate(
+            [np.zeros(n, np.int8), np.ones(n * npb, np.int8)])
+        return pa.table({
+            "bucket": pa.array(buckets, pa.int64()),
+            "role": pa.array(roles, pa.int8()),
+            "vec_id": pa.array(ids[idx_rows], pa.int64()),
+            "embedding": emb_col.take(
+                pa.array(idx_rows, pa.int64())),
+        })
+
+    cand_schema = pa.schema([
+        ("vec_id", pa.int64()), ("neighbor_id", pa.int64()),
+        ("sim", pa.float64()),
+    ])
+
+    def bucket_knn(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return cand_schema.empty_table()
+        role = g["role"].to_numpy(zero_copy_only=False)
+        mem = g.filter(pa.array(role == 0))
+        src = g.filter(pa.array(role == 1))
+        if mem.num_rows == 0 or src.num_rows == 0:
+            return cand_schema.empty_table()
+        return _knn_pair_kernel(
+            src.select(["vec_id", "embedding"]),
+            mem.select(["vec_id", "embedding"]), k)
+
+    cands = (
+        idx.map_batches(route, fn_kwargs={"cref": cent_ref},
+                        batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_knn, batch_format="pyarrow")
+    )
+    return _knn_coarse_merge(cands, k)
+
+
 def knn_graph_ivf_fullprobe(sf_dir: str, k: int = _KNN_K,
                             n_centroids: int = 16) -> ray.data.Dataset:
     """knn_graph_ivf with every bucket probed — exact by construction
