@@ -179,6 +179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CORRECTNESS_r05 closes the cumulative coverage gap
         "ann_ivf_indexed_fullprobe": _ann.ann_ivf_indexed_fullprobe,
         "knn_graph_ivf_fullprobe": _ann.knn_graph_ivf_fullprobe,
+        "contamination_report": _cu.contamination_report,
+        "pack_stats": _cu.pack_stats,
         "media_resize": _mm.media_resize,
         "frame_sample": _mm.frame_sample,
         "dedup_report": _cu.dedup_report,
@@ -436,6 +438,8 @@ def oracle_sql() -> dict[str, str]:
         # every bucket of the PERSISTED index probed — the index
         # write/read/merge path must lose nothing vs brute force
         "ann_ivf_indexed_fullprobe": _ann.oracle_ann_topk(),
+        "contamination_report": _cu.ORACLE_CONTAMINATION_REPORT,
+        "pack_stats": _cu.pack_stats_oracle_sql(),
         # same contract for the LSH variant: radius=n_bits probes every
         # bucket, so the signature/probe/merge machinery must equal the
         # exact top-k (the radius<n_bits path is the recall pytest)

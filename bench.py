@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "attribution_window", "event_type_pivot", "price_histogram",
     "mad_outliers", "user_event_sequence",
     "term_counts_topk", "heavy_hitters", "ann_range",
+    "contamination_report", "pack_stats",
     "decontaminate_bloom", "knn_graph", "knn_graph_ivf",
     "knn_graph_ivf_fullprobe", "knn_graph_ivf_indexed",
     "events_rollup", "lang_vocab",

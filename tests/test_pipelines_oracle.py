@@ -59,6 +59,8 @@ QUERIES = [
     "knn_graph",                                # exact k-NN graph
     "knn_graph_ivf_fullprobe",                  # IVF machinery, exact
     "ann_ivf_indexed_fullprobe",                # persisted index, exact
+    "contamination_report",                     # per-source leakage
+    "pack_stats",                               # packing utilization
     "events_rollup",                            # multi-level ROLLUP agg
     "lang_vocab",                               # groupwise count-distinct
     "doc_percentile_rank",                      # global rank via CDF bcast

@@ -1353,6 +1353,145 @@ _WSAMPLE_SEED = 0xA24BAED4963EE407   # distinct seed: ⟂ split / shuffle
 _WSAMPLE_K = 200
 
 
+def contamination_report(sf_dir: str, parts: int = 32
+                         ) -> ray.data.Dataset:
+    """(source, n_docs, n_contaminated, contaminated_per_million):
+    what benchmark decontamination would delete from each source —
+    the per-source leakage telemetry a curation run reports alongside
+    :func:`dedup_report` before committing to the cleaned corpus.
+
+    Scale shape mirrors dedup_report: the decontamination flags
+    co-partition-join onto the corpus-sized (doc_id, source)
+    projection (never a broadcast) and per-source counts ride the
+    two-phase combiner."""
+    from .common import copartition_join, two_phase_agg
+
+    dec = decontaminate(sf_dir)
+    docs = read(sf_dir, "documents", columns=["doc_id", "source"])
+    joined = copartition_join(
+        dec, docs, on="doc_id", parts=parts,
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("contaminated", pa.bool_())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("source", pa.string())]),
+    )
+
+    def flag(b: pa.Table) -> pa.Table:
+        c = b["contaminated"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": b["source"],
+            "one": pa.array(np.ones(c.size, np.int64), pa.int64()),
+            "con": pa.array(
+                np.asarray(c, dtype=bool).astype(np.int64),
+                pa.int64()),
+        })
+
+    agg = two_phase_agg(
+        joined.map_batches(flag, batch_format="pyarrow"),
+        ["source"],
+        sums={"one": "n_docs", "con": "n_contaminated"},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        nd = b["n_docs"].to_numpy(zero_copy_only=False)
+        nc = b["n_contaminated"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": b["source"],
+            "n_docs": b["n_docs"],
+            "n_contaminated": b["n_contaminated"],
+            "contaminated_per_million": pa.array(
+                nc * 1_000_000 // nd, pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_CONTAMINATION_REPORT = f"""
+WITH dec AS ({ORACLE_DECONTAMINATE})
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN dec.contaminated THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       CAST(sum(CASE WHEN dec.contaminated THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT)
+         AS contaminated_per_million
+FROM dec JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
+def pack_stats(sf_dir: str, budget: int = _PACK_BUDGET,
+               parts: int = 64) -> ray.data.Dataset:
+    """(pack_id, n_docs, n_tokens, fill_ppm): per-pack utilization of
+    the :func:`sequence_pack` layout (fill_ppm = tokens packed per
+    million of budget) — the packing-efficiency telemetry that tells a
+    training run how much context window it wastes.
+
+    pack_id cardinality is corpus_tokens/budget — corpus-scale — so
+    the rollup rides the coarse-partition :func:`~.common
+    .hash_keyed_agg`, never Ray's per-key aggregate; the token counts
+    join the packing assignment through the slim keyed rows (doc_id,
+    n_tok) already materialized for the pack pass."""
+    from .common import copartition_join, hash_keyed_agg
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    keyed = docs.map_batches(
+        _shuffle_keyed, batch_format="pyarrow"
+    ).materialize()
+    packed = _pack_keyed(keyed, budget)
+    toks = keyed.map_batches(
+        lambda b: b.select(["doc_id", "n_tok"]),
+        batch_format="pyarrow")
+    joined = copartition_join(
+        packed, toks, on="doc_id", parts=parts,
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("pack_id", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("n_tok", pa.int64())]),
+    )
+    agg = hash_keyed_agg(joined, "pack_id",
+                         sums={"n_tok": "n_tokens"},
+                         count_alias="n_docs", parts=parts)
+
+    def finish(b: pa.Table) -> pa.Table:
+        nt = b["n_tokens"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "pack_id": b["pack_id"],
+            "n_docs": b["n_docs"],
+            "n_tokens": b["n_tokens"],
+            "fill_ppm": pa.array(
+                nt * 1_000_000 // budget, pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def pack_stats_oracle_sql(budget: int = _PACK_BUDGET) -> str:
+    from .text import fmix64_docid_ctes
+
+    ctes, final = fmix64_docid_ctes(_SHUF_SEED, "pk")
+    return f"""
+WITH {ctes},
+toks AS (
+  SELECT d.doc_id, f.h,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+  FROM documents d JOIN {final} f USING (doc_id)
+),
+packed AS (
+  SELECT doc_id, n_tok,
+         CAST((sum(n_tok) OVER (ORDER BY h, doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok)
+              // {budget} AS BIGINT) AS pack_id
+  FROM toks
+)
+SELECT pack_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(n_tok) * 1000000 // {budget} AS BIGINT) AS fill_ppm
+FROM packed GROUP BY pack_id
+"""
+
+
 def weighted_sample(sf_dir: str, k: int = _WSAMPLE_K) -> ray.data.Dataset:
     """(doc_id, n_chars): a deterministic size-weighted sample of k
     documents — longer documents proportionally likelier, the
