@@ -153,7 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     ORDERING IS DELIBERATE (rotating driver coverage, r4 verdict
     item 4): the driver's correctness file caps at 50 rows, so the
-    in-cap prefix holds, in priority order: (a) the 31 SQL-oracled
+    in-cap prefix holds, in priority order: (a) the 33 SQL-oracled
     queries with NO driver row in any of rounds 1-4 (they were green
     only under the judge's local-gate re-run, or are new this round)
     — a driver row for each closes the cumulative coverage gap; (b)
