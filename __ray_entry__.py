@@ -111,6 +111,28 @@ def _crawl_entity_metrics(sf_dir: str) -> pa.Table:
     ).sort_by("entity_id")
 
 
+def _crawl_host_stats(sf_dir: str) -> pa.Table:
+    """Per-host schedule utilization over the crawl order (how many
+    URLs each host absorbed, across how many rounds, and its
+    first/last global positions) — the politeness-fairness telemetry
+    the SURVEY §7.4 skew note calls for.  At 10^10 URLs the same
+    rollup runs over the checkpointed order fragments as a Dataset
+    via hash_keyed_agg on the host hash; the fixture's order table is
+    driver-resident, so one Arrow group_by suffices here."""
+    t = _crawl()["order"].select(["host", "seq", "round"])
+    g = pa.TableGroupBy(t, ["host"]).aggregate(
+        [("seq", "count"), ("round", "count_distinct"),
+         ("seq", "min"), ("seq", "max")]
+    )
+    return pa.table({
+        "host": g["host"],
+        "n_scheduled": pc.cast(g["seq_count"], pa.int64()),
+        "n_rounds": pc.cast(g["round_count_distinct"], pa.int64()),
+        "first_seq": pc.cast(g["seq_min"], pa.int64()),
+        "last_seq": pc.cast(g["seq_max"], pa.int64()),
+    })
+
+
 def _crawl_doc_spans(sf_dir: str) -> pa.Table:
     """Fetched docs flattened to one row per span (document order)."""
     eng = _crawl()["engine"]
@@ -181,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph_ivf_fullprobe": _ann.knn_graph_ivf_fullprobe,
         "contamination_report": _cu.contamination_report,
         "pack_stats": _cu.pack_stats,
+        "crawl_host_stats": _crawl_host_stats,
         "media_resize": _mm.media_resize,
         "frame_sample": _mm.frame_sample,
         "dedup_report": _cu.dedup_report,

@@ -520,8 +520,23 @@ SELECT operation, status,
 FROM em GROUP BY operation, status ORDER BY operation, status
 """
 
+    # per-host schedule utilization: a pure rollup of the oracle-
+    # checked crawl order (the "report per-host utilization" design
+    # note, SURVEY §7.4) — how many URLs each host absorbed, across
+    # how many rounds, and its first/last global positions
+    host_stats = f"""
+WITH ord AS ({_crawl_order_sql(fx)})
+SELECT host,
+       count(*) AS n_scheduled,
+       CAST(count(DISTINCT round) AS BIGINT) AS n_rounds,
+       min(seq) AS first_seq,
+       max(seq) AS last_seq
+FROM ord GROUP BY host
+"""
+
     return {
         "crawl_order": _crawl_order_sql(fx),
+        "crawl_host_stats": host_stats,
         "crawl_seen_set": seen,
         "crawl_metrics": metrics,
         "crawl_metrics_rollup": metrics_rollup,
