@@ -151,6 +151,32 @@ def test_cli_pipeline(ray_session, tmp_path, capsys):
     assert main(["pipeline", "--name", "nope"]) == 2
 
 
+def test_cli_index(ray_session, tmp_path, capsys):
+    """`cli index` builds the persisted artifacts the serving paths
+    consume: the ivf index is immediately queryable via
+    ann_ivf_indexed(index_dir=...), and the labels table round-trips
+    through the storage seam."""
+    from whakoom_webscrapper_ray.cli import main
+    from whakoom_webscrapper_ray.pipelines.ann import ann_ivf_indexed
+    from whakoom_webscrapper_ray.storage import backend
+
+    sf = "/root/testdata/sf0.001"
+    ivf = str(tmp_path / "ivf")
+    assert main(["index", "--kind", "ivf", "--sf-dir", sf,
+                 "--out", ivf]) == 0
+    info = _last_json(capsys)
+    assert info["kind"] == "ivf" and info["files"] > 1
+    got = ann_ivf_indexed(sf, index_dir=ivf).to_pandas()
+    assert len(got) > 0
+
+    lab = str(tmp_path / "labels")
+    assert main(["index", "--kind", "labels", "--sf-dir", sf,
+                 "--out", lab]) == 0
+    t = backend().read_dataset(
+        lab, columns=["doc_id", "cluster_id"]).to_pandas()
+    assert len(t) == 500 and (t["cluster_id"] <= t["doc_id"]).all()
+
+
 def test_cli_paginate(ray_session, tmp_path, capsys):
     """--paginate serves the web as 'Load more' page states; the crawl
     schedule is identical to the stateless store (S3 CLI surface)."""

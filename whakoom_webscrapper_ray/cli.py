@@ -236,6 +236,40 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    """Build one of the persisted corpus artifacts through the storage
+    seam — the production "build your indexes once" entry the serving
+    paths (ann_ivf_indexed / knn_graph_ivf_indexed, incremental_dedup
+    index_dir, dedup-label consumers) read from:
+
+      ivf     bucket-partitioned vector index + centroids
+      lsh     minhash band table (incremental-dedup probe side)
+      labels  near-dup cluster labels (doc_id, cluster_id)
+    """
+    _init_ray()
+    if args.kind == "ivf":
+        from .pipelines.ann import build_ivf_index
+
+        build_ivf_index(args.sf_dir, args.out,
+                        n_centroids=args.n_centroids)
+    elif args.kind == "lsh":
+        from .pipelines.dedup import build_lsh_index
+
+        build_lsh_index(args.sf_dir, args.out)
+    else:  # labels
+        from .pipelines.curate import dedup_clusters
+        from .storage import backend
+
+        backend().write_dataset(dedup_clusters(args.sf_dir), args.out)
+    import glob as _glob
+
+    n_files = len(_glob.glob(os.path.join(args.out, "**", "*"),
+                             recursive=True))
+    print(json.dumps({"kind": args.kind, "out": args.out,
+                      "files": n_files}))
+    return 0
+
+
 def cmd_pipeline(args) -> int:
     """Run one data-ops / training-data pipeline from the registry over
     an sf-style parquet dir; stream the result to a parquet dir
@@ -423,6 +457,16 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--list", action="store_true",
                     help="list available pipeline names")
     pl.set_defaults(fn=cmd_pipeline)
+
+    ix = sub.add_parser(
+        "index", help="build a persisted corpus artifact "
+                      "(ivf / lsh / labels) through the storage seam")
+    ix.add_argument("--kind", choices=("ivf", "lsh", "labels"),
+                    required=True)
+    ix.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ix.add_argument("--out", required=True)
+    ix.add_argument("--n-centroids", type=int, default=16)
+    ix.set_defaults(fn=cmd_index)
 
     args = p.parse_args(argv)
     return args.fn(args)
