@@ -186,6 +186,58 @@ def test_http_fetched_robots_crawl_identical(ray_session, tmp_path):
         assert _tables(http_eng) == _tables(ref)
 
 
+@pytest.mark.parametrize("seed,num_shards", [(43, 3), (45, 4)])
+def test_http_hostile_web_conformance(ray_session, tmp_path, seed,
+                                      num_shards):
+    """The hostile-link fuzz webs (mailto:/javascript:, userinfo,
+    out-of-range ports, case-fold duplicates, dot-segments — see
+    test_crawl_fuzz_conformance) crawled over REAL HTTP must equal the
+    sequential oracle exactly.  This also pins the scheme-fidelity
+    contract: absolute-form request targets keep http:// and https://
+    origins distinct through one socket, so a case-folded http://
+    duplicate of an https page stays `missing` exactly like the
+    synthetic store says."""
+    from whakoom_webscrapper_ray.oracle import run_oracle
+    from whakoom_webscrapper_ray.pipelines.crawl import CrawlEngine
+    from whakoom_webscrapper_ray.sources.synth import (
+        SynthConfig,
+        generate_web,
+    )
+    from tests.test_crawl_fuzz_conformance import _inject_hostile
+
+    web = generate_web(SynthConfig(
+        seed=seed, dup_link_frac=0.2, offsite_frac=0.1))
+    pages = _inject_hostile(web["pages"])
+    golden = run_oracle(pages, web["seeds"], web["robots"])
+
+    with SynthWebServer(pages) as srv:
+        eng = CrawlEngine(
+            None, web["seeds"], web["robots"],
+            checkpoint_dir=str(tmp_path / f"h{seed}"),
+            num_shards=num_shards, fetcher_concurrency=2,
+            batch_size=64,
+            transport={"host": srv.host, "port": srv.port},
+        )
+        try:
+            eng.run()
+            got = eng.crawl_order()
+            rows = list(zip(
+                got.column("seq").to_pylist(),
+                got.column("url").to_pylist(),
+                got.column("host").to_pylist(),
+                got.column("round").to_pylist(),
+            ))
+            assert rows == golden.crawl_order
+            seen = eng.seen_table()
+            pairs = dict(zip(
+                seen.column("url_sha1").to_pylist(),
+                seen.column("canon_url").to_pylist(),
+            ))
+            assert pairs == golden.seen
+        finally:
+            eng.shutdown()
+
+
 def test_http_dynamic_pagination_matches_stateful_store(
         ray_session, tmp_path):
     """S3 over real HTTP: the fetcher's click loop against

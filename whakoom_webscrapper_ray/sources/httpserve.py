@@ -72,9 +72,9 @@ def render_robots_txt(crawl_delay: float, disallow: list[str],
     return "\n".join(out) + "\n"
 
 
-def _page_key(url: str) -> tuple[str, str]:
+def _page_key(url: str) -> tuple[str, str, str]:
     s = urlsplit(url)
-    return (s.netloc, s.path or "/")
+    return (s.scheme, s.netloc, s.path or "/")
 
 
 class SynthWebServer:
@@ -92,13 +92,13 @@ class SynthWebServer:
     def __init__(self, pages: pa.Table, host: str = "127.0.0.1",
                  fail_503: dict[str, int] | None = None,
                  robots: pa.Table | None = None) -> None:
-        store: dict[tuple[str, str, int], bytes] = {}
+        store: dict[tuple[str, str, str, int], bytes] = {}
         has_state = "state" in pages.column_names
         for row in pages.to_pylist():
-            h, p = _page_key(row["doc_id"])
+            sch, h, p = _page_key(row["doc_id"])
             state = int(row["state"]) if has_state else 0
             spans = sorted(row["spans"], key=lambda s: s["offset"])
-            store[(h, p, state)] = render_spans_html(
+            store[(sch, h, p, state)] = render_spans_html(
                 [s["kind"] for s in spans],
                 [s["text"] for s in spans],
                 [s["media_ref"] for s in spans],
@@ -108,7 +108,7 @@ class SynthWebServer:
             # the transport-complete loop: the crawler FETCHES its
             # politeness/deny rules instead of being handed a table
             for row in robots.to_pylist():
-                store[(row["host"], "/robots.txt", 0)] = (
+                store[("https", row["host"], "/robots.txt", 0)] = (
                     render_robots_txt(
                         row["crawl_delay"], row["disallow"],
                         row.get("allow") or [],
@@ -128,15 +128,24 @@ class SynthWebServer:
                 target = self.path
                 if target.startswith("http://") or target.startswith(
                         "https://"):
-                    s = urlsplit(target)          # absolute-form
-                    host_hdr, path, query = s.netloc, s.path, s.query
+                    # absolute-form request target (RFC 9112 §3.2.2,
+                    # proxy semantics) — the only origin-form-free way
+                    # one plain socket can carry the URL's scheme, so
+                    # http:// and https:// virtual origins stay
+                    # distinct (real crawlers treat them as different
+                    # pages; so does the synthetic fetcher)
+                    s = urlsplit(target)
+                    scheme, host_hdr = s.scheme, s.netloc
+                    path, query = s.path, s.query
                 else:
+                    scheme = "https"   # the synthetic web's native
                     host_hdr = (self.headers.get("Host") or "").split(
                         ":")[0]
                     s = urlsplit(target)
                     path, query = s.path, s.query
-                outer.request_log.append(f"{host_hdr}{path}?{query}")
-                url = f"https://{host_hdr}{path}"
+                outer.request_log.append(
+                    f"{scheme}://{host_hdr}{path}?{query}")
+                url = f"{scheme}://{host_hdr}{path}"
                 n = remaining.get(url, 0)
                 if n > 0:
                     remaining[url] = n - 1
@@ -146,7 +155,8 @@ class SynthWebServer:
                     return
                 state = int(
                     parse_qs(query).get("page_state", ["0"])[0])
-                body = outer._store.get((host_hdr, path or "/", state))
+                body = outer._store.get(
+                    (scheme, host_hdr, path or "/", state))
                 if body is None:
                     self.send_response(404)
                     self.send_header("Content-Length", "0")

@@ -178,17 +178,19 @@ class HttpFetcher:
         from urllib.parse import urlsplit
 
         s = urlsplit(url)
-        path = s.path or "/"
-        if s.query:
-            path += f"?{s.query}"
+        # absolute-form request target (RFC 9112 §3.2.2, proxy
+        # semantics): one plain socket serves every virtual origin and
+        # the scheme still travels, so http:// and https:// URLs stay
+        # distinct pages (exactly as the synthetic store treats them)
+        target = url
         if state:
-            sep = "&" if "?" in path else "?"
-            path += f"{sep}page_state={state}"
+            sep = "&" if s.query else "?"
+            target += f"{sep}page_state={state}"
         for attempt in range(self.max_attempts):
             if attempt:
                 self.attempt_log[url] = attempt
             try:
-                self.conn.request("GET", path,
+                self.conn.request("GET", target,
                                   headers={"Host": s.netloc})
                 r = self.conn.getresponse()
                 body = r.read()
