@@ -158,6 +158,50 @@ Disallow: /second-star-group
         1.5, ["/a/*", "/second-star-group"], ["/a/ok$"])
 
 
+def test_robots_roundtrip_property():
+    """Property: render -> parse is the identity for every
+    representable rule set (patterns are robots-line values, so they
+    exclude the '#' comment delimiter and surrounding whitespace —
+    robots.txt cannot carry those; delays round-trip through repr)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from whakoom_webscrapper_ray.functions.robots import (
+        parse_robots_txt,
+    )
+    from whakoom_webscrapper_ray.sources.httpserve import (
+        render_robots_txt,
+    )
+
+    pat = st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_characters="#\r\n",
+            exclude_categories=("Cs",)),
+        min_size=1, max_size=30,
+    ).map(lambda s: "/" + s.strip()).filter(
+        # representable as one robots line: no '#', no leading or
+        # trailing whitespace, and no character splitlines() treats
+        # as a line boundary (\x1c-\x1e, \x85,  ... — a value
+        # containing one cannot survive any line-based file format)
+        lambda s: (len(s) > 1 and s == s.strip()
+                   and len(("x" + s + "x").splitlines()) == 1))
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        delay=st.one_of(
+            st.just(0.0),
+            st.floats(min_value=0.001, max_value=3600,
+                      allow_nan=False)),
+        dis=st.lists(pat, max_size=5),
+        alw=st.lists(pat, max_size=5),
+    )
+    def check(delay, dis, alw):
+        got = parse_robots_txt(render_robots_txt(delay, dis, alw))
+        assert got == (delay, dis, alw)
+
+    check()
+
+
 def test_http_fetched_robots_crawl_identical(ray_session, tmp_path):
     """The transport-complete loop: robots rules FETCHED per host from
     /robots.txt over real HTTP reproduce the fixture-table crawl
