@@ -52,6 +52,17 @@ def test_no_oracle_set_is_exactly_the_documented_one():
     )
 
 
+def test_in_cap_prefix_is_fully_oracled():
+    """The driver's correctness file caps at 50 rows taken from the
+    dict head; every one of those slots must carry a SQL oracle, or a
+    no-oracle row burns a slot as `err` (r4 verdict item 4)."""
+    E = _entry()
+    head = list(E.queries())[:50]
+    o = set(E.oracle_sql())
+    missing = [n for n in head if n not in o]
+    assert not missing, f"no-oracle rows inside the cap: {missing}"
+
+
 def test_bench_queries_are_registered():
     import bench
 

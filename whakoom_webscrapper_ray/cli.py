@@ -243,29 +243,57 @@ def cmd_index(args) -> int:
     index_dir, dedup-label consumers) read from:
 
       ivf     bucket-partitioned vector index + centroids
-      lsh     minhash band table (incremental-dedup probe side)
-      labels  near-dup cluster labels (doc_id, cluster_id)
+              (served by ann_ivf_indexed / knn_graph_ivf_indexed via
+              their index_dir parameter, or auto-resolved from the
+              artifact root when --out is omitted)
+      lsh     minhash band table (incremental_dedup's index_dir)
+      labels  near-dup cluster labels, PUBLISHED into the artifact
+              root (WKM_ARTIFACT_DIR) where the dedup-label consumers
+              (corpus_dedup / dedup_report / cluster_best_doc /
+              corpus_prep) actually read; --out additionally exports
+              a portable copy
     """
     _init_ray()
+    out = args.out
     if args.kind == "ivf":
-        from .pipelines.ann import build_ivf_index
+        if out:
+            from .pipelines.ann import build_ivf_index
 
-        build_ivf_index(args.sf_dir, args.out,
-                        n_centroids=args.n_centroids)
+            build_ivf_index(args.sf_dir, out,
+                            n_centroids=args.n_centroids)
+        else:
+            from .pipelines.ann import _ensure_ivf_index
+
+            out = _ensure_ivf_index(args.sf_dir, None)
     elif args.kind == "lsh":
+        if not out:
+            print(json.dumps({"error": "--kind lsh requires --out"}))
+            return 2
         from .pipelines.dedup import build_lsh_index
 
-        build_lsh_index(args.sf_dir, args.out)
-    else:  # labels
-        from .pipelines.curate import dedup_clusters
-        from .storage import backend
+        build_lsh_index(args.sf_dir, out)
+    else:  # labels: build/publish the artifact the consumers resolve
+        from .pipelines.curate import (
+            _ARTIFACT_ROOT,
+            _corpus_version,
+            dedup_labels,
+        )
 
-        backend().write_dataset(dedup_clusters(args.sf_dir), args.out)
+        labels = dedup_labels(args.sf_dir)
+        published = os.path.join(
+            _ARTIFACT_ROOT, "dedup_labels",
+            _corpus_version(args.sf_dir))
+        if out:
+            from .storage import backend
+
+            backend().write_dataset(labels, out)  # portable export
+        else:
+            out = published
     import glob as _glob
 
-    n_files = len(_glob.glob(os.path.join(args.out, "**", "*"),
+    n_files = len(_glob.glob(os.path.join(out, "**", "*"),
                              recursive=True))
-    print(json.dumps({"kind": args.kind, "out": args.out,
+    print(json.dumps({"kind": args.kind, "out": out,
                       "files": n_files}))
     return 0
 
@@ -464,7 +492,10 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument("--kind", choices=("ivf", "lsh", "labels"),
                     required=True)
     ix.add_argument("--sf-dir", default="/root/testdata/sf0.001")
-    ix.add_argument("--out", required=True)
+    ix.add_argument("--out", default=None,
+                    help="explicit output dir; omitted -> publish "
+                         "into the artifact root the serving paths "
+                         "resolve (labels/ivf)")
     ix.add_argument("--n-centroids", type=int, default=16)
     ix.set_defaults(fn=cmd_index)
 

@@ -245,14 +245,7 @@ def ann_ivf(sf_dir: str, k: int = 10, num_queries: int = 8,
     qids, qmat = _load_queries(sf_dir, num_queries)
 
     emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    # centroids from a bounded deterministic sample (first rows by
-    # storage order) — at 100 TB the trainer never sees the full corpus.
-    sample = pa.concat_tables(
-        [ray.get(r) for r in emb.limit(16384).to_arrow_refs()]
-    )
-    mat = emb_matrix(sample["embedding"])
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    cent = _kmeans(mat, min(n_centroids, len(mat)))
+    cent = _train_centroids(emb, n_centroids)
 
     probe = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
     probe_sets = [frozenset(row.tolist()) for row in probe]
@@ -470,6 +463,68 @@ def _train_centroids(emb: ray.data.Dataset,
     return _kmeans(mat, min(n_centroids, len(mat)))
 
 
+def _ensure_ivf_index(sf_dir: str, index_dir: str | None) -> str:
+    """Resolve (and build exactly once) the per-corpus-version IVF
+    index under the artifact root when no explicit ``index_dir`` is
+    given.  Version-keyed on the EMBEDDINGS table — the source the
+    index derives from — so a re-embedded corpus gets a fresh index
+    instead of silently serving stale neighbors.  Publish is an atomic
+    directory rename (the dedup_labels pattern)."""
+    import os
+
+    if index_dir is not None:
+        return index_dir
+    from .curate import _ARTIFACT_ROOT, _corpus_version
+
+    final = os.path.join(
+        _ARTIFACT_ROOT, "ivf_index",
+        _corpus_version(sf_dir, table="embeddings") + "-c16")
+    if not os.path.isdir(final):
+        tmp = f"{final}.tmp-{os.getpid()}"
+        build_ivf_index(sf_dir, tmp)
+        try:
+            os.rename(tmp, final)
+        except OSError:            # concurrent builder won the race
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
+def _load_index_centroids(index_dir: str) -> np.ndarray:
+    """The stored centroid matrix, centroid_id-ordered, f64."""
+    from .. import storage
+
+    bk = storage.backend()
+    t = bk.read_fragment(bk.fragment_path(index_dir, "centroids"))
+    order = np.argsort(
+        t["centroid_id"].to_numpy(zero_copy_only=False))
+    return emb_matrix(
+        t["centroid"].take(pa.array(order, pa.int64()))
+    ).astype(np.float64)
+
+
+def _index_bucket_files(index_dir: str,
+                        buckets: "list[int] | None" = None
+                        ) -> list[str]:
+    """Fragment files of the given buckets (all when None), filtered
+    through the backend's fragment listing so torn ``*.tmp`` files
+    from a crashed build are never scanned."""
+    import glob as _glob
+    import os
+
+    from .. import storage
+
+    bk = storage.backend()
+    if buckets is None:
+        dirs = sorted(_glob.glob(os.path.join(index_dir, "bucket=*")))
+    else:
+        dirs = [d for kb in buckets
+                for d in [os.path.join(index_dir, f"bucket={kb}")]
+                if os.path.isdir(d)]
+    return [f for d in dirs for f in bk.list_fragments(d)]
+
+
 def build_ivf_index(sf_dir: str, index_dir: str,
                     n_centroids: int = 16) -> None:
     """Persist the IVF-partitioned vector index through the storage
@@ -490,6 +545,12 @@ def build_ivf_index(sf_dir: str, index_dir: str,
     bk = storage.backend()
     emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     cent = _train_centroids(emb, n_centroids)
+    # a build is a full REBUILD: clear any prior contents so a rerun
+    # (or a crashed build's torn temp files) can never leave each
+    # vector duplicated across uuid-named fragments
+    import shutil
+
+    shutil.rmtree(index_dir, ignore_errors=True)
     os.makedirs(index_dir, exist_ok=True)
     bk.write_fragment_atomic(
         pa.table({
@@ -548,47 +609,20 @@ def ann_ivf_indexed(sf_dir: str, k: int = 10, num_queries: int = 8,
     under the artifact root (the dedup_labels pattern).  Bit-identical
     to :func:`ann_ivf` at the same centroids (pytest); ``nprobe = all``
     reproduces brute-force exactly (oracle row)."""
-    import glob as _glob
-    import os
-
     from .. import storage
     from .common import deref
 
-    if index_dir is None:
-        from .curate import _ARTIFACT_ROOT, _corpus_version
-
-        index_dir = os.path.join(
-            _ARTIFACT_ROOT, "ivf_index",
-            _corpus_version(sf_dir) + "-c16")
-        if not os.path.isdir(index_dir):
-            tmp = f"{index_dir}.tmp-{os.getpid()}"
-            build_ivf_index(sf_dir, tmp)
-            try:
-                os.rename(tmp, index_dir)
-            except OSError:
-                import shutil
-
-                shutil.rmtree(tmp, ignore_errors=True)
+    index_dir = _ensure_ivf_index(sf_dir, index_dir)
     bk = storage.backend()
-    cent_tbl = bk.read_fragment(
-        bk.fragment_path(index_dir, "centroids"))
-    order = np.argsort(
-        cent_tbl["centroid_id"].to_numpy(zero_copy_only=False))
-    cent = emb_matrix(
-        cent_tbl["centroid"].take(pa.array(order, pa.int64()))
-    ).astype(np.float64)
+    cent = _load_index_centroids(index_dir)
 
     qids, qmat = _load_queries(sf_dir, num_queries)
     nprobe = min(nprobe, len(cent))
     probe = np.argsort(-(qmat @ cent.T), axis=1, kind="stable")[:, :nprobe]
     probe_sets = [frozenset(row.tolist()) for row in probe]
     needed = sorted(set().union(*probe_sets)) if probe_sets else []
-    bucket_dirs = [
-        d for kb in needed
-        for d in [os.path.join(index_dir, f"bucket={kb}")]
-        if os.path.isdir(d) and _glob.glob(os.path.join(d, "*"))
-    ]
-    if not bucket_dirs:
+    files = _index_bucket_files(index_dir, needed)
+    if not files:
         return ray.data.from_arrow(pa.schema(
             [("query_id", pa.int64()), ("neighbor_id", pa.int64()),
              ("rank", pa.int64())]).empty_table())
@@ -625,9 +659,6 @@ def ann_ivf_indexed(sf_dir: str, k: int = 10, num_queries: int = 8,
             "sim": pa.array(np.concatenate(out_s), pa.float64()),
         })
 
-    files = sorted(
-        f for d in bucket_dirs for f in _glob.glob(
-            os.path.join(d, "*")))
     return (
         bk.read_dataset(files,
                         columns=["vec_id", "embedding", "bucket"])
@@ -1025,17 +1056,24 @@ def knn_graph_ivf(sf_dir: str, k: int = _KNN_K,
     every source see every member — bit-identical to exact knn_graph
     and oracle-checked against the same SQL.
     """
-    from .common import deref
-
     emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    sample = pa.concat_tables(
-        [ray.get(r) for r in emb.limit(16384).to_arrow_refs()]
-    )
-    smat = emb_matrix(sample["embedding"])
-    smat = smat / np.linalg.norm(smat, axis=1, keepdims=True)
-    cent = _kmeans(smat, min(n_centroids, len(smat)))
+    cent = _train_centroids(emb, n_centroids)
     nprobe = min(nprobe, len(cent))
     cent_ref = ray.put(np.ascontiguousarray(cent.astype(np.float64)))
+    return _knn_ivf_graph(emb, cent_ref, nprobe, k,
+                          stored_member=False)
+
+
+def _knn_ivf_graph(vectors: ray.data.Dataset, cent_ref,
+                   nprobe: int, k: int,
+                   stored_member: bool) -> ray.data.Dataset:
+    """Shared IVF knn-graph machinery: route every vector to its
+    member bucket (the STORED ``bucket`` column when
+    ``stored_member``, else the f64 argmax — identical values by
+    construction, build-time assignment runs the same argmax) plus
+    its ``nprobe`` nearest buckets as a source; per-bucket
+    :func:`_knn_pair_kernel`; coarse-partition merge."""
+    from .common import deref
 
     def route(b: pa.Table, cref=None, npb=nprobe) -> pa.Table:
         c = deref(cref)
@@ -1058,7 +1096,10 @@ def knn_graph_ivf(sf_dir: str, k: int = _KNN_K,
         # stable sort: probe[:, 0] == argmax even on tied centroids,
         # so the member bucket is always among the probed ones
         probe = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
-        member = probe[:, 0]
+        member = (
+            b["bucket"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            if stored_member else probe[:, 0].astype(np.int64))
         idx = np.tile(np.arange(n, dtype=np.int64), 1 + npb)
         buckets = np.concatenate(
             [member] + [probe[:, j] for j in range(npb)])
@@ -1089,8 +1130,8 @@ def knn_graph_ivf(sf_dir: str, k: int = _KNN_K,
             mem.select(["vec_id", "embedding"]), k)
 
     cands = (
-        emb.map_batches(route, fn_kwargs={"cref": cent_ref},
-                        batch_format="pyarrow")
+        vectors.map_batches(route, fn_kwargs={"cref": cent_ref},
+                            batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_knn, batch_format="pyarrow")
     )
@@ -1110,103 +1151,17 @@ def knn_graph_ivf_indexed(sf_dir: str, k: int = _KNN_K,
     corpus version.  Bit-identical to :func:`knn_graph_ivf` at the
     same centroids (pytest: both argmax/probe formulas run in f64 on
     the same training output)."""
-    import os
-
     from .. import storage
-    from .common import deref
 
-    if index_dir is None:
-        from .curate import _ARTIFACT_ROOT, _corpus_version
-
-        index_dir = os.path.join(
-            _ARTIFACT_ROOT, "ivf_index",
-            _corpus_version(sf_dir) + "-c16")
-        if not os.path.isdir(index_dir):
-            tmp = f"{index_dir}.tmp-{os.getpid()}"
-            build_ivf_index(sf_dir, tmp)
-            try:
-                os.rename(tmp, index_dir)
-            except OSError:
-                import shutil
-
-                shutil.rmtree(tmp, ignore_errors=True)
-    bk = storage.backend()
-    cent_tbl = bk.read_fragment(
-        bk.fragment_path(index_dir, "centroids"))
-    order = np.argsort(
-        cent_tbl["centroid_id"].to_numpy(zero_copy_only=False))
-    cent = emb_matrix(
-        cent_tbl["centroid"].take(pa.array(order, pa.int64()))
-    ).astype(np.float64)
+    index_dir = _ensure_ivf_index(sf_dir, index_dir)
+    cent = _load_index_centroids(index_dir)
     nprobe = min(nprobe, len(cent))
     cent_ref = ray.put(np.ascontiguousarray(cent))
-
-    import glob as _glob
-
-    files = sorted(
-        f for d in _glob.glob(os.path.join(index_dir, "bucket=*"))
-        for f in _glob.glob(os.path.join(d, "*")))
-    idx = bk.read_dataset(
-        files, columns=["vec_id", "embedding", "bucket"])
-
-    def route(b: pa.Table, cref=None, npb=nprobe) -> pa.Table:
-        c = deref(cref)
-        emb_col = b["embedding"]
-        if isinstance(emb_col, pa.ChunkedArray):
-            emb_col = emb_col.combine_chunks()
-        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(
-            np.int64)
-        n = ids.size
-        if n == 0:
-            return pa.table({
-                "bucket": pa.array([], pa.int64()),
-                "role": pa.array([], pa.int8()),
-                "vec_id": pa.array([], pa.int64()),
-                "embedding": pa.array([], emb_col.type),
-            })
-        member = b["bucket"].to_numpy(zero_copy_only=False).astype(
-            np.int64)                      # STORED assignment
-        m = emb_matrix(b["embedding"]).astype(np.float64)
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        probe = np.argsort(-(m @ c.T), axis=1,
-                           kind="stable")[:, :npb]
-        idx_rows = np.tile(np.arange(n, dtype=np.int64), 1 + npb)
-        buckets = np.concatenate(
-            [member] + [probe[:, j] for j in range(npb)])
-        roles = np.concatenate(
-            [np.zeros(n, np.int8), np.ones(n * npb, np.int8)])
-        return pa.table({
-            "bucket": pa.array(buckets, pa.int64()),
-            "role": pa.array(roles, pa.int8()),
-            "vec_id": pa.array(ids[idx_rows], pa.int64()),
-            "embedding": emb_col.take(
-                pa.array(idx_rows, pa.int64())),
-        })
-
-    cand_schema = pa.schema([
-        ("vec_id", pa.int64()), ("neighbor_id", pa.int64()),
-        ("sim", pa.float64()),
-    ])
-
-    def bucket_knn(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return cand_schema.empty_table()
-        role = g["role"].to_numpy(zero_copy_only=False)
-        mem = g.filter(pa.array(role == 0))
-        src = g.filter(pa.array(role == 1))
-        if mem.num_rows == 0 or src.num_rows == 0:
-            return cand_schema.empty_table()
-        return _knn_pair_kernel(
-            src.select(["vec_id", "embedding"]),
-            mem.select(["vec_id", "embedding"]), k)
-
-    cands = (
-        idx.map_batches(route, fn_kwargs={"cref": cent_ref},
-                        batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_knn, batch_format="pyarrow")
-    )
-    return _knn_coarse_merge(cands, k)
+    idx = storage.backend().read_dataset(
+        _index_bucket_files(index_dir),
+        columns=["vec_id", "embedding", "bucket"])
+    return _knn_ivf_graph(idx, cent_ref, nprobe, k,
+                          stored_member=True)
 
 
 def knn_graph_ivf_fullprobe(sf_dir: str, k: int = _KNN_K,

@@ -410,14 +410,18 @@ _ARTIFACT_ROOT = os.environ.get(
 _LABELS_FMT = 1  # bump on any chain-semantics change to invalidate
 
 
-def _corpus_version(sf_dir: str) -> str:
-    """Corpus-version key for the labels artifact: identity + size +
-    mtime_ns of the documents table (ns granularity makes a silent
-    same-size in-place rewrite collision implausible; regenerated
-    corpora get fresh mtimes and therefore fresh artifacts)."""
+def _corpus_version(sf_dir: str, table: str = "documents") -> str:
+    """Corpus-version key for persisted artifacts: identity + size +
+    mtime_ns of the SOURCE table the artifact derives from (ns
+    granularity makes a silent same-size in-place rewrite collision
+    implausible; regenerated tables get fresh mtimes and therefore
+    fresh artifacts).  Callers must name the table they actually read
+    — the dedup labels derive from ``documents``, the IVF index from
+    ``embeddings`` — or a regenerated source would silently serve a
+    stale artifact."""
     import hashlib
 
-    p = os.path.join(os.path.realpath(sf_dir), "documents.parquet")
+    p = os.path.join(os.path.realpath(sf_dir), f"{table}.parquet")
     st = os.stat(p)
     return hashlib.sha1(
         f"{p}|{st.st_size}|{st.st_mtime_ns}|fmt{_LABELS_FMT}".encode()
@@ -1762,10 +1766,14 @@ FROM ranked WHERE rn = 1
 _EMB_EVAL_MOD = 19  # deterministic eval split: vec_id % 19 == 0
 
 
-# per-worker memo of per-chunk normalized-transposed eval matrices for
-# the above-budget decontaminate_embedding path (built once per worker
-# per chunk, like dedup._WORKER_MEMO)
+# per-worker SINGLE-SLOT cache of the current chunk's normalized-
+# transposed eval matrix for the above-budget decontaminate_embedding
+# path.  One slot, not a dict that grows: each chained flag stage
+# touches exactly one chunk, and an unbounded memo would accumulate
+# every chunk until the worker held the ENTIRE eval matrix — the
+# memory the eval_broadcast_budget gate exists to bound.
 _EVT_MEMO: dict = {}
+_EVT_MEMO_CAP = 1
 
 
 @ray.remote(num_cpus=0)
@@ -1878,7 +1886,10 @@ def decontaminate_embedding(sf_dir: str, threshold: float = 0.45,
             parts = [t for t in _ray.get(list(chunk)) if t.num_rows]
             me = emb_matrix(pa.concat_tables(parts)["embedding"])
             me = me / np.linalg.norm(me, axis=1, keepdims=True)
-            evt = _EVT_MEMO[key] = np.ascontiguousarray(me.T)
+            evt = np.ascontiguousarray(me.T)
+            while len(_EVT_MEMO) >= _EVT_MEMO_CAP:  # evict old chunks
+                _EVT_MEMO.pop(next(iter(_EVT_MEMO)))
+            _EVT_MEMO[key] = evt
         m = emb_matrix(b["embedding"])
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
         hit = (m @ evt >= threshold).any(axis=1)

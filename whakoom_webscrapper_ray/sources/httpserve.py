@@ -25,7 +25,7 @@ from __future__ import annotations
 import html as _html
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import parse_qs, urlsplit
+from urllib.parse import urlsplit
 
 import pyarrow as pa
 
@@ -72,9 +72,13 @@ def render_robots_txt(crawl_delay: float, disallow: list[str],
     return "\n".join(out) + "\n"
 
 
-def _page_key(url: str) -> tuple[str, str, str]:
+def _page_key(url: str) -> tuple[str, str, str, str]:
+    # the QUERY is part of page identity (two doc_ids differing only
+    # in ?id= are different pages); the dynamic page_state param is
+    # appended by the fetcher and stripped by the handler before
+    # lookup, so stored keys never carry it
     s = urlsplit(url)
-    return (s.scheme, s.netloc, s.path or "/")
+    return (s.scheme, s.netloc, s.path or "/", s.query)
 
 
 class SynthWebServer:
@@ -92,13 +96,13 @@ class SynthWebServer:
     def __init__(self, pages: pa.Table, host: str = "127.0.0.1",
                  fail_503: dict[str, int] | None = None,
                  robots: pa.Table | None = None) -> None:
-        store: dict[tuple[str, str, str, int], bytes] = {}
+        store: dict[tuple[str, str, str, str, int], bytes] = {}
         has_state = "state" in pages.column_names
         for row in pages.to_pylist():
-            sch, h, p = _page_key(row["doc_id"])
+            sch, h, p, q = _page_key(row["doc_id"])
             state = int(row["state"]) if has_state else 0
             spans = sorted(row["spans"], key=lambda s: s["offset"])
-            store[(sch, h, p, state)] = render_spans_html(
+            store[(sch, h, p, q, state)] = render_spans_html(
                 [s["kind"] for s in spans],
                 [s["text"] for s in spans],
                 [s["media_ref"] for s in spans],
@@ -108,7 +112,7 @@ class SynthWebServer:
             # the transport-complete loop: the crawler FETCHES its
             # politeness/deny rules instead of being handed a table
             for row in robots.to_pylist():
-                store[("https", row["host"], "/robots.txt", 0)] = (
+                store[("https", row["host"], "/robots.txt", "", 0)] = (
                     render_robots_txt(
                         row["crawl_delay"], row["disallow"],
                         row.get("allow") or [],
@@ -145,7 +149,16 @@ class SynthWebServer:
                     path, query = s.path, s.query
                 outer.request_log.append(
                     f"{scheme}://{host_hdr}{path}?{query}")
-                url = f"{scheme}://{host_hdr}{path}"
+                # the fetcher appends page_state as the LAST query
+                # param; strip exactly that so the remaining query is
+                # the page's own identity
+                import re as _re
+
+                m = _re.search(r"(?:^|&)page_state=(\d+)$", query)
+                state = int(m.group(1)) if m else 0
+                base_q = query[: m.start()] if m else query
+                url = f"{scheme}://{host_hdr}{path}" + (
+                    f"?{base_q}" if base_q else "")
                 n = remaining.get(url, 0)
                 if n > 0:
                     remaining[url] = n - 1
@@ -153,10 +166,8 @@ class SynthWebServer:
                     self.send_header("Content-Length", "0")
                     self.end_headers()
                     return
-                state = int(
-                    parse_qs(query).get("page_state", ["0"])[0])
                 body = outer._store.get(
-                    (scheme, host_hdr, path or "/", state))
+                    (scheme, host_hdr, path or "/", base_q, state))
                 if body is None:
                     self.send_response(404)
                     self.send_header("Content-Length", "0")
