@@ -123,6 +123,39 @@ def test_http_semantic_retries(ray_session, tmp_path):
         assert (row["status"] == "failed").any()
 
 
+def test_http_query_string_page_identity(ray_session):
+    """Pages differing only in their query string are DISTINCT pages
+    over HTTP, exactly as in the synthetic store (review finding: the
+    server used to key on path alone and served one body for both);
+    the fetcher-appended page_state param must not collide with a
+    page's own query."""
+    from whakoom_webscrapper_ray.schemas import PAGES_SCHEMA
+    from whakoom_webscrapper_ray.stages.fetch import HttpFetcher
+
+    pages = pa.table({
+        "doc_id": ["https://h.example/p?id=1",
+                   "https://h.example/p?id=2",
+                   "https://h.example/p"],
+        "spans": [
+            [{"kind": "text", "text": f"body {i}", "media_ref": "",
+              "offset": 0}] for i in (1, 2, 3)
+        ],
+    }, schema=PAGES_SCHEMA)
+    with SynthWebServer(pages) as srv:
+        f = HttpFetcher(srv.host, srv.port)
+        batch = pa.table({"canon_url": pages["doc_id"]})
+        out = f(batch)
+        texts = [s[0]["text"] for s in out["spans"].to_pylist()]
+        assert texts == ["body 1", "body 2", "body 3"]
+        assert out["fetch_status"].to_pylist() == ["fetched"] * 3
+        # dynamic probing against a query-bearing URL must append
+        # page_state with '&' and still resolve state 0
+        fd = HttpFetcher(srv.host, srv.port, dynamic=True)
+        out2 = fd(pa.table({
+            "canon_url": ["https://h.example/p?id=2"]}))
+        assert out2["spans"].to_pylist()[0][0]["text"] == "body 2"
+
+
 def test_robots_txt_roundtrip_and_rfc_parsing():
     """render -> parse is lossless for the fixture rules, and the
     parser honors RFC 9309 grouping: case-insensitive keys, comments,

@@ -171,6 +171,50 @@ def test_ann_ivf_indexed_matches_and_reuses(ray_session, tmp_path,
         assert run(ann.ann_ivf_indexed_fullprobe).equals(tk)
 
 
+def test_ivf_index_rebuild_idempotent(ray_session, tmp_path):
+    """Rebuilding into the same directory is a full replace: vectors
+    must not duplicate across uuid-named fragments (review finding —
+    duplicated members would fill top-k slots with repeated
+    neighbor_ids)."""
+    from whakoom_webscrapper_ray.pipelines import ann
+
+    d = str(tmp_path / "ivf")
+    ann.build_ivf_index(SF, d)
+    first = ann.ann_ivf_indexed_fullprobe(SF).to_pandas()  # noqa: F841
+    ann.build_ivf_index(SF, d)   # rebuild over the same dir
+    cols = ["query_id", "neighbor_id", "rank"]
+    tk = ann.ann_topk(SF).to_pandas()[cols] \
+        .sort_values(cols).reset_index(drop=True)
+    again = ann.ann_ivf_indexed(SF, nprobe=1 << 30, index_dir=d) \
+        .to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+    assert again.equals(tk)
+
+
+def test_artifact_version_keys_on_source_table(tmp_path):
+    """The IVF index keys on the embeddings table, the labels artifact
+    on documents — a regenerated source must produce a fresh version
+    key (review finding: documents-keyed index served stale
+    neighbors after a re-embed)."""
+    import shutil
+
+    from whakoom_webscrapper_ray.pipelines.curate import (
+        _corpus_version,
+    )
+
+    src = "/root/testdata/sf0.001"
+    mirror = tmp_path / "sf"
+    mirror.mkdir()
+    for t in ("documents", "embeddings"):
+        shutil.copy(f"{src}/{t}.parquet", mirror / f"{t}.parquet")
+    v_doc = _corpus_version(str(mirror), table="documents")
+    v_emb = _corpus_version(str(mirror), table="embeddings")
+    # re-embed: touch embeddings only -> embedding key changes,
+    # documents key (the labels artifact's) does not
+    (mirror / "embeddings.parquet").touch()
+    assert _corpus_version(str(mirror), table="documents") == v_doc
+    assert _corpus_version(str(mirror), table="embeddings") != v_emb
+
+
 def test_knn_graph_ivf_indexed_matches(ray_session, tmp_path,
                                        monkeypatch):
     """The graph built from the persisted index (stored bucket
